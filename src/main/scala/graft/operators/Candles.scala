@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.CandleTimeFrame
+import graft.sources.Tables
+
+/** Batch candlestick aggregation — the Spark-native re-expression of
+  * the reference's Kafka Streams pipeline
+  * (reference: stream/CandlestickAggregator.kt:75-198).
+  *
+  * Reference semantics, per timeframe window and symbol:
+  *   open  = first price in window   (CandlestickAggregator.kt:408 — but
+  *           arrival-order-defined there; we use event time, SURVEY §4)
+  *   high  = max price               (kt:427)
+  *   low   = min price               (kt:428)
+  *   close = last price              (kt:429)
+  *   volume= sum of quantities       (kt:430)
+  * plus calendar-aligned window bounds (adjustTimeFrame, kt:205-263).
+  *
+  * Scale design (SURVEY §5): ONE shuffle on (symbol, minute bucket)
+  * with map-side partial aggregation produces the minute candles;
+  * HOUR/DAY/MONTH roll up from the minute-candle table — the
+  * reference's own cascade (kt:119: "minuteCandleStream.groupByKey()")
+  * — which at 100 TB re-aggregates a table ~5 orders of magnitude
+  * smaller than the raw transactions. All aggregates
+  * (min/max/sum/count/min_by/max_by) are partial-aggregatable and stay
+  * inside whole-stage codegen.
+  */
+object Candles {
+
+  /** The trade-stream view over the driver's `events` table:
+    * symbol≈event_type, price≈value, quantity≈props.k, ts≈ts.
+    */
+  def transactions(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir).select(
+      col("event_type").as("symbol"),
+      col("value").as("price"),
+      get_json_object(col("props"), "$.k").cast("int").as("quantity"),
+      col("ts"))
+
+  /** 1-minute OHLCV candles from raw transactions.
+    * Deterministic open/close: event-time ordered via min_by/max_by on
+    * ts (ties impossible at microsecond granularity in practice; a
+    * unique tiebreak column can be passed via `ord`).
+    */
+  def minuteCandles(txns: DataFrame): DataFrame = {
+    val ws = date_trunc("minute", col("ts"))
+    txns
+      .groupBy(col("symbol"), ws.as("window_start"))
+      .agg(
+        min_by(col("price"), col("ts")).as("open"),
+        max(col("price")).as("high"),
+        min(col("price")).as("low"),
+        max_by(col("price"), col("ts")).as("close"),
+        sum(col("quantity")).cast("long").as("volume"),
+        count(lit(1)).as("n_txn"))
+      .withColumn("timeframe", lit(CandleTimeFrame.Minute))
+      .withColumn("window_end", windowEnd(CandleTimeFrame.Minute, col("window_start")))
+      .select(candleColumns: _*)
+  }
+
+  /** Roll smaller-timeframe candles up to `tf` — the reference's
+    * aggregateCandles (kt:318-339): open = open of the earliest child
+    * candle, close = close of the latest, high/low = max/min,
+    * volume = sum. Input must be a candle frame (e.g. minuteCandles
+    * output); grouping key is the calendar-truncated window start.
+    */
+  def rollup(candles: DataFrame, tf: String): DataFrame = {
+    val unit = CandleTimeFrame.truncUnit(tf)
+    candles
+      .withColumn("parent_start", date_trunc(unit, col("window_start")))
+      .groupBy(col("symbol"), col("parent_start"))
+      .agg(
+        min_by(col("open"), col("window_start")).as("open"),
+        max(col("high")).as("high"),
+        min(col("low")).as("low"),
+        max_by(col("close"), col("window_start")).as("close"),
+        sum(col("volume")).cast("long").as("volume"),
+        sum(col("n_txn")).as("n_txn"))
+      .withColumnRenamed("parent_start", "window_start")
+      .withColumn("timeframe", lit(tf))
+      .withColumn("window_end", windowEnd(tf, col("window_start")))
+      .select(candleColumns: _*)
+  }
+
+  /** All four timeframes as one frame (reference runs four parallel
+    * windowed streams over the minute stream, kt:119-186).
+    */
+  def multiTimeframe(txns: DataFrame): DataFrame = {
+    val minute = minuteCandles(txns)
+    Seq(CandleTimeFrame.Hour, CandleTimeFrame.Day, CandleTimeFrame.Month)
+      .map(rollup(minute, _))
+      .foldLeft(minute)(_ unionByName _)
+  }
+
+  /** Exclusive end of the calendar window that starts at `start`. */
+  def windowEnd(tf: String, start: Column): Column = tf match {
+    case CandleTimeFrame.Minute => start + expr("INTERVAL 1 MINUTE")
+    case CandleTimeFrame.Hour   => start + expr("INTERVAL 1 HOUR")
+    case CandleTimeFrame.Day    => start + expr("INTERVAL 1 DAY")
+    case CandleTimeFrame.Month  => add_months(start, 1).cast("timestamp")
+    case other => throw new IllegalArgumentException(s"unknown timeframe: $other")
+  }
+
+  /** The reference's Redis key, `candle:{symbol}:{timeFrame}:{fmt}`
+    * (CandlestickAggregator.kt:270-296), as a derived column.
+    */
+  def candleKey(tf: String): Column =
+    concat(lit("candle:"), col("symbol"), lit(":"), lit(tf), lit(":"),
+      date_format(col("window_start"), CandleTimeFrame.keyFormat(tf)))
+
+  /** candleKey when the timeframe is a column (multi-TF frames). */
+  def candleKeyDynamic: Column = {
+    val fmt = CandleTimeFrame.all.foldLeft(lit(null).cast("string")) { (acc, tf) =>
+      when(col("timeframe") === tf,
+        date_format(col("window_start"), CandleTimeFrame.keyFormat(tf))).otherwise(acc)
+    }
+    concat(lit("candle:"), col("symbol"), lit(":"), col("timeframe"), lit(":"), fmt)
+  }
+
+  val candleColumns: Seq[Column] = Seq(
+    col("symbol"), col("timeframe"), col("window_start"), col("window_end"),
+    col("open"), col("high"), col("low"), col("close"), col("volume"), col("n_txn"))
+}

@@ -1,0 +1,42 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parquet table loaders for the driver-generated TPC-H-ish test set.
+  *
+  * Scale note: these are plain parquet scans — Catalyst pushes filters
+  * and prunes columns into the scan, so callers should NOT pre-cache
+  * or pre-collect; compose lazily and let the optimizer do pruning.
+  */
+object Tables {
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
+  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** `events` carries parquet TIMESTAMP(NANOS) which Spark's vectorized
+    * reader rejects ([PARQUET_TYPE_ILLEGAL]). We read nanos as raw
+    * longs (spark.sql.legacy.parquet.nanosAsLong) and truncate to
+    * microsecond TimestampType — the same truncation a DuckDB
+    * `make_timestamp(epoch_ns(ts)//1000)` applies, keeping the oracle
+    * comparable bit-for-bit.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    // The conf must stay set for the whole query lifetime (the scan
+    // consults it at execution, not just schema inference); it only
+    // affects TIMESTAMP(NANOS) columns, which no other table has.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+  }
+}
