@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.CandleTimeFrame
-import graft.operators.{CandleQueries, Candles}
+import graft.operators.{CandleQueries, Candles, MarketAnalytics}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
@@ -154,6 +154,151 @@ object SparkEntry {
           col("avg_price"), col("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
+
+    // ---- market analytics over the trade stream ----
+    "q_vwap" -> ((s, dir) =>
+      MarketAnalytics.vwap(Candles.transactions(s, dir))
+        .select(col("symbol"), fmtTs(col("window_start")).as("window_start"),
+          col("pv"), col("volume"), col("vwap"))
+        .orderBy(col("symbol"), col("window_start"))),
+    "q_candle_change" -> ((s, dir) => {
+      val day = Candles.rollup(
+        Candles.minuteCandles(Candles.transactions(s, dir)), CandleTimeFrame.Day)
+      import org.apache.spark.sql.expressions.Window
+      val bySym = Window.partitionBy(col("symbol")).orderBy(col("window_start"))
+      val trailing = bySym.rowsBetween(-4, 0)
+      // moving average via exact decimal sum / exact count: immune to
+      // the engines' different sliding-frame accumulation orders
+      day
+        .withColumn("prev_close", lag(col("close"), 1).over(bySym))
+        .withColumn("change", col("close") - col("prev_close"))
+        .withColumn("ma_close",
+          sum(col("close").cast("decimal(18,4)")).over(trailing).cast("double") /
+            count(col("close")).over(trailing))
+        .select(col("symbol"), fmtTs(col("window_start")).as("window_start"),
+          col("close"), col("prev_close"), col("change"), col("ma_close"))
+        .orderBy(col("symbol"), col("window_start"))
+    }),
+    "q_sessionize" -> ((s, dir) =>
+      MarketAnalytics.sessionStats(
+        Tables.events(s, dir).select(col("user_id"), col("ts"), col("value")),
+        "user_id", "ts", 30)
+        .select(col("user_id"), col("session_seq"),
+          fmtTs(col("session_start")).as("session_start"),
+          fmtTs(col("session_end")).as("session_end"),
+          col("n_events"), col("total_value"))
+        .orderBy(col("user_id"), col("session_seq"))),
+
+    // ---- general engine: joins / windows / shaping ----
+    "q3_join" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING")
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,4)") *
+          (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
+          .cast("double").as("revenue"))
+        .select(col("l_orderkey"), fmtTs(col("o_orderdate")).as("o_orderdate"),
+          col("o_orderpriority"), col("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+    "q5_multijoin" -> ((s, dir) => {
+      // dim chain broadcast: region ⋈ nation stays tiny, so the
+      // customer join key list is broadcast too; only orders⋈lineitem
+      // shuffles at scale
+      val asia = broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA"))
+      val nat = broadcast(Tables.nation(s, dir)
+        .join(asia, col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name")))
+      val cust = Tables.customer(s, dir)
+        .join(nat, col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name"))
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      Tables.lineitem(s, dir)
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,4)") *
+          (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("n_name"))
+    }),
+    "q_topk_group" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("p_brand"))
+        .orderBy(col("p_retailprice").desc, col("p_partkey"))
+      Tables.part(s, dir)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("p_brand"), col("rk"), col("p_partkey"), col("p_name"),
+          col("p_retailprice"))
+        .orderBy(col("p_brand"), col("rk"))
+    }),
+    "q_rollup" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("sum_qty"), col("n"))
+        .orderBy(col("returnflag"), col("linestatus"))),
+    "q_distinct" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))),
+    "q_semi_anti" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir)
+      val ordKeys = Tables.orders(s, dir).select(col("o_custkey"))
+      val withO = cust.join(ordKeys, col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_with_orders"))
+      val without = cust.join(ordKeys, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_without_orders"))
+      withO.join(without, Seq("c_mktsegment"), "full_outer")
+        .select(col("c_mktsegment"),
+          coalesce(col("n_with_orders"), lit(0L)).as("n_with_orders"),
+          coalesce(col("n_without_orders"), lit(0L)).as("n_without_orders"))
+        .orderBy(col("c_mktsegment"))
+    }),
+    "q_pivot" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).cast("string").as("day"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .select(col("day"),
+          coalesce(col("click"), lit(0L)).as("click"),
+          coalesce(col("error"), lit(0L)).as("error"),
+          coalesce(col("purchase"), lit(0L)).as("purchase"),
+          coalesce(col("signup"), lit(0L)).as("signup"),
+          coalesce(col("view"), lit(0L)).as("view"))
+        .orderBy(col("day"))),
+    "q_percentile" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50_price"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"))
+        .orderBy(col("l_returnflag"))),
+    "q_json" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).cast("long").as("sum_k"),
+          count(col("k")).as("n_k"),
+          max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -228,5 +373,117 @@ object SparkEntry {
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_vwap" -> (txnCte + "\n" +
+      """SELECT symbol,
+        |  strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  CAST(sum(CAST(price AS DECIMAL(18,4)) * CAST(quantity AS DECIMAL(18,4))) AS DOUBLE) AS pv,
+        |  CAST(sum(quantity) AS BIGINT) AS volume,
+        |  CASE WHEN sum(quantity) = 0 THEN NULL ELSE
+        |    CAST(sum(CAST(price AS DECIMAL(18,4)) * CAST(quantity AS DECIMAL(18,4))) AS DOUBLE)
+        |      / CAST(sum(quantity) AS BIGINT) END AS vwap
+        |FROM txn GROUP BY 1, 2 ORDER BY symbol, window_start""".stripMargin),
+    "q_candle_change" -> (txnCte + minuteCte + rollupCte("day") + "\n" +
+      """SELECT symbol,
+        |  strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, close,
+        |  lag(close, 1) OVER w AS prev_close,
+        |  close - lag(close, 1) OVER w AS change,
+        |  CAST(sum(CAST(close AS DECIMAL(18,4)))
+        |         OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / count(close) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS ma_close
+        |FROM roll_c
+        |WINDOW w AS (PARTITION BY symbol ORDER BY ws)
+        |ORDER BY symbol, window_start""".stripMargin),
+    "q_sessionize" ->
+      """WITH ev AS (
+        |  SELECT user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts, value
+        |  FROM events
+        |), flagged AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL THEN 1
+        |         WHEN epoch_us(ts) // 1000000 - epoch_us(lag(ts) OVER w) // 1000000 > 1800
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), sess AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |  FROM flagged
+        |)
+        |SELECT user_id, session_seq,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM sess GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
+    "q3_join" ->
+      """SELECT l_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+        |  o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |    (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1998-03-15'
+        |  AND l_shipdate > TIMESTAMP '1998-03-15'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_multijoin" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |    (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM region, nation, customer, orders, lineitem
+        |WHERE r_name = 'ASIA' AND n_regionkey = r_regionkey
+        |  AND c_nationkey = n_nationkey AND o_custkey = c_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q_topk_group" ->
+      """SELECT p_brand, rk, p_partkey, p_name, p_retailprice FROM (
+        |  SELECT p_brand, p_partkey, p_name, p_retailprice,
+        |    row_number() OVER (PARTITION BY p_brand
+        |      ORDER BY p_retailprice DESC, p_partkey) AS rk
+        |  FROM part
+        |) WHERE rk <= 3 ORDER BY p_brand, rk""".stripMargin,
+    "q_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+    "q_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+        |  count(DISTINCT l_orderkey) AS n_orders, count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_semi_anti" ->
+      """SELECT c_mktsegment,
+        |  CAST(count(CASE WHEN EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |    THEN 1 END) AS BIGINT) AS n_with_orders,
+        |  CAST(count(CASE WHEN NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |    THEN 1 END) AS BIGINT) AS n_without_orders
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_pivot" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_json" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+        |  count(json_extract_string(props, '$.k')) AS n_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

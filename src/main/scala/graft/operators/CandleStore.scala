@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.CandleTimeFrame
+
+/** Persistent candle store — the Spark-native replacement for the
+  * reference's Redis store (reference:
+  * stream/CandlestickAggregator.kt:270-277 saveToRedis;
+  * service/CandleStickService.kt key scans).
+  *
+  * The reference's hierarchical key `candle:{symbol}:{tf}:{date}` maps
+  * to a parquet layout partitioned by (timeframe, symbol): a point or
+  * range lookup prunes to one directory, and the date predicate prunes
+  * row groups via parquet min/max stats on window_start. At 100 TB,
+  * this is the difference between a full scan and reading a few
+  * megabytes; with ~thousands of symbols, directory count stays
+  * manageable (4 TFs × |symbols|). For ultra-high symbol cardinality,
+  * swap `symbol` for `pmod(xxhash64(symbol), nBuckets)` — the read
+  * path below would then prune on the bucket column.
+  */
+object CandleStore {
+
+  /** Write a candle frame (Candles.* output) as a partitioned store.
+    * Candles within a partition are sorted by window_start so parquet
+    * row-group stats give tight min/max bounds for time pruning.
+    */
+  def write(candles: DataFrame, path: String,
+            mode: SaveMode = SaveMode.Overwrite): Unit =
+    candles
+      .repartition(col("timeframe"), col("symbol"))
+      .sortWithinPartitions(col("window_start"))
+      .write
+      .mode(mode)
+      .partitionBy("timeframe", "symbol")
+      .parquet(path)
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Range query against the store: timeframe+symbol hit partition
+    * pruning, the window_start range hits row-group pruning.
+    */
+  def range(spark: SparkSession, path: String, symbol: String, tf: String,
+            from: String, to: String): DataFrame =
+    CandleQueries.range(read(spark, path), symbol, tf, from, to)
+
+  /** Point lookup by the reference's date-key format. */
+  def point(spark: SparkSession, path: String, symbol: String, tf: String,
+            dateKey: String): DataFrame =
+    CandleQueries.pointLookup(read(spark, path), symbol, tf, dateKey)
+
+  /** All stored (timeframe, symbol) combos — the analog of the
+    * reference's Redis `keys candle:*` scans
+    * (CandleStickService.kt:181-196), answered from partition
+    * directories without touching data files.
+    */
+  def keys(spark: SparkSession, path: String): DataFrame =
+    read(spark, path).select(col("timeframe"), col("symbol")).distinct()
+}

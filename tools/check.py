@@ -42,8 +42,17 @@ def main(sf_dir, out_dir):
         if not ok:
             msg = f"cols {list(mine.columns)} vs {list(want.columns)}"
         else:
-            mv = sorted(map(tuple, mine.itertuples(index=False)))
-            wv = sorted(map(tuple, want.itertuples(index=False)))
+            def norm(df):
+                # NaN != NaN would make identical rows compare unequal
+                def f(v):
+                    if v is None or (isinstance(v, float) and v != v):
+                        return "<NULL>"
+                    return v
+                return sorted((tuple(f(v) for v in row)
+                               for row in df.itertuples(index=False)),
+                              key=lambda t: [repr(x) for x in t])
+            mv = norm(mine)
+            wv = norm(want)
             ok = mv == wv
             if not ok:
                 msg = f"rows {len(mv)} vs {len(wv)}"
