@@ -134,6 +134,21 @@ object SparkEntry {
         "view", CandleTimeFrame.Day, "20240115"))),
     "q_symbols" -> ((s, dir) =>
       CandleQueries.symbols(Candles.transactions(s, dir)).orderBy(col("symbol"))),
+    "q_stream_candles" -> ((s, dir) => {
+      // the SAME minute-candle semantics through Structured Streaming;
+      // complete-mode memory sink ⇒ directly comparable to the batch
+      // oracle (graft.streaming.CandleStream scaladoc)
+      import graft.streaming.CandleStream
+      val txns = Tables.eventsStream(s, dir).select(
+        col("event_type").as("symbol"),
+        col("value").as("price"),
+        get_json_object(col("props"), "$.k").cast("int").as("quantity"),
+        col("ts"))
+      s.catalog.dropTempView("q_stream_candles_sink")
+      candleOut(CandleStream.runBoundedToMemory(s,
+        CandleStream.candles(txns, CandleTimeFrame.Minute),
+        "q_stream_candles_sink"))
+    }),
 
     // ---- general engine surface ----
     "q1_agg" -> ((s, dir) => {
@@ -303,6 +318,8 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q_candle_minute" -> (txnCte + minuteCte + "\n" +
+      candleSelect("minute_c", "MINUTE", "ws + INTERVAL 1 minute")),
+    "q_stream_candles" -> (txnCte + minuteCte + "\n" +
       candleSelect("minute_c", "MINUTE", "ws + INTERVAL 1 minute")),
     "q_candle_hour" -> rollupSql(CandleTimeFrame.Hour),
     "q_candle_day" -> rollupSql(CandleTimeFrame.Day),

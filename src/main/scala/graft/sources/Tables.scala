@@ -39,4 +39,21 @@ object Tables {
     load(spark, dir, "events")
       .withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
   }
+
+  /** Streaming read of the same events table (file source). Schema
+    * must be supplied for streams; ts arrives as raw nanos (see
+    * events() above) and gets the identical ns→µs truncation.
+    */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    // the file stream source wants a directory; glob-filter to the one table
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+  }
 }

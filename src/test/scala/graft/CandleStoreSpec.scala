@@ -1,0 +1,51 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.model.CandleTimeFrame
+import graft.operators.{Candles, CandleStore, MarketAnalytics}
+import graft.streaming.TransactionSimulator
+
+class CandleStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("store round-trips candles and prunes partitions on lookup") {
+    val dir = Files.createTempDirectory("candlestore").toString
+    val candles = Candles.multiTimeframe(TransactionSimulator.batch(spark, 300))
+    CandleStore.write(candles, dir)
+
+    // partition layout exists (Redis-key hierarchy as directories)
+    assert(new java.io.File(s"$dir/timeframe=MINUTE/symbol=AAPL").exists())
+
+    val all = CandleStore.read(spark, dir)
+    assert(all.count() === candles.count())
+
+    // point lookup hits exactly one partition directory: the physical
+    // plan's pushed partition filters must name both columns
+    val point = CandleStore.point(spark, dir, "AAPL", CandleTimeFrame.Minute,
+      "202401010002")
+    assert(point.count() === 1)
+    val explained = point.queryExecution.executedPlan.toString
+    assert(explained.contains("PartitionFilters") &&
+      explained.contains("timeframe") && explained.contains("symbol"))
+
+    val keys = CandleStore.keys(spark, dir)
+    assert(keys.count() === 20) // 4 timeframes × 5 symbols
+  }
+
+  test("sessionize splits on the inactivity gap") {
+    val ev = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:10:00"), 2.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), 3.0), // 50min gap
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 4.0)
+    ).toDF("user_id", "ts", "value")
+    val s = MarketAnalytics.sessionStats(ev, "user_id", "ts", 30)
+    assert(s.count() === 3)
+    val u1 = s.filter($"user_id" === 1 && $"session_seq" === 1).collect().head
+    assert(u1.getAs[Long]("n_events") === 2)
+    assert(u1.getAs[Double]("total_value") === 3.0)
+  }
+}

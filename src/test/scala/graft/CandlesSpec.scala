@@ -1,0 +1,92 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.model.{CandleTimeFrame, StockTransaction}
+import graft.operators.{CandleQueries, Candles}
+
+class CandlesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  // two symbols, two minutes, crafted so OHLC are all distinct
+  private lazy val txns = Seq(
+    StockTransaction("AAPL", 10.0, 5, ts("2024-03-01 09:30:05")),
+    StockTransaction("AAPL", 12.0, 3, ts("2024-03-01 09:30:20")),
+    StockTransaction("AAPL", 8.0, 2, ts("2024-03-01 09:30:40")),
+    StockTransaction("AAPL", 11.0, 1, ts("2024-03-01 09:30:59")),
+    StockTransaction("AAPL", 20.0, 4, ts("2024-03-01 09:31:10")),
+    StockTransaction("MSFT", 100.0, 7, ts("2024-03-01 09:30:30")),
+    StockTransaction("MSFT", 90.0, 2, ts("2024-03-01 10:15:00"))
+  ).toDF()
+
+  test("minute candles: OHLCV per symbol per minute") {
+    val c = Candles.minuteCandles(txns)
+    val aapl = c.filter($"symbol" === "AAPL" &&
+      $"window_start" === ts("2024-03-01 09:30:00")).collect()
+    assert(aapl.length === 1)
+    val r = aapl.head
+    assert(r.getAs[Double]("open") === 10.0)
+    assert(r.getAs[Double]("high") === 12.0)
+    assert(r.getAs[Double]("low") === 8.0)
+    assert(r.getAs[Double]("close") === 11.0)
+    assert(r.getAs[Long]("volume") === 11L)
+    assert(r.getAs[Long]("n_txn") === 4L)
+    assert(r.getAs[Timestamp]("window_end") === ts("2024-03-01 09:31:00"))
+    assert(c.count() === 4) // AAPL×2 minutes + MSFT×2 minutes
+  }
+
+  test("rollup to hour keeps first open / last close / extremes / summed volume") {
+    val hour = Candles.rollup(Candles.minuteCandles(txns), CandleTimeFrame.Hour)
+    val r = hour.filter($"symbol" === "AAPL").collect().head
+    assert(r.getAs[Double]("open") === 10.0)   // from 09:30 candle
+    assert(r.getAs[Double]("close") === 20.0)  // from 09:31 candle
+    assert(r.getAs[Double]("high") === 20.0)
+    assert(r.getAs[Double]("low") === 8.0)
+    assert(r.getAs[Long]("volume") === 15L)
+    assert(r.getAs[Long]("n_txn") === 5L)
+    // MSFT spans two hours
+    assert(hour.filter($"symbol" === "MSFT").count() === 2)
+  }
+
+  test("month rollup uses calendar months and add_months window end") {
+    val month = Candles.rollup(Candles.minuteCandles(txns), CandleTimeFrame.Month)
+    val r = month.filter($"symbol" === "AAPL").collect().head
+    assert(r.getAs[Timestamp]("window_start") === ts("2024-03-01 00:00:00"))
+    assert(r.getAs[Timestamp]("window_end") === ts("2024-04-01 00:00:00"))
+  }
+
+  test("candle key matches the reference's Redis format") {
+    val keys = Candles.minuteCandles(txns)
+      .withColumn("k", Candles.candleKey(CandleTimeFrame.Minute))
+      .filter($"symbol" === "AAPL" && $"window_start" === ts("2024-03-01 09:30:00"))
+      .select("k").as[String].collect()
+    assert(keys.toSeq === Seq("candle:AAPL:MINUTE:202403010930"))
+  }
+
+  test("multiTimeframe = union of the four frames with dynamic keys") {
+    val m = Candles.multiTimeframe(txns).withColumn("k", Candles.candleKeyDynamic)
+    assert(m.filter($"timeframe" === "MINUTE").count() === 4)
+    assert(m.filter($"timeframe" === "MONTH").count() === 2)
+    val dayKey = m.filter($"timeframe" === "DAY" && $"symbol" === "MSFT")
+      .select("k").as[String].collect()
+    assert(dayKey.toSeq === Seq("candle:MSFT:DAY:20240301"))
+  }
+
+  test("range / recent / point queries") {
+    val minute = Candles.minuteCandles(txns)
+    val r = CandleQueries.range(minute, "AAPL", CandleTimeFrame.Minute,
+      "2024-03-01 09:30:00", "2024-03-01 09:31:00")
+    assert(r.count() === 1)
+    val rec = CandleQueries.recent(minute, CandleTimeFrame.Minute, 1)
+    assert(rec.count() === 2) // one per symbol
+    assert(rec.filter($"symbol" === "AAPL").collect().head
+      .getAs[Timestamp]("window_start") === ts("2024-03-01 09:31:00"))
+    val p = CandleQueries.pointLookup(minute, "MSFT", CandleTimeFrame.Minute,
+      "202403011015")
+    assert(p.count() === 1)
+  }
+}
