@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.CandleTimeFrame
-import graft.operators.{CandleQueries, Candles, MarketAnalytics}
+import graft.operators.{CandleQueries, Candles, Dedup, MarketAnalytics, TextAnalysis}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
@@ -314,6 +314,24 @@ object SparkEntry {
           count(col("k")).as("n_k"),
           max(col("k")).as("max_k"))
         .orderBy(col("event_type"))),
+
+    // ---- LLM-training-data pipeline surface ----
+    "q_text_stats" -> ((s, dir) =>
+      TextAnalysis.stats(Tables.documents(s, dir))
+        .select(col("doc_id"), col("n_chars"), col("n_tokens"), col("n_bpeish"),
+          col("mean_word_len"), col("punct_ratio"))
+        .orderBy(col("doc_id"))),
+    "q_quality_score" -> ((s, dir) =>
+      TextAnalysis.stats(Tables.documents(s, dir))
+        .select(col("doc_id"), col("stopword_ratio"), col("quality"))
+        .orderBy(col("doc_id"))),
+    "q_lang_id" -> ((s, dir) =>
+      TextAnalysis.stats(Tables.documents(s, dir))
+        .select(col("doc_id"), col("lang_pred"))
+        .orderBy(col("doc_id"))),
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(Tables.documents(s, dir))
+        .orderBy(col("content_hash"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -502,5 +520,75 @@ object SparkEntry {
         |  count(json_extract_string(props, '$.k')) AS n_k,
         |  max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_text_stats" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                x -> len(x) > 0) AS toks
+        |  FROM documents
+        |)
+        |SELECT doc_id, length(text) AS n_chars,
+        |  len(toks) AS n_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS n_bpeish,
+        |  CASE WHEN len(toks) > 0 THEN
+        |    CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) / len(toks)
+        |    ELSE 0.0 END AS mean_word_len,
+        |  CASE WHEN length(text) > 0 THEN
+        |    CAST(length(regexp_replace(text, '[^.,;:!?''"]', '', 'g')) AS DOUBLE) / length(text)
+        |    ELSE 0.0 END AS punct_ratio
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q_quality_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                x -> len(x) > 0) AS toks
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id, text, toks,
+        |    CASE WHEN len(toks) > 0 THEN
+        |      CAST(len(list_filter(toks, x -> list_contains(
+        |        ['the','a','an','and','of','to','in','is','it','that'], x))) AS DOUBLE)
+        |        / len(toks) ELSE 0.0 END AS stopword_ratio,
+        |    CASE WHEN len(toks) > 0 THEN
+        |      CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) / len(toks)
+        |      ELSE 0.0 END AS mean_word_len,
+        |    CASE WHEN length(text) > 0 THEN
+        |      CAST(length(regexp_replace(text, '[^.,;:!?''"]', '', 'g')) AS DOUBLE) / length(text)
+        |      ELSE 0.0 END AS punct_ratio
+        |  FROM t
+        |)
+        |SELECT doc_id, stopword_ratio,
+        |  round(0.4 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+        |      + 0.2 * (CASE WHEN mean_word_len BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.0 END)
+        |      + 0.2 * (CASE WHEN punct_ratio BETWEEN 0.0 AND 0.2 THEN 1.0 ELSE 0.0 END)
+        |      + 0.2 * least(stopword_ratio * 5.0, 1.0), 6) AS quality
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "q_lang_id" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                x -> len(x) > 0) AS toks
+        |  FROM documents
+        |), sc AS (
+        |  SELECT doc_id,
+        |    len(list_filter(toks, x -> list_contains(['the','and','of','is','that'], x))) AS en,
+        |    len(list_filter(toks, x -> list_contains(['el','los','las','es','y'], x))) AS es,
+        |    len(list_filter(toks, x -> list_contains(['der','die','das','und','ist'], x))) AS de,
+        |    len(list_filter(toks, x -> list_contains(['le','les','est','et','dans'], x))) AS fr,
+        |    length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS zh
+        |  FROM t
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN greatest(en, es, de, fr, zh) = 0 THEN 'unknown'
+        |       WHEN en = greatest(en, es, de, fr, zh) THEN 'en'
+        |       WHEN es = greatest(en, es, de, fr, zh) THEN 'es'
+        |       WHEN de = greatest(en, es, de, fr, zh) THEN 'de'
+        |       WHEN fr = greatest(en, es, de, fr, zh) THEN 'fr'
+        |       ELSE 'zh' END AS lang_pred
+        |FROM sc ORDER BY doc_id""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash,
+        |  min(doc_id) AS keep_doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
   )
 }

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for LLM-training-data pipelines: token counting,
+  * quality scoring, language ID. All pure column expressions
+  * (codegen'd, no UDFs, no shuffle) — at 100 TB these run at scan
+  * speed as a single projection over the corpus.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of the lowercased text. */
+  def tokens(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: word pieces + standalone punctuation, the
+    * usual cheap `len(tokenizer(text))` estimator
+    * (pattern: word chars | single non-word-non-space).
+    */
+  def bpeishCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"), lit(0)))
+
+  /** Ratio of punctuation chars to all chars. */
+  def punctRatio(text: Column): Column =
+    when(length(text) > 0,
+      length(regexp_replace(text, "[^.,;:!?'\"]", "")).cast("double") / length(text))
+      .otherwise(lit(0.0))
+
+  private val stopwordsEn = Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")
+
+  /** Ratio of stopword tokens to all tokens. */
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    val sw = array(stopwordsEn.map(lit): _*)
+    when(size(toks) > 0,
+      size(filter(toks, t => array_contains(sw, t))).cast("double") / size(toks))
+      .otherwise(lit(0.0))
+  }
+
+  /** Mean word length (non-space chars / token count). */
+  def meanWordLen(text: Column): Column = {
+    val n = tokenCount(text)
+    when(n > 0,
+      length(regexp_replace(text, "\\s", "")).cast("double") / n).otherwise(lit(0.0))
+  }
+
+  /** Composite quality score in [0,1]: long enough, readable word
+    * length, some punctuation, not stopword-soup. The exact recipe is
+    * arbitrary (as every corpus quality score is) — what matters is
+    * that it's deterministic, cheap, and derived from the standard
+    * length/punct/stopword signals.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / lit(500.0), lit(1.0))
+    val wordLenOk = when(meanWordLen(text).between(3.0, 8.0), 1.0).otherwise(0.0)
+    val punctOk = when(punctRatio(text).between(0.0, 0.2), 1.0).otherwise(0.0)
+    val swScore = least(stopwordRatio(text) * lit(5.0), lit(1.0))
+    round(lit(0.4) * lenScore + lit(0.2) * wordLenOk +
+      lit(0.2) * punctOk + lit(0.2) * swScore, 6)
+  }
+
+  /** Stopword-hit language ID — the classic cheap n-gram/stopword
+    * heuristic: score = distinctive-stopword hits per language, CJK by
+    * codepoint class, argmax with a fixed precedence. (The synthetic
+    * corpus draws from one shared vocabulary, so scores here mostly
+    * say "en/unknown" — the operator is the point, and its oracle
+    * recomputes the identical heuristic.)
+    */
+  def langId(text: Column): Column = {
+    def hits(words: Seq[String]): Column = {
+      val sw = array(words.map(lit): _*)
+      size(filter(tokens(text), t => array_contains(sw, t)))
+    }
+    val en = hits(Seq("the", "and", "of", "is", "that"))
+    val es = hits(Seq("el", "los", "las", "es", "y"))
+    val de = hits(Seq("der", "die", "das", "und", "ist"))
+    val fr = hits(Seq("le", "les", "est", "et", "dans"))
+    val zh = length(regexp_replace(text, "[^\\u4e00-\\u9fff]", ""))
+    val m = greatest(en, es, de, fr, zh)
+    when(m === 0, "unknown")
+      .when(en === m, "en").when(es === m, "es").when(de === m, "de")
+      .when(fr === m, "fr").otherwise("zh")
+  }
+
+  /** Full per-document stats frame. */
+  def stats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      col("doc_id"),
+      length(t).as("n_chars"),
+      tokenCount(t).as("n_tokens"),
+      bpeishCount(t).as("n_bpeish"),
+      meanWordLen(t).as("mean_word_len"),
+      punctRatio(t).as("punct_ratio"),
+      stopwordRatio(t).as("stopword_ratio"),
+      qualityScore(t).as("quality"),
+      langId(t).as("lang_pred"))
+  }
+}
