@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.CandleTimeFrame
-import graft.operators.{CandleQueries, Candles, Dedup, MarketAnalytics, TextAnalysis}
+import graft.operators.{CandleQueries, Candles, Dedup, LshDedup, MarketAnalytics, Media, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
@@ -332,6 +332,46 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(Tables.documents(s, dir))
         .orderBy(col("content_hash"))),
+    "q_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          graft.functions.poly_fingerprint64(col("text")).as("fingerprint"))
+        .orderBy(col("doc_id"))),
+    "q_dedup_minhash" -> ((s, dir) =>
+      LshDedup.minhashCandidates(Tables.documents(s, dir))
+        .orderBy(col("doc_a"), col("doc_b"))),
+    "q_dedup_simhash" -> ((s, dir) =>
+      LshDedup.simhashCandidates(Tables.documents(s, dir), maxHamming = 6)
+        .orderBy(col("doc_a"), col("doc_b"))),
+    "q_ngram_jaccard" -> ((s, dir) =>
+      LshDedup.jaccardVerified(Tables.documents(s, dir), threshold = 0.2)
+        .withColumn("jaccard_micro", floor(col("jaccard") * 1e6).cast("long"))
+        .select(col("doc_a"), col("doc_b"), col("jaccard_micro"))
+        .orderBy(col("doc_a"), col("doc_b"))),
+    "q_embed_neardup" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), threshold = 0.45)
+        .withColumn("sim_micro", floor(col("sim") * 1e6).cast("long"))
+        .select(col("vec_a"), col("vec_b"), col("sim_micro"))
+        .orderBy(col("vec_a"), col("vec_b"))),
+    "q_knn_brute" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.knnBrute(emb, emb.filter(col("vec_id") < 3), topK = 10)
+        .withColumn("sim_micro", floor(col("sim") * 1e6).cast("long"))
+        .select(col("query_id"), col("rank"), col("vec_id"), col("sim_micro"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    "q_ann_lsh" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.annLsh(emb, emb.filter(col("vec_id") < 3), topK = 10, nBits = 4)
+        .withColumn("sim_micro", floor(col("sim") * 1e6).cast("long"))
+        .select(col("query_id"), col("rank"), col("vec_id"), col("sim_micro"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    "q_media_meta" -> ((s, dir) =>
+      Media.decodeFeatures(Media.packMedia(Tables.documents(s, dir)))
+        .select(col("doc_id"), col("mime"), col("width"), col("height"),
+          col("n_bytes"), col("mean_byte"))
+        .orderBy(col("doc_id"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -590,5 +630,42 @@ object SparkEntry {
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash,
         |  min(doc_id) AS keep_doc_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
+    // q_fingerprint / q_dedup_minhash / q_dedup_simhash / q_ngram_jaccard /
+    // q_ann_lsh: xxhash64/custom signatures have no DuckDB counterpart →
+    // rows-only checks (semantic properties covered by LshSpec).
+    "q_embed_neardup" ->
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  CAST(floor(list_cosine_similarity(a.embedding::DOUBLE[],
+        |    b.embedding::DOUBLE[]) * 1000000) AS BIGINT) AS sim_micro
+        |FROM embeddings a, embeddings b
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.45
+        |ORDER BY vec_a, vec_b""".stripMargin,
+    "q_knn_brute" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+        |  FROM embeddings WHERE vec_id < 3
+        |), s AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    list_cosine_similarity(e.embedding::DOUBLE[], q.qe) AS sim
+        |  FROM embeddings e, q
+        |), r AS (
+        |  SELECT query_id, vec_id, sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+        |  FROM s
+        |)
+        |SELECT query_id, rank, vec_id,
+        |  CAST(floor(sim * 1000000) AS BIGINT) AS sim_micro
+        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q_media_meta" ->
+      """SELECT doc_id, 'image/fake' AS mime,
+        |  CAST(64 + (doc_id * 7919 + length(text)) % 512 AS INTEGER) AS width,
+        |  CAST(64 + (doc_id * 104729 + length(text)) % 512 AS INTEGER) AS height,
+        |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        |  CASE WHEN length(text) > 0 THEN
+        |    CAST(list_sum(list_transform(string_split(text, ''), x -> unicode(x))) AS DOUBLE)
+        |      / octet_length(encode(text))
+        |    ELSE 0.0 END AS mean_byte
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.{CosineSimF, GraftShim, MinHashSignature, PolyFingerprint64, SimHash64}
+
+/** User-facing Column wrappers for graft's native Catalyst
+  * expressions (see org.apache.spark.sql.graft.GraftExpressions).
+  */
+package object functions {
+
+  /** 64-bit FNV-1a document fingerprint. */
+  def poly_fingerprint64(c: Column): Column =
+    GraftShim.toColumn(PolyFingerprint64(GraftShim.toExpression(c)))
+
+  /** k-permutation MinHash signature over an array<long> of element
+    * hashes.
+    */
+  def minhash_signature(c: Column, k: Int): Column =
+    GraftShim.toColumn(MinHashSignature(GraftShim.toExpression(c), k))
+
+  /** 64-bit SimHash over an array<long> of element hashes. */
+  def simhash64(c: Column): Column =
+    GraftShim.toColumn(SimHash64(GraftShim.toExpression(c)))
+
+  /** Cosine similarity of two array<float> embeddings (double accum,
+    * codegen).
+    */
+  def cosine_sim(a: Column, b: Column): Column =
+    GraftShim.toColumn(CosineSimF(GraftShim.toExpression(a), GraftShim.toExpression(b)))
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming64(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** Register all graft functions for SQL (`SELECT cosine_sim(...)`). */
+  def registerAll(spark: SparkSession): Unit = GraftShim.registerAll(spark)
+}

@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{hamming64, minhash_signature, simhash64}
+
+/** Near-duplicate detection via MinHash+LSH and SimHash — the
+  * scalable (non-O(n²)) dedup family.
+  *
+  * Scale design: candidate generation is
+  *   shingle → hash → signature → band → groupBy(band-bucket)
+  * i.e. per-row work plus ONE shuffle keyed on (band index, band
+  * hash). Only docs sharing a bucket are ever paired, and buckets are
+  * capped (`maxBucket`) so a degenerate bucket (all-identical spam
+  * docs) cannot produce a quadratic explosion on one reducer — the
+  * standard LSH skew guard; capped buckets are dedup-by-exact-hash
+  * territory anyway.
+  */
+object LshDedup {
+
+  /** doc_id + distinct word-n-gram shingle hashes (xxhash64). */
+  def shingleHashes(docs: DataFrame, textCol: String = "text", n: Int = 3): DataFrame =
+    docs.select(
+      col("doc_id"),
+      array_distinct(transform(Dedup.shingles(col(textCol), n), s => xxhash64(s)))
+        .as("shingle_hashes"))
+
+  /** MinHash signatures (k permutations) per doc. */
+  def minhashSignatures(docs: DataFrame, k: Int = 64, n: Int = 3): DataFrame =
+    shingleHashes(docs, n = n)
+      .filter(size(col("shingle_hashes")) > 0)
+      .select(col("doc_id"), minhash_signature(col("shingle_hashes"), k).as("sig"))
+
+  /** LSH banding: k-length signature → `bands` buckets of r = k/bands
+    * values; docs agreeing on any whole band become candidates.
+    * Emits (band, band_hash, doc_id) — one output row per doc·band.
+    */
+  def bandBuckets(sigs: DataFrame, k: Int = 64, bands: Int = 16): DataFrame = {
+    val r = k / bands
+    require(bands * r == k, s"bands=$bands must divide k=$k")
+    sigs.select(col("doc_id"), posexplode(
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(b, array_join(slice(col("sig"), b * r + 1, lit(r)), "_")))))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
+  }
+
+  /** Candidate near-dup pairs from MinHash LSH (doc_a < doc_b,
+    * distinct across bands). One shuffle on the band bucket, one
+    * in-bucket self-join, one distinct.
+    */
+  def minhashCandidates(docs: DataFrame, k: Int = 64, bands: Int = 16,
+                        n: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    val buckets = bandBuckets(minhashSignatures(docs, k, n), k, bands)
+    val capped = buckets
+      .withColumn("bucket_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("band_hash"))))
+      .filter(col("bucket_size") <= maxBucket)
+      .select(col("band"), col("band_hash"), col("doc_id"))
+    val a = capped.withColumnRenamed("doc_id", "doc_a")
+    val b = capped.withColumnRenamed("doc_id", "doc_b")
+    a.join(b, Seq("band", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+  }
+
+  /** LSH candidates verified by exact n-gram Jaccard ≥ threshold.
+    * Verification joins shingle sets back only for candidate pairs —
+    * at corpus scale the candidate set is tiny relative to n².
+    */
+  def jaccardVerified(docs: DataFrame, threshold: Double, k: Int = 64,
+                      bands: Int = 16, n: Int = 3): DataFrame = {
+    val sh = shingleHashes(docs, n = n)
+    val cands = minhashCandidates(docs, k, bands, n)
+    cands
+      .join(sh.withColumnsRenamed(Map("doc_id" -> "doc_a", "shingle_hashes" -> "sh_a")), "doc_a")
+      .join(sh.withColumnsRenamed(Map("doc_id" -> "doc_b", "shingle_hashes" -> "sh_b")), "doc_b")
+      .withColumn("jaccard", Dedup.jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash per doc (over token hashes, not shingles — the
+    * classic Charikar construction).
+    */
+  def simhashes(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"),
+      simhash64(transform(TextAnalysis.tokens(col(textCol)), t => xxhash64(t)))
+        .as("simhash"))
+
+  /** SimHash near-dup candidates: hamming(simhash) ≤ `maxHamming`.
+    * Bucketing: split the 64-bit signature into `maxHamming + 1`
+    * chunks — any pair within the hamming budget must agree exactly on
+    * at least one chunk (pigeonhole), so candidates come from chunk-
+    * equality buckets, one shuffle, no n² compare.
+    */
+  def simhashCandidates(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val chunks = maxHamming + 1
+    val bits = 64 / chunks
+    val sh = simhashes(docs)
+    val chunkCols = array((0 until chunks).map { c =>
+      shiftright(col("simhash"), c * bits).bitwiseAND(lit((1L << bits) - 1))
+    }: _*)
+    val buckets = sh.select(col("doc_id"), col("simhash"), posexplode(chunkCols))
+      .withColumnsRenamed(Map("pos" -> "chunk", "col" -> "chunk_val"))
+    val a = buckets.withColumnsRenamed(Map("doc_id" -> "doc_a", "simhash" -> "sim_a"))
+    val b = buckets.withColumnsRenamed(Map("doc_id" -> "doc_b", "simhash" -> "sim_b"))
+    a.join(b, Seq("chunk", "chunk_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sim_a"), col("sim_b"))
+      .distinct()
+      .withColumn("hamming", hamming64(col("sim_a"), col("sim_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+}

