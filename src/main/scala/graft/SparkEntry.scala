@@ -299,11 +299,9 @@ object SparkEntry {
           coalesce(col("view"), lit(0L)).as("view"))
         .orderBy(col("day"))),
     "q_percentile" -> ((s, dir) =>
-      Tables.lineitem(s, dir)
-        .groupBy(col("l_returnflag"))
-        .agg(
-          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50_price"),
-          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"))
+      graft.operators.Percentiles.exact(
+        Tables.lineitem(s, dir), Seq("l_returnflag"), "l_extendedprice",
+        Seq(0.5, 0.9), Seq("p50_price", "p90_price"))
         .orderBy(col("l_returnflag"))),
     "q_json" -> ((s, dir) =>
       Tables.events(s, dir)

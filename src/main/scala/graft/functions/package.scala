@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.{CosineSimF, GraftShim, MinHashSignature, PolyFingerprint64, SimHash64}
+import org.apache.spark.sql.graft.{CosineSimF, GraftShim, HyperplaneSig, MinHashBandHashes, MinHashSignature, PolyFingerprint64, ShingleHashes, SimHash64}
 
 /** User-facing Column wrappers for graft's native Catalyst
   * expressions (see org.apache.spark.sql.graft.GraftExpressions).
@@ -19,6 +19,18 @@ package object functions {
   def minhash_signature(c: Column, k: Int): Column =
     GraftShim.toColumn(MinHashSignature(GraftShim.toExpression(c), k))
 
+  /** Distinct rolling n-gram shingle hashes over an array<long> of
+    * token hashes.
+    */
+  def shingle_hashes(c: Column, n: Int): Column =
+    GraftShim.toColumn(ShingleHashes(GraftShim.toExpression(c), n))
+
+  /** Fused MinHash + LSH banding: `bands` band hashes from an
+    * array<long> of shingle hashes.
+    */
+  def minhash_band_hashes(c: Column, k: Int, bands: Int): Column =
+    GraftShim.toColumn(MinHashBandHashes(GraftShim.toExpression(c), k, bands))
+
   /** 64-bit SimHash over an array<long> of element hashes. */
   def simhash64(c: Column): Column =
     GraftShim.toColumn(SimHash64(GraftShim.toExpression(c)))
@@ -28,6 +40,12 @@ package object functions {
     */
   def cosine_sim(a: Column, b: Column): Column =
     GraftShim.toColumn(CosineSimF(GraftShim.toExpression(a), GraftShim.toExpression(b)))
+
+  /** Random-hyperplane LSH signature (nBits ≤ 63) of an array<float>
+    * embedding.
+    */
+  def hyperplane_sig(c: Column, nBits: Int): Column =
+    GraftShim.toColumn(HyperplaneSig(GraftShim.toExpression(c), nBits))
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column =

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.{hamming64, minhash_signature, simhash64}
+import graft.functions.{hamming64, minhash_band_hashes, minhash_signature, shingle_hashes, simhash64}
 
 /** Near-duplicate detection via MinHash+LSH and SimHash — the
   * scalable (non-O(n²)) dedup family.
@@ -19,11 +19,15 @@ import graft.functions.{hamming64, minhash_signature, simhash64}
   */
 object LshDedup {
 
-  /** doc_id + distinct word-n-gram shingle hashes (xxhash64). */
+  /** doc_id + distinct word-n-gram shingle hashes.
+    * Tokens are hashed once (xxhash64 lambda); the rolling n-gram
+    * combination and dedup happen inside the native ShingleHashes
+    * expression — single pass, no per-shingle strings or arrays.
+    */
   def shingleHashes(docs: DataFrame, textCol: String = "text", n: Int = 3): DataFrame =
-    docs.select(
-      col("doc_id"),
-      array_distinct(transform(Dedup.shingles(col(textCol), n), s => xxhash64(s)))
+    docs.select(col("doc_id"),
+      shingle_hashes(
+        transform(TextAnalysis.tokens(col(textCol)), t => xxhash64(t)), n)
         .as("shingle_hashes"))
 
   /** MinHash signatures (k permutations) per doc. */
@@ -51,18 +55,37 @@ object LshDedup {
     */
   def minhashCandidates(docs: DataFrame, k: Int = 64, bands: Int = 16,
                         n: Int = 3, maxBucket: Int = 1000): DataFrame = {
-    val buckets = bandBuckets(minhashSignatures(docs, k, n), k, bands)
-    val capped = buckets
-      .withColumn("bucket_size",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band"), col("band_hash"))))
-      .filter(col("bucket_size") <= maxBucket)
-      .select(col("band"), col("band_hash"), col("doc_id"))
-    val a = capped.withColumnRenamed("doc_id", "doc_a")
-    val b = capped.withColumnRenamed("doc_id", "doc_b")
-    a.join(b, Seq("band", "band_hash"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
+    // fused shingle→signature→band expression: the whole per-doc
+    // pipeline is ONE projection column, so the planner's projection
+    // collapse cannot duplicate the upstream chain (GraftExpressions
+    // scaladoc) — candidate generation is per-row work + one shuffle
+    val buckets = shingleHashes(docs, n = n)
+      .filter(size(col("shingle_hashes")) > 0)
+      .select(col("doc_id"),
+        posexplode(minhash_band_hashes(col("shingle_hashes"), k, bands)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
+    candidatePairs(buckets, maxBucket)
+  }
+
+  /** (band, band_hash, doc_id) buckets → distinct candidate pairs.
+    * ONE shuffle: groupBy bucket, gather ids, emit in-bucket pair
+    * combinations columnar-side — no self-join, no window. Buckets
+    * larger than `maxBucket` are dropped (LSH skew guard; a
+    * quadratic-size bucket means exact-duplicate spam, which exact
+    * dedup already catches at linear cost).
+    */
+  def candidatePairs(buckets: DataFrame, maxBucket: Int): DataFrame = {
+    import org.apache.spark.sql.Column
+    def pairCombos(ids: Column): Column =
+      flatten(transform(ids, (x, i) =>
+        transform(slice(ids, i + 2, size(ids)),
+          y => struct(x.as("doc_a"), y.as("doc_b")))))
+    buckets
+      .groupBy(col("band"), col("band_hash"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(pairCombos(col("ids"))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
   }
 
@@ -72,8 +95,18 @@ object LshDedup {
     */
   def jaccardVerified(docs: DataFrame, threshold: Double, k: Int = 64,
                       bands: Int = 16, n: Int = 3): DataFrame = {
+    // shingle hashes feed three plan branches (signatures + both pair
+    // sides); persist so the shingling runs once. At cluster scale the
+    // equivalent move is materializing the signature table to storage
+    // between the candidate and verify stages.
     val sh = shingleHashes(docs, n = n)
-    val cands = minhashCandidates(docs, k, bands, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = candidatePairs(
+      sh.filter(size(col("shingle_hashes")) > 0)
+        .select(col("doc_id"),
+          posexplode(minhash_band_hashes(col("shingle_hashes"), k, bands)))
+        .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash")),
+      maxBucket = 1000)
     cands
       .join(sh.withColumnsRenamed(Map("doc_id" -> "doc_a", "shingle_hashes" -> "sh_a")), "doc_a")
       .join(sh.withColumnsRenamed(Map("doc_id" -> "doc_b", "shingle_hashes" -> "sh_b")), "doc_b")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.cosine_sim
+import graft.functions.{cosine_sim, hyperplane_sig}
 
 /** Similarity search over embedding columns (array<float>).
   *
@@ -36,23 +36,13 @@ object Similarity {
         col("sim"))
   }
 
-  /** Random-hyperplane signature: bit j = sign(dot(v, h_j)) where
-    * hyperplane components are deterministic ±1 from xxhash64(j, dim)
-    * — cheap to generate on both plan sides, no stored model.
-    * Computed columnar: each bit is a codegen'd aggregate expression
-    * over the embedding array.
+  /** Random-hyperplane signature: bit j = sign(dot(v, h_j)) with
+    * deterministic ±1 hyperplane components — computed by the native
+    * HyperplaneSig expression (one pass over the array for all bits;
+    * a columnar per-bit formulation rescans the array nBits times).
     */
-  def hyperplaneSig(embCol: org.apache.spark.sql.Column, nBits: Int): org.apache.spark.sql.Column = {
-    val bitCols = (0 until nBits).map { j =>
-      // dot(v, h_j) with h_j[i] = ±1 from parity of xxhash64(j, i)
-      val dot = aggregate(
-        zip_with(embCol, sequence(lit(0), size(embCol) - 1),
-          (v, i) => when(pmod(xxhash64(lit(j), i), lit(2)) === 0, v).otherwise(-v)),
-        lit(0.0), (acc, x) => acc + x)
-      when(dot >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
-    }
-    bitCols.reduce(_ + _)
-  }
+  def hyperplaneSig(embCol: org.apache.spark.sql.Column, nBits: Int): org.apache.spark.sql.Column =
+    hyperplane_sig(embCol, nBits)
 
   /** Approximate top-k: candidates share the query's hyperplane
     * bucket; rank by exact cosine within the bucket. `nBits` tunes

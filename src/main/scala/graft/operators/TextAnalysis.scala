@@ -6,7 +6,10 @@ import org.apache.spark.sql.functions._
 /** Text analysis for LLM-training-data pipelines: token counting,
   * quality scoring, language ID. All pure column expressions
   * (codegen'd, no UDFs, no shuffle) — at 100 TB these run at scan
-  * speed as a single projection over the corpus.
+  * speed as a single projection over the corpus. `stats` tokenizes
+  * once and fans every metric out from that array (the regex split is
+  * the dominant cost; higher-order functions don't share
+  * subexpressions, so the sharing is done structurally).
   */
 object TextAnalysis {
 
@@ -32,21 +35,26 @@ object TextAnalysis {
 
   private val stopwordsEn = Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")
 
-  /** Ratio of stopword tokens to all tokens. */
-  def stopwordRatio(text: Column): Column = {
-    val toks = tokens(text)
-    val sw = array(stopwordsEn.map(lit): _*)
-    when(size(toks) > 0,
-      size(filter(toks, t => array_contains(sw, t))).cast("double") / size(toks))
-      .otherwise(lit(0.0))
+  private def hitCount(toks: Column, words: Seq[String]): Column = {
+    val sw = array(words.map(lit): _*)
+    size(filter(toks, t => array_contains(sw, t)))
   }
 
+  /** Ratio of stopword tokens to all tokens (toks-sharing variant). */
+  def stopwordRatioOf(toks: Column): Column =
+    when(size(toks) > 0,
+      hitCount(toks, stopwordsEn).cast("double") / size(toks))
+      .otherwise(lit(0.0))
+
+  def stopwordRatio(text: Column): Column = stopwordRatioOf(tokens(text))
+
   /** Mean word length (non-space chars / token count). */
-  def meanWordLen(text: Column): Column = {
-    val n = tokenCount(text)
-    when(n > 0,
-      length(regexp_replace(text, "\\s", "")).cast("double") / n).otherwise(lit(0.0))
-  }
+  def meanWordLenOf(text: Column, toks: Column): Column =
+    when(size(toks) > 0,
+      length(regexp_replace(text, "\\s", "")).cast("double") / size(toks))
+      .otherwise(lit(0.0))
+
+  def meanWordLen(text: Column): Column = meanWordLenOf(text, tokens(text))
 
   /** Composite quality score in [0,1]: long enough, readable word
     * length, some punctuation, not stopword-soup. The exact recipe is
@@ -54,14 +62,16 @@ object TextAnalysis {
     * that it's deterministic, cheap, and derived from the standard
     * length/punct/stopword signals.
     */
-  def qualityScore(text: Column): Column = {
+  def qualityScoreOf(text: Column, toks: Column): Column = {
     val lenScore = least(length(text).cast("double") / lit(500.0), lit(1.0))
-    val wordLenOk = when(meanWordLen(text).between(3.0, 8.0), 1.0).otherwise(0.0)
+    val wordLenOk = when(meanWordLenOf(text, toks).between(3.0, 8.0), 1.0).otherwise(0.0)
     val punctOk = when(punctRatio(text).between(0.0, 0.2), 1.0).otherwise(0.0)
-    val swScore = least(stopwordRatio(text) * lit(5.0), lit(1.0))
+    val swScore = least(stopwordRatioOf(toks) * lit(5.0), lit(1.0))
     round(lit(0.4) * lenScore + lit(0.2) * wordLenOk +
       lit(0.2) * punctOk + lit(0.2) * swScore, 6)
   }
+
+  def qualityScore(text: Column): Column = qualityScoreOf(text, tokens(text))
 
   /** Stopword-hit language ID — the classic cheap n-gram/stopword
     * heuristic: score = distinctive-stopword hits per language, CJK by
@@ -70,15 +80,11 @@ object TextAnalysis {
     * say "en/unknown" — the operator is the point, and its oracle
     * recomputes the identical heuristic.)
     */
-  def langId(text: Column): Column = {
-    def hits(words: Seq[String]): Column = {
-      val sw = array(words.map(lit): _*)
-      size(filter(tokens(text), t => array_contains(sw, t)))
-    }
-    val en = hits(Seq("the", "and", "of", "is", "that"))
-    val es = hits(Seq("el", "los", "las", "es", "y"))
-    val de = hits(Seq("der", "die", "das", "und", "ist"))
-    val fr = hits(Seq("le", "les", "est", "et", "dans"))
+  def langIdOf(text: Column, toks: Column): Column = {
+    val en = hitCount(toks, Seq("the", "and", "of", "is", "that"))
+    val es = hitCount(toks, Seq("el", "los", "las", "es", "y"))
+    val de = hitCount(toks, Seq("der", "die", "das", "und", "ist"))
+    val fr = hitCount(toks, Seq("le", "les", "est", "et", "dans"))
     val zh = length(regexp_replace(text, "[^\\u4e00-\\u9fff]", ""))
     val m = greatest(en, es, de, fr, zh)
     when(m === 0, "unknown")
@@ -86,18 +92,22 @@ object TextAnalysis {
       .when(fr === m, "fr").otherwise("zh")
   }
 
-  /** Full per-document stats frame. */
+  def langId(text: Column): Column = langIdOf(text, tokens(text))
+
+  /** Full per-document stats frame (single tokenization). */
   def stats(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
-    docs.select(
-      col("doc_id"),
-      length(t).as("n_chars"),
-      tokenCount(t).as("n_tokens"),
-      bpeishCount(t).as("n_bpeish"),
-      meanWordLen(t).as("mean_word_len"),
-      punctRatio(t).as("punct_ratio"),
-      stopwordRatio(t).as("stopword_ratio"),
-      qualityScore(t).as("quality"),
-      langId(t).as("lang_pred"))
+    docs
+      .withColumn("__toks", tokens(t))
+      .select(
+        col("doc_id"),
+        length(t).as("n_chars"),
+        size(col("__toks")).as("n_tokens"),
+        bpeishCount(t).as("n_bpeish"),
+        meanWordLenOf(t, col("__toks")).as("mean_word_len"),
+        punctRatio(t).as("punct_ratio"),
+        stopwordRatioOf(col("__toks")).as("stopword_ratio"),
+        qualityScoreOf(t, col("__toks")).as("quality"),
+        langIdOf(t, col("__toks")).as("lang_pred"))
   }
 }

@@ -84,30 +84,22 @@ case class PolyFingerprint64(child: Expression)
   * deterministic across runs and engines.
   */
 case class MinHashSignature(child: Expression, k: Int)
-    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    val out = new Array[Long](k)
-    var i = 0
-    while (i < k) {
-      // splitmix64-derived odd multipliers/offsets per permutation
-      val a = MinHashSignature.mix(2 * i + 1) | 1L
-      val b = MinHashSignature.mix(2 * i + 2)
-      var min = Long.MaxValue
-      var j = 0
-      while (j < n) {
-        val h = a * arr.getLong(j) + b
-        if (h < min) min = h
-        j += 1
-      }
-      out(i) = min
-      i += 1
-    }
-    new GenericArrayData(out)
-  }
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(MinHashSignature.signature(input.asInstanceOf[ArrayData], k))
+  // real codegen matters here: a CodegenFallback would interpret not
+  // just this node but the whole collapsed child projection
+  // (tokenize→hash→shingle) per row — ~6× observed on the dedup bench
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val out = ctx.freshName("out")
+      s"""
+         |long[] $out = org.apache.spark.sql.graft.MinHashSignature.signature($c, $k);
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -120,6 +112,128 @@ object MinHashSignature {
     z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
     z ^ (z >>> 31)
   }
+
+  private val maxK = 256
+  // permutation constants precomputed once (h_i(x) = a_i·x + b_i)
+  private val as: Array[Long] = Array.tabulate(maxK)(i => mix(2 * i + 1) | 1L)
+  private val bs: Array[Long] = Array.tabulate(maxK)(i => mix(2 * i + 2))
+
+  /** Shared by interpreted eval and generated code. */
+  def signature(arr: ArrayData, k: Int): Array[Long] = {
+    val n = arr.numElements()
+    val out = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      val a = as(i); val b = bs(i)
+      var min = Long.MaxValue
+      var j = 0
+      while (j < n) {
+        val h = a * arr.getLong(j) + b
+        if (h < min) min = h
+        j += 1
+      }
+      out(i) = min
+      i += 1
+    }
+    out
+  }
+}
+
+/** Distinct rolling word-n-gram shingle hashes from an array of token
+  * hashes — single native pass, no intermediate shingle strings or
+  * arrays. Keeping this (and the band computation below) one
+  * Expression matters structurally: the physical planner collapses
+  * projections by substitution, so a multi-reference columnar
+  * formulation re-evaluates the whole upstream chain per reference
+  * (observed 17× on the dedup bench).
+  */
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(ShingleHashes.shingles(input.asInstanceOf[ArrayData], n))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val out = ctx.freshName("out")
+      s"""
+         |long[] $out = org.apache.spark.sql.graft.ShingleHashes.shingles($c, $n);
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ShingleHashes {
+  /** Rolling combine of n consecutive token hashes (order-sensitive),
+    * deduplicated. Shared by interpreted eval and generated code.
+    */
+  def shingles(arr: ArrayData, n: Int): Array[Long] = {
+    val m = arr.numElements()
+    if (m < n) return Array.emptyLongArray
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = new Array[Long](m - n + 1)
+    var cnt = 0
+    var i = 0
+    while (i <= m - n) {
+      var h = 0x9e3779b97f4a7c15L
+      var j = 0
+      while (j < n) {
+        h = (h ^ arr.getLong(i + j)) * 0x100000001b3L
+        j += 1
+      }
+      h = MinHashSignature.mix(h)
+      if (seen.add(h)) { out(cnt) = h; cnt += 1 }
+      i += 1
+    }
+    java.util.Arrays.copyOf(out, cnt)
+  }
+}
+
+/** Fused MinHash-signature + LSH band hashes: array of `bands` hashes,
+  * band b covering signature slots [b·r, (b+1)·r), r = k/bands. One
+  * native pass over the shingle array (see ShingleHashes scaladoc for
+  * why fusion, not composition, is required here).
+  */
+case class MinHashBandHashes(child: Expression, k: Int, bands: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(bands > 0 && k % bands == 0, s"bands=$bands must divide k=$k")
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      MinHashBandHashes.bandHashes(input.asInstanceOf[ArrayData], k, bands))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val out = ctx.freshName("out")
+      s"""
+         |long[] $out = org.apache.spark.sql.graft.MinHashBandHashes.bandHashes($c, $k, $bands);
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashBandHashes {
+  def bandHashes(arr: ArrayData, k: Int, bands: Int): Array[Long] = {
+    val sig = MinHashSignature.signature(arr, k)
+    val r = k / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 0x9e3779b97f4a7c15L ^ b
+      var j = 0
+      while (j < r) {
+        h = (h ^ sig(b * r + j)) * 0x100000001b3L
+        j += 1
+      }
+      out(b) = MinHashSignature.mix(h)
+      b += 1
+    }
+    out
+  }
 }
 
 /** 64-bit SimHash over an array of element hashes: per bit, sum ±1
@@ -127,11 +241,21 @@ object MinHashSignature {
   * small hamming distance (checked with bit_count(a^b)).
   */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
   override def dataType: DataType = LongType
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    SimHash64.simhash(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graft.SimHash64.simhash($c);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  /** Shared by interpreted eval and generated code. */
+  def simhash(arr: ArrayData): Long = {
     val n = arr.numElements()
     val counts = new Array[Int](64)
     var j = 0
@@ -152,8 +276,52 @@ case class SimHash64(child: Expression)
     }
     out
   }
+}
+
+/** Random-hyperplane LSH signature of a float-array embedding: bit j
+  * = sign(dot(v, h_j)), hyperplane components ±1 derived from a
+  * deterministic hash of (j, i) — no stored model, identical on any
+  * plan side. One native pass computes all `nBits` dots (the columnar
+  * formulation would scan the array once per bit).
+  */
+case class HyperplaneSig(child: Expression, nBits: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(nBits > 0 && nBits <= 63, s"nBits=$nBits out of range")
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    HyperplaneSig.signature(input.asInstanceOf[ArrayData], nBits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graft.HyperplaneSig.signature($c, $nBits);")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+object HyperplaneSig {
+  def signature(arr: ArrayData, nBits: Int): Long = {
+    val n = arr.numElements()
+    val dots = new Array[Double](nBits)
+    var i = 0
+    while (i < n) {
+      val v = arr.getFloat(i).toDouble
+      var j = 0
+      while (j < nBits) {
+        // ±1 component from parity of a mixed (j, i) hash
+        if ((MinHashSignature.mix(j.toLong * 1000003L + i) & 1L) == 0L) dots(j) += v
+        else dots(j) -= v
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < nBits) {
+      if (dots(j) >= 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
 }
 
 /** Cosine similarity of two float-array embeddings, accumulated in
