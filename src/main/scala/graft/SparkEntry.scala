@@ -27,9 +27,19 @@ object SparkEntry {
   /** Timestamp → canonical string (see conventions above). */
   private def fmtTs(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
 
-  /** Order-independent exact sum of a double column via decimal. */
+  /** Order-independent exact sum of a double column via decimal.
+    * The exact sum is rounded to 2dp BEFORE the double cast: DuckDB
+    * casts wide decimals to double with two roundings (int128→double,
+    * then ÷10^scale) which can be 1 ulp off Spark's correctly-rounded
+    * cast; a 2dp decimal times 100 is exactly representable, so both
+    * engines round identically.
+    */
   private def dsum(c: Column): Column =
-    sum(c.cast("decimal(18,4)")).cast("double")
+    sum(c.cast("decimal(18,4)")).cast("decimal(38,2)").cast("double")
+
+  /** Same 2dp-stabilized cast for an already-summed decimal column. */
+  private def money(c: Column): Column =
+    c.cast("decimal(38,2)").cast("double")
 
   /** Candle frame → driver-comparable output shape. */
   private def candleOut(c: DataFrame): DataFrame =
@@ -158,9 +168,9 @@ object SparkEntry {
         .agg(
           dsum(col("l_quantity")).as("sum_qty"),
           dsum(col("l_extendedprice")).as("sum_base_price"),
-          sum(col("l_extendedprice").cast("decimal(18,4)") *
-            (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
-            .cast("double").as("sum_disc_price"),
+          money(sum(col("l_extendedprice").cast("decimal(18,4)") *
+            (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)"))))
+            .as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .withColumn("avg_qty", col("sum_qty") / col("count_order"))
         .withColumn("avg_price", col("sum_base_price") / col("count_order"))
@@ -215,9 +225,9 @@ object SparkEntry {
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(cust, col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-        .agg(sum(col("l_extendedprice").cast("decimal(18,4)") *
-          (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
-          .cast("double").as("revenue"))
+        .agg(money(sum(col("l_extendedprice").cast("decimal(18,4)") *
+          (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)"))))
+          .as("revenue"))
         .select(col("l_orderkey"), fmtTs(col("o_orderdate")).as("o_orderdate"),
           col("o_orderpriority"), col("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
@@ -241,9 +251,9 @@ object SparkEntry {
         .join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(cust, col("o_custkey") === col("c_custkey"))
         .groupBy(col("n_name"))
-        .agg(sum(col("l_extendedprice").cast("decimal(18,4)") *
-          (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
-          .cast("double").as("revenue"),
+        .agg(money(sum(col("l_extendedprice").cast("decimal(18,4)") *
+          (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)"))))
+          .as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy(col("n_name"))
     }),
@@ -435,12 +445,12 @@ object SparkEntry {
       "SELECT DISTINCT symbol FROM txn ORDER BY symbol"),
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
-        |           (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_price,
+        |  CAST(CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
+        |  CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DECIMAL(38,2)) AS DOUBLE) AS sum_base_price,
+        |  CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |           (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DECIMAL(38,2)) AS DOUBLE) AS sum_disc_price,
+        |  CAST(CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DECIMAL(38,2)) AS DOUBLE) / count(*) AS avg_qty,
+        |  CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DECIMAL(38,2)) AS DOUBLE) / count(*) AS avg_price,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -449,10 +459,10 @@ object SparkEntry {
     "q_vwap" -> (txnCte + "\n" +
       """SELECT symbol,
         |  strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
-        |  CAST(sum(CAST(price AS DECIMAL(18,4)) * CAST(quantity AS DECIMAL(18,4))) AS DOUBLE) AS pv,
+        |  CAST(CAST(round(sum(CAST(price AS DECIMAL(18,4)) * CAST(quantity AS DECIMAL(18,4))), 2) AS DECIMAL(38,2)) AS DOUBLE) AS pv,
         |  CAST(sum(quantity) AS BIGINT) AS volume,
         |  CASE WHEN sum(quantity) = 0 THEN NULL ELSE
-        |    CAST(sum(CAST(price AS DECIMAL(18,4)) * CAST(quantity AS DECIMAL(18,4))) AS DOUBLE)
+        |    CAST(CAST(round(sum(CAST(price AS DECIMAL(18,4)) * CAST(quantity AS DECIMAL(18,4))), 2) AS DECIMAL(38,2)) AS DOUBLE)
         |      / CAST(sum(quantity) AS BIGINT) END AS vwap
         |FROM txn GROUP BY 1, 2 ORDER BY symbol, window_start""".stripMargin),
     "q_candle_change" -> (txnCte + minuteCte + rollupCte("day") + "\n" +
@@ -486,15 +496,15 @@ object SparkEntry {
         |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
         |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
         |  count(*) AS n_events,
-        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |  CAST(CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DECIMAL(38,2)) AS DOUBLE) AS total_value
         |FROM sess GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
     "q3_join" ->
       """SELECT l_orderkey,
         |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
         |  o_orderpriority,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
-        |    (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+        |  CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |    (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DECIMAL(38,2)) AS DOUBLE) AS revenue
         |FROM customer, orders, lineitem
         |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
         |  AND l_orderkey = o_orderkey
@@ -504,8 +514,8 @@ object SparkEntry {
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
     "q5_multijoin" ->
       """SELECT n_name,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
-        |    (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+        |  CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |    (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DECIMAL(38,2)) AS DOUBLE) AS revenue,
         |  count(*) AS n_items
         |FROM region, nation, customer, orders, lineitem
         |WHERE r_name = 'ASIA' AND n_regionkey = r_regionkey
@@ -524,7 +534,7 @@ object SparkEntry {
     "q_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
         |  coalesce(l_linestatus, 'ALL') AS linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
         |  count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY returnflag, linestatus""".stripMargin,

@@ -27,9 +27,10 @@ object Tables {
   /** `events` carries parquet TIMESTAMP(NANOS) which Spark's vectorized
     * reader rejects ([PARQUET_TYPE_ILLEGAL]). We read nanos as raw
     * longs (spark.sql.legacy.parquet.nanosAsLong) and truncate to
-    * microsecond TimestampType — the same truncation a DuckDB
-    * `make_timestamp(epoch_ns(ts)//1000)` applies, keeping the oracle
-    * comparable bit-for-bit.
+    * microsecond TimestampType with INTEGER division (`div`) — epoch
+    * nanos exceed 2^53, so a double-typed floor(ns/1000.0) would be
+    * off by ±1µs — matching DuckDB's `make_timestamp(epoch_ns(ts) //
+    * 1000)` bit-for-bit.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     // The conf must stay set for the whole query lifetime (the scan
@@ -37,7 +38,7 @@ object Tables {
     // affects TIMESTAMP(NANOS) columns, which no other table has.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** Streaming read of the same events table (file source). Schema
@@ -54,6 +55,6 @@ object Tables {
     // the file stream source wants a directory; glob-filter to the one table
     spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 }
