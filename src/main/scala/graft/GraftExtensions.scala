@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graft.{CosineSimF, MinHashSignature, PolyFingerprint64, SimHash64}
+
+/** SparkSessionExtensions entry point: registers graft's native
+  * functions at session build time —
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)          // or
+  *   .config("spark.sql.extensions", "graft.GraftExtensions")
+  * }}}
+  *
+  * After registration the functions are usable from SQL:
+  * `SELECT cosine_sim(a.embedding, b.embedding) FROM ...`.
+  * (For an already-built session, `graft.functions.registerAll`.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    def info(name: String, usage: String) =
+      new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+    ext.injectFunction((
+      FunctionIdentifier("poly_fingerprint64"),
+      info("poly_fingerprint64", "_FUNC_(str) - 64-bit FNV-1a fingerprint"),
+      (es: Seq[Expression]) => PolyFingerprint64(es.head)))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      info("simhash64", "_FUNC_(array<long>) - 64-bit SimHash"),
+      (es: Seq[Expression]) => SimHash64(es.head)))
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      info("cosine_sim", "_FUNC_(array<float>, array<float>) - cosine similarity"),
+      (es: Seq[Expression]) => CosineSimF(es.head, es(1))))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_signature"),
+      info("minhash_signature", "_FUNC_(array<long>) - 64-permutation MinHash signature"),
+      (es: Seq[Expression]) => MinHashSignature(es.head, 64)))
+  }
+}

@@ -123,4 +123,22 @@ object Candles {
   val candleColumns: Seq[Column] = Seq(
     col("symbol"), col("timeframe"), col("window_start"), col("window_end"),
     col("open"), col("high"), col("low"), col("close"), col("volume"), col("n_txn"))
+
+  // ---- typed Dataset API -----------------------------------------------
+  // Same plans as the DataFrame operators (Catalyst sees identical
+  // logical trees), with compile-time row types for library users who
+  // want Dataset[StockTransaction] ⇒ Dataset[Candle].
+
+  import graft.model.{Candle, StockTransaction}
+  import org.apache.spark.sql.Dataset
+
+  def minuteCandlesTyped(txns: Dataset[StockTransaction]): Dataset[Candle] = {
+    import txns.sparkSession.implicits._
+    minuteCandles(txns.toDF()).as[Candle]
+  }
+
+  def rollupTyped(candles: Dataset[Candle], tf: String): Dataset[Candle] = {
+    import candles.sparkSession.implicits._
+    rollup(candles.toDF(), tf).as[Candle]
+  }
 }

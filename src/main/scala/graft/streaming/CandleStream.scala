@@ -26,6 +26,26 @@ import graft.operators.Candles
   */
 object CandleStream {
 
+  /** Parse a Kafka-shaped frame (binary `key`/`value` columns, the
+    * schema `spark.readStream.format("kafka")` produces) into the
+    * transaction shape, mirroring the reference's JsonSerde topic
+    * payloads (reference: config/KafkaConfig.kt; the producer sends
+    * `{"symbol","price","quantity","timestamp"}` JSON,
+    * simulator/StockTransactionGenerator.kt:60-67). The Kafka
+    * connector jar supplies the source; this function owns the
+    * payload contract and works on any binary-keyed frame.
+    */
+  def fromKafkaShaped(kafka: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    val payload = StructType(Seq(
+      StructField("symbol", StringType), StructField("price", DoubleType),
+      StructField("quantity", IntegerType), StructField("timestamp", TimestampType)))
+    kafka
+      .select(from_json(col("value").cast("string"), payload).as("t"))
+      .select(col("t.symbol").as("symbol"), col("t.price").as("price"),
+        col("t.quantity").as("quantity"), col("t.timestamp").as("ts"))
+  }
+
   /** Tumbling-window OHLCV aggregation of a transaction stream at one
     * timeframe. Emits the same candle schema as the batch
     * Candles.minuteCandles/rollup. Watermark + append mode emit each
