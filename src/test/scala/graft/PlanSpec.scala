@@ -1,0 +1,43 @@
+package graft
+
+/** Plan-quality regression tests: the physical plans the scale design
+  * depends on (SURVEY §5) must not silently degrade.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q1_agg: shipdate filter and column pruning reach the parquet scan") {
+    val p = plan("q1_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"missing pushdown in:\n$p")
+    // only the 6 needed columns are read (plan toString truncates the
+    // ReadSchema, so assert pruned columns are absent from the scan)
+    assert(p.contains("ReadSchema: struct<l_quantity:double"))
+    assert(!p.contains("l_partkey") && !p.contains("l_tax"),
+      s"column pruning regressed in:\n$p")
+  }
+
+  test("q5_multijoin: dimension chain broadcasts; no shuffle of lineitem before the join") {
+    val p = plan("q5_multijoin")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
+    assert(p.contains("BroadcastExchange"))
+  }
+
+  test("q_candle_minute: single hash aggregate with map-side partial min_by/max_by") {
+    val p = plan("q_candle_minute")
+    assert(p.contains("partial_min_by"), s"no partial aggregation in:\n$p")
+    assert(p.count(_ == '\n') > 0 &&
+      "Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"expected exactly one hash-partition exchange in:\n$p")
+  }
+
+  test("q_knn_brute: query side is broadcast, vectors never shuffle for scoring") {
+    val p = plan("q_knn_brute")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"queries not broadcast in:\n$p")
+  }
+}
