@@ -43,6 +43,18 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** End-to-end corpus dedup: exact (hash groups) then near-dup
+    * (MinHash LSH → Jaccard-verified pairs → connected components),
+    * keeping one representative per duplicate cluster.
+    */
+  def dedupCorpus(docs: DataFrame, jaccardThreshold: Double = 0.8,
+                  textCol: String = "text"): DataFrame = {
+    val exact = dropExactDuplicates(docs, textCol)
+    val pairs = LshDedup.jaccardVerified(exact, jaccardThreshold, n = 3)
+      .select(col("doc_a"), col("doc_b"))
+    dropNearDuplicates(exact, pairs)
+  }
+
   /** Word n-gram shingles (distinct) — the unit set for Jaccard /
     * MinHash.
     */
@@ -54,6 +66,59 @@ object Dedup {
         transform(sequence(lit(0), size(toks) - n),
           i => array_join(slice(toks, i + 1, lit(n)), " "))))
       .otherwise(array().cast("array<string>"))
+  }
+
+  /** Connected components over near-duplicate pairs — the final step
+    * of corpus dedup: pairs (a,b) form a graph; every doc gets the
+    * minimum doc_id reachable from it as its cluster id, and one doc
+    * per cluster survives.
+    *
+    * Algorithm: iterative min-label propagation (the standard
+    * large-graph CC on Spark — alternating small-star/large-star
+    * collapses; here the simpler propagate-min, which converges in
+    * O(diameter) rounds and near-dup graphs have tiny diameters).
+    * Each round is one shuffle; iteration stops when no label changes.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.groupBy(col("src").as("doc_id"))
+      .agg(least(min(col("dst")), first(col("src"))).as("label"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // each node adopts the min label among itself and its neighbors
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("label")).as("nlabel"))
+      val next = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
+        .filter(col("label") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels.withColumnRenamed("label", "cluster_id")
+  }
+
+  /** Drop every near-duplicate except the min-doc_id representative of
+    * each connected component. `pairs` comes from LshDedup
+    * (jaccardVerified / simhashCandidates) or Similarity
+    * (cosineNearDupPairs).
+    */
+  def dropNearDuplicates(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val losers = connectedComponents(pairs)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"))
+    docs.join(losers, Seq("doc_id"), "left_anti")
   }
 
   /** Exact n-gram Jaccard similarity between two shingle arrays. */

@@ -64,6 +64,55 @@ object Similarity {
         col("sim"))
   }
 
+  /** IVF (inverted-file) index: assign every vector to its nearest of
+    * `nCells` centroid cells. Centroids are a deterministic sample
+    * (hash-picked rows) — for ANN bucketing, sampled centroids work
+    * like one k-means iteration's seeds and need no training loop; at
+    * cluster scale the assignment is one broadcast-join pass.
+    */
+  def ivfIndex(vectors: DataFrame, nCells: Int): DataFrame = {
+    val centroids = broadcast(ivfCentroids(vectors, nCells))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cell_sim").desc, col("cell_id"))
+    vectors.crossJoin(centroids)
+      .withColumn("cell_sim", cosine_sim(col("embedding"), col("centroid")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cell_id"), col("vec_id"), col("embedding"))
+  }
+
+  /** IVF search: probe the `nProbe` cells nearest to each query and
+    * rank candidates by exact cosine within them. Scan cost drops to
+    * ~nProbe/nCells of the corpus per query.
+    */
+  def ivfSearch(index: DataFrame, centroids: DataFrame, queries: DataFrame,
+                topK: Int, nProbe: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("query_emb"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("cell_sim").desc, col("cell_id"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("cell_sim", cosine_sim(col("query_emb"), col("centroid")))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("query_emb"), col("cell_id"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    index.join(broadcast(probes), "cell_id")
+      .withColumn("sim", cosine_sim(col("embedding"), col("query_emb")))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("sim"))
+  }
+
+  /** The centroid frame ivfSearch needs, derived from an index build's
+    * inputs (same deterministic pick as ivfIndex).
+    */
+  def ivfCentroids(vectors: DataFrame, nCells: Int): DataFrame =
+    vectors
+      .orderBy(xxhash64(col("vec_id")))
+      .limit(nCells)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("centroid"))
+
   /** Embedding-cosine near-duplicate pairs above `threshold`
     * (vec_a < vec_b). Exact all-pairs form — correct at any n but
     * O(n²) compares; the LSH-bucketed variant (annLsh's bucketing with

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+import graft.sources.Tables
+
+class DedupPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connectedComponents labels every node with its component minimum") {
+    // components: {1,2,3,9} (chain 1-2, 2-3, 3-9), {5,6}, {7,8}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 9L), (5L, 6L), (8L, 7L))
+      .toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 7L))
+  }
+
+  test("dedupCorpus removes exactly the non-representative near-dups") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val kept = Dedup.dedupCorpus(docs, jaccardThreshold = 0.8)
+    assert(kept.count() < docs.count()) // the synthetic corpus has near-dups
+    // every removed doc has a kept near-dup partner with smaller id
+    // (cluster representative invariant)
+    val keptIds = kept.select("doc_id").as[Long].collect().toSet
+    assert(keptIds.nonEmpty)
+    val removed = docs.select("doc_id").as[Long].collect().toSet -- keptIds
+    assert(removed.nonEmpty)
+    assert(removed.forall(r => keptIds.exists(_ < r)))
+  }
+
+  test("IVF search recall vs brute force") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter($"vec_id" < 10)
+    val centroids = Similarity.ivfCentroids(emb, nCells = 8)
+    val index = Similarity.ivfIndex(emb, nCells = 8)
+    // index is a partition of the corpus
+    assert(index.count() === emb.count())
+    assert(index.select("cell_id").distinct().count() <= 8)
+    val brute = Similarity.knnBrute(emb, queries, topK = 5)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfSearch(index, centroids, queries, topK = 5, nProbe = 4)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall $recall too low")
+  }
+}
