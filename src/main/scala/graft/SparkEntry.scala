@@ -375,6 +375,21 @@ object SparkEntry {
         .select(col("query_id"), col("rank"), col("vec_id"), col("sim_micro"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    "q_dedup_cluster" -> ((s, dir) =>
+      Dedup.connectedComponents(
+        LshDedup.jaccardVerified(Tables.documents(s, dir), threshold = 0.8)
+          .select(col("doc_a"), col("doc_b")))
+        .orderBy(col("doc_id"))),
+    "q_ann_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfSearch(
+        Similarity.ivfIndex(emb, nCells = 16),
+        Similarity.ivfCentroids(emb, nCells = 16),
+        emb.filter(col("vec_id") < 3), topK = 10, nProbe = 4)
+        .withColumn("sim_micro", floor(col("sim") * 1e6).cast("long"))
+        .select(col("query_id"), col("rank"), col("vec_id"), col("sim_micro"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "q_media_meta" -> ((s, dir) =>
       Media.decodeFeatures(Media.packMedia(Tables.documents(s, dir)))
         .select(col("doc_id"), col("mime"), col("width"), col("height"),
