@@ -204,6 +204,27 @@ object SparkEntry {
           col("close"), col("prev_close"), col("change"), col("ma_close"))
         .orderBy(col("symbol"), col("window_start"))
     }),
+    "q_bollinger" -> ((s, dir) =>
+      MarketAnalytics.bollinger(
+        Candles.rollup(Candles.minuteCandles(Candles.transactions(s, dir)),
+          CandleTimeFrame.Day), n = 20)
+        .select(col("symbol"), fmtTs(col("window_start")).as("window_start"),
+          col("close"), col("ma"), col("sd"), col("upper"), col("lower"))
+        .orderBy(col("symbol"), col("window_start"))),
+    "q_rsi" -> ((s, dir) =>
+      MarketAnalytics.rsi(
+        Candles.rollup(Candles.minuteCandles(Candles.transactions(s, dir)),
+          CandleTimeFrame.Day), n = 14)
+        .select(col("symbol"), fmtTs(col("window_start")).as("window_start"),
+          col("close"), col("rsi"))
+        .orderBy(col("symbol"), col("window_start"))),
+    "q_ema" -> ((s, dir) =>
+      MarketAnalytics.ema(
+        Candles.rollup(Candles.minuteCandles(Candles.transactions(s, dir)),
+          CandleTimeFrame.Day), span = 12)
+        .select(col("symbol"), fmtTs(col("window_start")).as("window_start"),
+          col("close"), col("ema"))
+        .orderBy(col("symbol"), col("window_start"))),
     "q_sessionize" -> ((s, dir) =>
       MarketAnalytics.sessionStats(
         Tables.events(s, dir).select(col("user_id"), col("ts"), col("value")),
@@ -491,6 +512,47 @@ object SparkEntry {
         |FROM roll_c
         |WINDOW w AS (PARTITION BY symbol ORDER BY ws)
         |ORDER BY symbol, window_start""".stripMargin),
+    "q_bollinger" -> (txnCte + minuteCte + rollupCte("day") + "\n" +
+      """, b AS (
+        |  SELECT symbol, ws, close,
+        |    CAST(sum(CAST(close AS DECIMAL(18,2))) OVER w AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(close AS DECIMAL(18,2)) * CAST(close AS DECIMAL(18,2)))
+        |         OVER w AS DOUBLE) AS s2,
+        |    count(close) OVER w AS cnt
+        |  FROM roll_c
+        |  WINDOW w AS (PARTITION BY symbol ORDER BY ws
+        |               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT symbol, strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, close,
+        |  s1 / cnt AS ma,
+        |  sqrt(greatest(CASE WHEN cnt > 1 THEN (s2 - s1 * s1 / cnt) / (cnt - 1)
+        |                     ELSE 0.0 END, 0.0)) AS sd,
+        |  s1 / cnt + 2.0 * sqrt(greatest(CASE WHEN cnt > 1
+        |    THEN (s2 - s1 * s1 / cnt) / (cnt - 1) ELSE 0.0 END, 0.0)) AS upper,
+        |  s1 / cnt - 2.0 * sqrt(greatest(CASE WHEN cnt > 1
+        |    THEN (s2 - s1 * s1 / cnt) / (cnt - 1) ELSE 0.0 END, 0.0)) AS lower
+        |FROM b ORDER BY symbol, window_start""".stripMargin),
+    "q_rsi" -> (txnCte + minuteCte + rollupCte("day") + "\n" +
+      """, ch AS (
+        |  SELECT symbol, ws, close,
+        |    close - lag(close, 1) OVER (PARTITION BY symbol ORDER BY ws) AS change
+        |  FROM roll_c
+        |), g AS (
+        |  SELECT symbol, ws, close,
+        |    CAST(sum(CAST(CASE WHEN change > 0 THEN change ELSE 0.0 END
+        |      AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_gain,
+        |    CAST(sum(CAST(CASE WHEN change < 0 THEN -change ELSE 0.0 END
+        |      AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_loss
+        |  FROM ch
+        |  WINDOW w AS (PARTITION BY symbol ORDER BY ws
+        |               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT symbol, strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, close,
+        |  CASE WHEN sum_loss = 0.0 THEN 100.0
+        |       ELSE 100.0 - 100.0 / (1.0 + sum_gain / sum_loss) END AS rsi
+        |FROM g ORDER BY symbol, window_start""".stripMargin),
+    // q_ema: sequential per-symbol recurrence — no windowed-SQL oracle;
+    // EmaSpec checks against an in-memory reference implementation.
     "q_sessionize" ->
       """WITH ev AS (
         |  SELECT user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts, value

@@ -42,6 +42,86 @@ object MarketAnalytics {
       .withColumn("ma_close", avg(col("close")).over(trailing))
   }
 
+  /** Bollinger bands over the candle series: trailing `n`-candle moving
+    * average ± `k`·sample-stddev. Variance is computed from EXACT
+    * decimal Σx and Σx² (close prices are 2dp ⇒ squares are exact at
+    * 4dp), so the doubles — and the bands — are bit-reproducible
+    * regardless of partial-agg or frame-accumulation order.
+    */
+  def bollinger(candles: DataFrame, n: Int = 20, k: Double = 2.0): DataFrame = {
+    val w = Window.partitionBy(col("symbol")).orderBy(col("window_start"))
+      .rowsBetween(-(n - 1), 0)
+    val cnt = count(col("close")).over(w)
+    val s1 = sum(col("close").cast("decimal(18,2)")).over(w).cast("double")
+    val s2 = sum((col("close").cast("decimal(18,2)") * col("close").cast("decimal(18,2)")))
+      .over(w).cast("double")
+    val ma = s1 / cnt
+    val variance = when(cnt > 1, (s2 - s1 * s1 / cnt) / (cnt - 1)).otherwise(lit(0.0))
+    // FP noise can push a true-zero variance epsilon-negative
+    val sd = sqrt(greatest(variance, lit(0.0)))
+    candles
+      .withColumn("ma", ma)
+      .withColumn("sd", sd)
+      .withColumn("upper", ma + lit(k) * sd)
+      .withColumn("lower", ma - lit(k) * sd)
+  }
+
+  /** Relative Strength Index over the candle series (Cutler's RSI:
+    * simple moving averages of gains/losses over `n` candles — the
+    * SMA variant is window-expressible; Wilder's smoothed variant is
+    * the sequential `ema`-style computation below). Decimal-exact
+    * sums ⇒ bit-reproducible.
+    */
+  def rsi(candles: DataFrame, n: Int = 14): DataFrame = {
+    val bySym = Window.partitionBy(col("symbol")).orderBy(col("window_start"))
+    val trailing = bySym.rowsBetween(-(n - 1), 0)
+    val change = col("close") - lag(col("close"), 1).over(bySym)
+    val gain = when(change > 0, change).otherwise(lit(0.0))
+    val loss = when(change < 0, -change).otherwise(lit(0.0))
+    val sumGain = sum(gain.cast("decimal(18,6)")).over(trailing).cast("double")
+    val sumLoss = sum(loss.cast("decimal(18,6)")).over(trailing).cast("double")
+    candles
+      .withColumn("rsi",
+        when(sumLoss.isNull || sumGain.isNull, lit(null).cast("double"))
+          .when(sumLoss === 0.0, lit(100.0))
+          .otherwise(lit(100.0) - lit(100.0) / (lit(1.0) + sumGain / sumLoss)))
+  }
+
+  /** Exponential moving average of close per symbol —
+    * EMA_t = α·close_t + (1−α)·EMA_{t−1}, α = 2/(span+1).
+    *
+    * Inherently sequential per symbol, so this is the one operator
+    * using the per-partition imperative pattern: repartition by
+    * symbol, sort within partitions by time, single forward scan.
+    * Scales with symbol cardinality (each symbol's series streams
+    * through one task; no driver collect).
+    */
+  def ema(candles: DataFrame, span: Int = 12): DataFrame = {
+    val spark = candles.sparkSession
+    val alpha = 2.0 / (span + 1)
+    val cols = candles.columns
+    val closeIdx = cols.indexOf("close")
+    val symIdx = cols.indexOf("symbol")
+    require(closeIdx >= 0 && symIdx >= 0, "needs symbol + close columns")
+    val out = candles
+      .repartition(col("symbol"))
+      .sortWithinPartitions(col("symbol"), col("window_start"))
+      .rdd.mapPartitions { rows =>
+        var curSym: String = null
+        var state = 0.0
+        rows.map { r =>
+          val sym = r.getString(symIdx)
+          val close = r.getDouble(closeIdx)
+          state = if (sym != curSym) close
+                  else alpha * close + (1 - alpha) * state
+          curSym = sym
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ state)
+        }
+      }
+    spark.createDataFrame(out,
+      candles.schema.add("ema", org.apache.spark.sql.types.DoubleType))
+  }
+
   /** Sessionization with an inactivity gap: the scalable batch analog
     * of stateful stream sessionization (lag + cumulative sum of
     * session-break flags; one shuffle on the session key).
