@@ -204,6 +204,28 @@ object SparkEntry {
           col("close"), col("prev_close"), col("change"), col("ma_close"))
         .orderBy(col("symbol"), col("window_start"))
     }),
+    "q_candle_5min" -> ((s, dir) =>
+      candleOut(Candles.rollupInterval(
+        Candles.minuteCandles(Candles.transactions(s, dir)), 300))),
+    "q_candle_gapfill" -> ((s, dir) =>
+      Candles.gapFill(
+        Candles.rollup(Candles.minuteCandles(Candles.transactions(s, dir)),
+          CandleTimeFrame.Hour), 3600)
+        .select(col("symbol"), fmtTs(col("window_start")).as("window_start"),
+          col("close_filled"), col("is_gap"), col("volume"))
+        .orderBy(col("symbol"), col("window_start"))),
+    "q_movers" -> ((s, dir) =>
+      MarketAnalytics.topMovers(
+        Candles.rollup(Candles.minuteCandles(Candles.transactions(s, dir)),
+          CandleTimeFrame.Day), k = 2)
+        .select(fmtTs(col("window_start")).as("day"), col("symbol"),
+          col("direction"), col("return"))
+        .orderBy(col("day"), col("direction"), col("symbol"))),
+    "q_correlation" -> ((s, dir) =>
+      MarketAnalytics.returnCorrelation(
+        Candles.rollup(Candles.minuteCandles(Candles.transactions(s, dir)),
+          CandleTimeFrame.Day))
+        .orderBy(col("sym_a"), col("sym_b"))),
     "q_bollinger" -> ((s, dir) =>
       MarketAnalytics.bollinger(
         Candles.rollup(Candles.minuteCandles(Candles.transactions(s, dir)),
@@ -512,6 +534,83 @@ object SparkEntry {
         |FROM roll_c
         |WINDOW w AS (PARTITION BY symbol ORDER BY ws)
         |ORDER BY symbol, window_start""".stripMargin),
+    "q_candle_5min" -> (txnCte + minuteCte +
+      """, five AS (
+        |  SELECT symbol,
+        |    make_timestamp((epoch_us(ws) // 1000000) // 300 * 300 * 1000000) AS ws5,
+        |    arg_min(open, ws) AS open, max(high) AS high,
+        |    min(low) AS low, arg_max(close, ws) AS close,
+        |    CAST(sum(volume) AS BIGINT) AS volume,
+        |    CAST(sum(n_txn) AS BIGINT) AS n_txn
+        |  FROM minute_c GROUP BY 1, 2
+        |)
+        |SELECT symbol, '300s' AS timeframe,
+        |  strftime(ws5, '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  strftime(ws5 + INTERVAL 300 SECOND, '%Y-%m-%d %H:%M:%S') AS window_end,
+        |  open, high, low, close, volume, n_txn
+        |FROM five ORDER BY timeframe, symbol, window_start""".stripMargin),
+    "q_candle_gapfill" -> (txnCte + minuteCte + rollupCte("hour") +
+      """, bounds AS (
+        |  SELECT symbol, min(ws) AS lo, max(ws) AS hi FROM roll_c GROUP BY 1
+        |), slots AS (
+        |  SELECT symbol, unnest(generate_series(lo, hi, INTERVAL 1 hour)) AS ws
+        |  FROM bounds
+        |), filled AS (
+        |  SELECT s.symbol, s.ws, c.close, c.volume
+        |  FROM slots s LEFT JOIN roll_c c ON s.symbol = c.symbol AND s.ws = c.ws
+        |)
+        |SELECT symbol, strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  last_value(close IGNORE NULLS) OVER (PARTITION BY symbol ORDER BY ws
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close_filled,
+        |  close IS NULL AS is_gap,
+        |  CAST(coalesce(volume, 0) AS BIGINT) AS volume
+        |FROM filled ORDER BY symbol, window_start""".stripMargin),
+    "q_movers" -> (txnCte + minuteCte + rollupCte("day") +
+      """, r AS (
+        |  SELECT symbol, ws, close,
+        |    lag(close, 1) OVER (PARTITION BY symbol ORDER BY ws) AS prev_close
+        |  FROM roll_c
+        |), ret AS (
+        |  SELECT symbol, ws, close / prev_close - 1.0 AS ret
+        |  FROM r WHERE prev_close IS NOT NULL AND prev_close <> 0.0
+        |), ranked AS (
+        |  SELECT symbol, ws, ret,
+        |    row_number() OVER (PARTITION BY ws ORDER BY ret DESC, symbol) AS gain_rank,
+        |    row_number() OVER (PARTITION BY ws ORDER BY ret ASC, symbol) AS loss_rank
+        |  FROM ret
+        |)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS day, symbol,
+        |  CASE WHEN gain_rank <= 2 THEN 'gainer' ELSE 'loser' END AS direction,
+        |  ret AS "return"
+        |FROM ranked WHERE gain_rank <= 2 OR loss_rank <= 2
+        |ORDER BY day, direction, symbol""".stripMargin),
+    "q_correlation" -> (txnCte + minuteCte + rollupCte("day") +
+      """, r AS (
+        |  SELECT symbol, ws, close,
+        |    lag(close, 1) OVER (PARTITION BY symbol ORDER BY ws) AS prev_close
+        |  FROM roll_c
+        |), ret AS (
+        |  SELECT symbol, ws,
+        |    CAST(close / prev_close - 1.0 AS DECIMAL(18,6)) AS ret
+        |  FROM r WHERE prev_close IS NOT NULL AND prev_close <> 0.0
+        |), pairs AS (
+        |  SELECT a.symbol AS sym_a, b.symbol AS sym_b,
+        |    CAST(a.ret AS DECIMAL(28,6)) AS ra, CAST(b.ret AS DECIMAL(28,6)) AS rb
+        |  FROM ret a JOIN ret b ON a.ws = b.ws AND a.symbol < b.symbol
+        |), agg AS (
+        |  SELECT sym_a, sym_b, count(*) AS n,
+        |    CAST(sum(ra) AS DOUBLE) AS sx, CAST(sum(rb) AS DOUBLE) AS sy,
+        |    CAST(CAST(round(sum(ra * rb), 6) AS DECIMAL(38,6)) AS DOUBLE) AS sxy,
+        |    CAST(CAST(round(sum(ra * ra), 6) AS DECIMAL(38,6)) AS DOUBLE) AS sxx,
+        |    CAST(CAST(round(sum(rb * rb), 6) AS DECIMAL(38,6)) AS DOUBLE) AS syy
+        |  FROM pairs GROUP BY 1, 2
+        |)
+        |SELECT sym_a, sym_b, n,
+        |  CASE WHEN sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy) <> 0.0
+        |       THEN (n * sxy - sx * sy) /
+        |            (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+        |       END AS corr
+        |FROM agg ORDER BY sym_a, sym_b""".stripMargin),
     "q_bollinger" -> (txnCte + minuteCte + rollupCte("day") + "\n" +
       """, b AS (
         |  SELECT symbol, ws, close,

@@ -95,6 +95,51 @@ object Candles {
       .foldLeft(minute)(_ unionByName _)
   }
 
+  /** Roll candles up to an arbitrary fixed interval (e.g. 300s = the
+    * 5-minute candles every chart UI offers beyond the reference's four
+    * calendar frames). Same cascade semantics as rollup().
+    */
+  def rollupInterval(candles: DataFrame, seconds: Long): DataFrame =
+    candles
+      .withColumn("parent_start",
+        timestamp_seconds(expr(s"unix_timestamp(window_start) div $seconds") * seconds))
+      .groupBy(col("symbol"), col("parent_start"))
+      .agg(
+        min_by(col("open"), col("window_start")).as("open"),
+        max(col("high")).as("high"),
+        min(col("low")).as("low"),
+        max_by(col("close"), col("window_start")).as("close"),
+        sum(col("volume")).cast("long").as("volume"),
+        sum(col("n_txn")).as("n_txn"))
+      .withColumnRenamed("parent_start", "window_start")
+      .withColumn("timeframe", lit(s"${seconds}s"))
+      .withColumn("window_end", col("window_start") + expr(s"INTERVAL $seconds SECOND"))
+      .select(candleColumns: _*)
+
+  /** Gap-fill a candle series: emit one row per interval slot between
+    * each symbol's first and last candle, carrying the last close
+    * forward into empty slots (volume 0) — charts need a continuous
+    * series. Slot generation is per-symbol sequence+explode (no
+    * driver-side loops); the carry-forward is last-ignore-nulls over a
+    * time-ordered window.
+    */
+  def gapFill(candles: DataFrame, seconds: Long): DataFrame = {
+    val slots = candles
+      .groupBy(col("symbol"))
+      .agg(min(col("window_start")).as("lo"), max(col("window_start")).as("hi"))
+      .select(col("symbol"), explode(
+        sequence(col("lo"), col("hi"), expr(s"INTERVAL $seconds SECOND")))
+        .as("window_start"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("symbol")).orderBy(col("window_start"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    slots
+      .join(candles, Seq("symbol", "window_start"), "left")
+      .withColumn("close_filled", last(col("close"), ignoreNulls = true).over(w))
+      .withColumn("is_gap", col("close").isNull)
+      .withColumn("volume", coalesce(col("volume"), lit(0L)))
+  }
+
   /** Exclusive end of the calendar window that starts at `start`. */
   def windowEnd(tf: String, start: Column): Column = tf match {
     case CandleTimeFrame.Minute => start + expr("INTERVAL 1 MINUTE")

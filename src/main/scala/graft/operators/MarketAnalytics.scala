@@ -42,6 +42,64 @@ object MarketAnalytics {
       .withColumn("ma_close", avg(col("close")).over(trailing))
   }
 
+  /** Daily top movers: rank symbols by close-over-previous-close return
+    * within each day, keep the `k` best and worst. Window over the
+    * candle series + per-day rank — two shuffles total.
+    */
+  def topMovers(dayCandles: DataFrame, k: Int): DataFrame = {
+    val bySym = Window.partitionBy(col("symbol")).orderBy(col("window_start"))
+    val returns = dayCandles
+      .withColumn("prev_close", lag(col("close"), 1).over(bySym))
+      .filter(col("prev_close").isNotNull && col("prev_close") =!= 0.0)
+      .withColumn("return", col("close") / col("prev_close") - 1.0)
+    val up = Window.partitionBy(col("window_start"))
+      .orderBy(col("return").desc, col("symbol"))
+    val down = Window.partitionBy(col("window_start"))
+      .orderBy(col("return").asc, col("symbol"))
+    returns
+      .withColumn("gain_rank", row_number().over(up))
+      .withColumn("loss_rank", row_number().over(down))
+      .filter(col("gain_rank") <= k || col("loss_rank") <= k)
+      .withColumn("direction", when(col("gain_rank") <= k, "gainer").otherwise("loser"))
+  }
+
+  /** Pairwise Pearson correlation of daily returns between symbols.
+    * Computed from decimal-exact Σx, Σy, Σxy, Σx², Σy² per pair, so
+    * the correlations are bit-reproducible. Pairs come from a
+    * date-join (s1 < s2); with S symbols this is S²/2 small pairs —
+    * at scale the join is on the (tiny) per-day return table, not raw
+    * trades.
+    */
+  def returnCorrelation(dayCandles: DataFrame): DataFrame = {
+    val bySym = Window.partitionBy(col("symbol")).orderBy(col("window_start"))
+    val r = dayCandles
+      .withColumn("prev_close", lag(col("close"), 1).over(bySym))
+      .filter(col("prev_close").isNotNull && col("prev_close") =!= 0.0)
+      .select(col("symbol"), col("window_start"),
+        (col("close") / col("prev_close") - 1.0).cast("decimal(18,6)").as("ret"))
+    val a = r.select(col("symbol").as("sym_a"), col("window_start"), col("ret").as("ra"))
+    val b = r.select(col("symbol").as("sym_b"), col("window_start"), col("ret").as("rb"))
+    val joined = a.join(b, "window_start").filter(col("sym_a") < col("sym_b"))
+    joined.groupBy(col("sym_a"), col("sym_b"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("ra")).cast("double").as("sx"),
+        sum(col("rb")).cast("double").as("sy"),
+        // product sums are rounded to 6dp (exact decimal) before the
+        // double cast so the doubles are bit-identical cross-engine
+        // even when the scale-12 integer form exceeds 2^53
+        sum(col("ra") * col("rb")).cast("decimal(38,6)").cast("double").as("sxy"),
+        sum(col("ra") * col("ra")).cast("decimal(38,6)").cast("double").as("sxx"),
+        sum(col("rb") * col("rb")).cast("decimal(38,6)").cast("double").as("syy"))
+      .withColumn("corr_num", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("corr_den",
+        sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+          sqrt(col("n") * col("syy") - col("sy") * col("sy")))
+      .withColumn("corr",
+        when(col("corr_den") =!= 0.0, col("corr_num") / col("corr_den")))
+      .select(col("sym_a"), col("sym_b"), col("n"), col("corr"))
+  }
+
   /** Bollinger bands over the candle series: trailing `n`-candle moving
     * average ± `k`·sample-stddev. Variance is computed from EXACT
     * decimal Σx and Σx² (close prices are 2dp ⇒ squares are exact at
