@@ -351,6 +351,32 @@ object SparkEntry {
           coalesce(col("signup"), lit(0L)).as("signup"),
           coalesce(col("view"), lit(0L)).as("view"))
         .orderBy(col("day"))),
+    "q_window_funcs" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") <= 1000)
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("next_price", lead(col("l_extendedprice"), 1).over(w))
+        .withColumn("min_price",
+          first(col("l_extendedprice")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"), col("quartile"), col("next_price"), col("min_price"))
+        .orderBy(col("l_returnflag"), col("l_extendedprice"),
+          col("l_orderkey"), col("l_linenumber"))
+    }),
+    "q_setops" -> ((s, dir) => {
+      def buyers(y: Int) = Tables.orders(s, dir)
+        .filter(year(col("o_orderdate")) === y)
+        .select(col("o_custkey"))
+      val both = buyers(1996).intersect(buyers(1997))
+      val only96 = buyers(1996).except(buyers(1997))
+      both.withColumn("cohort", lit("both"))
+        .unionByName(only96.withColumn("cohort", lit("only_1996")))
+        .orderBy(col("cohort"), col("o_custkey"))
+    }),
     "q_percentile" -> ((s, dir) =>
       graft.operators.Percentiles.exact(
         Tables.lineitem(s, dir), Seq("l_returnflag"), "l_extendedprice",
@@ -733,6 +759,26 @@ object SparkEntry {
         |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
         |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view
         |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    "q_window_funcs" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+        |  ntile(4) OVER w AS quartile,
+        |  lead(l_extendedprice, 1) OVER w AS next_price,
+        |  first_value(l_extendedprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND CURRENT ROW) AS min_price
+        |FROM lineitem WHERE l_orderkey <= 1000
+        |WINDOW w AS (PARTITION BY l_returnflag
+        |             ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+        |ORDER BY l_returnflag, l_extendedprice, l_orderkey, l_linenumber""".stripMargin,
+    "q_setops" ->
+      """WITH b96 AS (
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        |), b97 AS (
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+        |)
+        |SELECT o_custkey, 'both' AS cohort FROM (SELECT o_custkey FROM b96 INTERSECT SELECT o_custkey FROM b97)
+        |UNION ALL
+        |SELECT o_custkey, 'only_1996' AS cohort FROM (SELECT o_custkey FROM b96 EXCEPT SELECT o_custkey FROM b97)
+        |ORDER BY cohort, o_custkey""".stripMargin,
     "q_percentile" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
