@@ -204,6 +204,21 @@ object SparkEntry {
           col("close"), col("prev_close"), col("change"), col("ma_close"))
         .orderBy(col("symbol"), col("window_start"))
     }),
+    "q_asof_join" -> ((s, dir) => {
+      // each trade gets the close of the last COMPLETED hour candle
+      // (window_end ≤ trade ts) — "price context at event time"
+      val txns = Tables.events(s, dir).select(
+        col("event_id"), col("event_type").as("symbol"),
+        col("value").as("price"), col("ts"))
+      val hourly = Candles.rollup(
+        Candles.minuteCandles(Candles.transactions(s, dir)), CandleTimeFrame.Hour)
+        .select(col("symbol"), col("window_end").as("ts"),
+          col("close").as("prev_hour_close"))
+      graft.operators.AsOfJoin.asofBackward(txns, hourly, Seq("symbol"), "ts")
+        .select(col("event_id"), col("symbol"), fmtTs(col("ts")).as("ts"),
+          col("price"), col("asof_prev_hour_close"))
+        .orderBy(col("event_id"))
+    }),
     "q_candle_5min" -> ((s, dir) =>
       candleOut(Candles.rollupInterval(
         Candles.minuteCandles(Candles.transactions(s, dir)), 300))),
@@ -560,6 +575,19 @@ object SparkEntry {
         |FROM roll_c
         |WINDOW w AS (PARTITION BY symbol ORDER BY ws)
         |ORDER BY symbol, window_start""".stripMargin),
+    "q_asof_join" -> (txnCte.replace(
+      "SELECT event_type AS symbol",
+      "SELECT event_id, event_type AS symbol") + minuteCte + rollupCte("hour") +
+      """, hourly AS (
+        |  SELECT symbol, ws + INTERVAL 1 hour AS hts, close AS prev_hour_close
+        |  FROM roll_c
+        |)
+        |SELECT e.event_id, e.symbol,
+        |  strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts, e.price,
+        |  h.prev_hour_close AS asof_prev_hour_close
+        |FROM txn e ASOF LEFT JOIN hourly h
+        |  ON e.symbol = h.symbol AND e.ts >= h.hts
+        |ORDER BY event_id""".stripMargin),
     "q_candle_5min" -> (txnCte + minuteCte +
       """, five AS (
         |  SELECT symbol,
