@@ -204,6 +204,22 @@ object SparkEntry {
           col("close"), col("prev_close"), col("change"), col("ma_close"))
         .orderBy(col("symbol"), col("window_start"))
     }),
+    "q_range_join" -> ((s, dir) => {
+      // events range-joined into day-candle windows; the per-window
+      // count must reproduce the candle's own n_txn — a self-checking
+      // operator (plus the DuckDB BETWEEN-join oracle)
+      val txns = Candles.transactions(s, dir)
+      val day = Candles.rollup(Candles.minuteCandles(txns), CandleTimeFrame.Day)
+        .select(col("symbol"), col("window_start"), col("window_end"), col("n_txn"))
+      graft.operators.RangeJoin
+        .intervalJoin(txns, "ts", day, "window_start", "window_end",
+          Seq("symbol"), grainSeconds = 86400)
+        .groupBy(col("symbol"), col("window_start"), col("n_txn"))
+        .agg(count(lit(1)).as("n_matched"))
+        .select(col("symbol"), fmtTs(col("window_start")).as("window_start"),
+          col("n_txn"), col("n_matched"))
+        .orderBy(col("symbol"), col("window_start"))
+    }),
     "q_asof_join" -> ((s, dir) => {
       // each trade gets the close of the last COMPLETED hour candle
       // (window_end ≤ trade ts) — "price context at event time"
@@ -575,6 +591,16 @@ object SparkEntry {
         |FROM roll_c
         |WINDOW w AS (PARTITION BY symbol ORDER BY ws)
         |ORDER BY symbol, window_start""".stripMargin),
+    "q_range_join" -> (txnCte + minuteCte + rollupCte("day") +
+      """
+        |SELECT c.symbol,
+        |  strftime(c.ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  c.n_txn, count(*) AS n_matched
+        |FROM roll_c c JOIN txn e
+        |  ON e.symbol = c.symbol
+        |  AND e.ts >= c.ws AND e.ts < c.ws + INTERVAL 1 day
+        |GROUP BY c.symbol, c.ws, c.n_txn
+        |ORDER BY c.symbol, window_start""".stripMargin),
     "q_asof_join" -> (txnCte.replace(
       "SELECT event_type AS symbol",
       "SELECT event_id, event_type AS symbol") + minuteCte + rollupCte("hour") +
