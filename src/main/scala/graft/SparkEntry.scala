@@ -437,6 +437,14 @@ object SparkEntry {
       TextAnalysis.stats(Tables.documents(s, dir))
         .select(col("doc_id"), col("lang_pred"))
         .orderBy(col("doc_id"))),
+    "q_split" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          graft.operators.Corpus.splitLabel(col("doc_id"), 0.8).as("cohort"))
+        .orderBy(col("doc_id"))),
+    "q_chunk" -> ((s, dir) =>
+      graft.operators.Corpus.chunk(Tables.documents(s, dir), chunkSize = 32, overlap = 8)
+        .orderBy(col("doc_id"), col("chunk_id"))),
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(Tables.documents(s, dir))
         .orderBy(col("content_hash"))),
@@ -910,6 +918,30 @@ object SparkEntry {
         |       WHEN fr = greatest(en, es, de, fr, zh) THEN 'fr'
         |       ELSE 'zh' END AS lang_pred
         |FROM sc ORDER BY doc_id""".stripMargin,
+    "q_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'cccd' THEN 'train'
+        |       ELSE 'eval' END AS cohort
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_chunk" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                x -> len(x) > 0) AS toks
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(0,
+        |      CAST(floor((greatest(len(toks), 1) - 1) / 24.0) AS INTEGER)),
+        |      i -> struct_pack(chunk_id := i,
+        |                       chunk := list_slice(toks, i * 24 + 1, i * 24 + 32))),
+        |      recursive := true)
+        |  FROM t WHERE len(toks) > 0
+        |)
+        |SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+        |  array_to_string(chunk, ' ') AS chunk_text,
+        |  CAST(len(chunk) AS INTEGER) AS n_chunk_tokens
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash,
         |  min(doc_id) AS keep_doc_id, count(*) AS n_copies

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators for training-data pipelines:
+  * deterministic splits and token-window chunking. Pure projections —
+  * scan-speed at any scale, no shuffle.
+  */
+object Corpus {
+
+  /** Deterministic sampling/split assignment by hashing a stable id:
+    * a row is in the sample iff the md5 hex of its id is below the
+    * fraction threshold. Unlike rand(seed) sampling this is stable
+    * under repartitioning, retries, and engine changes (md5 is
+    * engine-portable), which is what makes train/eval splits
+    * reproducible across pipeline runs.
+    */
+  def hashBucket(idCol: Column): Column = md5(idCol.cast("string"))
+
+  /** Hex threshold for a fraction in [0,1] with 4-hex-digit (1/65536)
+    * resolution.
+    */
+  def fractionThreshold(fraction: Double): String = {
+    require(fraction >= 0 && fraction <= 1)
+    f"${math.round(fraction * 65536).min(65535)}%04x"
+  }
+
+  def deterministicSample(df: DataFrame, idCol: String, fraction: Double): DataFrame =
+    df.filter(hashBucket(col(idCol)) < lit(fractionThreshold(fraction)))
+
+  /** Train/eval split label from the same hash. */
+  def splitLabel(idCol: Column, trainFraction: Double): Column =
+    when(hashBucket(idCol) < lit(fractionThreshold(trainFraction)), "train")
+      .otherwise("eval")
+
+  /** Token-window chunking with overlap — the standard RAG/pretraining
+    * chunker: whitespace tokens, windows of `size` tokens advancing by
+    * `size - overlap`, last window may be short. Emits
+    * (doc_id, chunk_id, chunk_text, n_chunk_tokens).
+    */
+  def chunk(docs: DataFrame, chunkSize: Int, overlap: Int,
+            textCol: String = "text"): DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize)
+    val stride = chunkSize - overlap
+    val toks = col("__toks")
+    val nChunksM1 = floor((greatest(size(toks), lit(1)) - 1) / stride).cast("int")
+    docs
+      .select(col("doc_id"), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .filter(size(toks) > 0)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), nChunksM1),
+          i => slice(toks, i * stride + 1, lit(chunkSize)))))
+      .withColumnsRenamed(Map("pos" -> "chunk_id", "col" -> "__chunk"))
+      .select(col("doc_id"), col("chunk_id"),
+        array_join(col("__chunk"), " ").as("chunk_text"),
+        size(col("__chunk")).as("n_chunk_tokens"))
+  }
+}
