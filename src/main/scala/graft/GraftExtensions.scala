@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{CosineSimF, MinHashSignature, PolyFingerprint64, SimHash64}
+import org.apache.spark.sql.graft.{CosineSimF, HyperplaneSig, MinHashBandHashes, MinHashSignature, PolyFingerprint64, ShingleHashes, SimHash64}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * functions at session build time —
@@ -38,5 +38,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("minhash_signature"),
       info("minhash_signature", "_FUNC_(array<long>) - 64-permutation MinHash signature"),
       (es: Seq[Expression]) => MinHashSignature(es.head, 64)))
+    ext.injectFunction((
+      FunctionIdentifier("shingle_hashes"),
+      info("shingle_hashes", "_FUNC_(array<long>) - distinct rolling 3-gram shingle hashes"),
+      (es: Seq[Expression]) => ShingleHashes(es.head, 3)))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_band_hashes"),
+      info("minhash_band_hashes", "_FUNC_(array<long>) - 16 LSH band hashes of a 64-perm MinHash"),
+      (es: Seq[Expression]) => MinHashBandHashes(es.head, 64, 16)))
+    ext.injectFunction((
+      FunctionIdentifier("hyperplane_sig"),
+      info("hyperplane_sig", "_FUNC_(array<float>) - 16-bit random-hyperplane LSH signature"),
+      (es: Seq[Expression]) => HyperplaneSig(es.head, 16)))
   }
 }
