@@ -278,6 +278,20 @@ object SparkEntry {
         .select(col("symbol"), fmtTs(col("window_start")).as("window_start"),
           col("close"), col("ema"))
         .orderBy(col("symbol"), col("window_start"))),
+    "q_session_window" -> ((s, dir) =>
+      // the built-in gap-based session_window (works batch AND
+      // streaming) — same sessions as MarketAnalytics.sessionize, with
+      // window end = last event + gap
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,4)")).cast("decimal(38,2)")
+            .cast("double").as("total_value"))
+        .select(col("user_id"),
+          fmtTs(col("w.start")).as("session_start"),
+          fmtTs(col("w.end")).as("session_end"),
+          col("n_events"), col("total_value"))
+        .orderBy(col("user_id"), col("session_start"))),
     "q_sessionize" -> ((s, dir) =>
       MarketAnalytics.sessionStats(
         Tables.events(s, dir).select(col("user_id"), col("ts"), col("value")),
@@ -740,6 +754,29 @@ object SparkEntry {
         |FROM g ORDER BY symbol, window_start""".stripMargin),
     // q_ema: sequential per-symbol recurrence — no windowed-SQL oracle;
     // EmaSpec checks against an in-memory reference implementation.
+    "q_session_window" ->
+      """WITH ev AS (
+        |  SELECT user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts, value
+        |  FROM events
+        |), flagged AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL THEN 1
+        |         WHEN ts >= lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1
+        |         ELSE 0 END AS is_new
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), sess AS (
+        |  SELECT user_id, ts, value,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+        |  FROM flagged
+        |)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+        |  count(*) AS n_events,
+        |  CAST(CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DECIMAL(38,2)) AS DOUBLE) AS total_value
+        |FROM sess GROUP BY user_id, seq
+        |ORDER BY user_id, session_start""".stripMargin,
     "q_sessionize" ->
       """WITH ev AS (
         |  SELECT user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts, value
