@@ -104,6 +104,58 @@ object CandleStream {
       .partitionBy("timeframe", "symbol")
       .outputMode("append")
 
+  /** Upsert sink — the reference's Redis behavior (saveToRedis
+    * overwrites the window's key on every update,
+    * CandlestickAggregator.kt:270-277): candles stream in UPDATE mode
+    * (each batch emits the windows that changed) and foreachBatch
+    * rewrites exactly the affected (timeframe, symbol, window date)
+    * partitions via dynamic partition overwrite — the store always
+    * holds the latest version of every candle, without rewriting
+    * history. Requires no watermark wait: current windows are visible
+    * immediately and refined in place.
+    */
+  def upsertToStore(candles: DataFrame, path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    candles.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (rawBatch: DataFrame, _: Long) =>
+        val spark = rawBatch.sparkSession
+        val batch = rawBatch.withColumn("window_date", to_date(col("window_start")))
+        val partCols = Seq("timeframe", "symbol", "window_date")
+        val keyCols = Seq("timeframe", "symbol", "window_start")
+        // merge-on-write: rewritten partitions must carry their
+        // unchanged rows too, so read them back (partition-pruned via
+        // the semi-join on the tiny affected-partition key set), drop
+        // rows superseded by this batch, and union the new versions
+        val storeHasData = Option(new java.io.File(path).list())
+          .exists(_.exists(_.startsWith("timeframe=")))
+        val merged = if (!storeHasData) batch else {
+          val affected = batch.select(partCols.map(col): _*).distinct()
+          val existing = spark.read.parquet(path)
+            .join(broadcast(affected), partCols, "left_semi")
+            .join(broadcast(batch.select(keyCols.map(col): _*)), keyCols, "left_anti")
+          existing.unionByName(batch)
+        }
+        // materialize before writing: the write target is also the
+        // read source, which Spark (rightly) refuses without a barrier
+        merged.persist()
+        merged.count()
+        val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try merged.write.mode("overwrite")
+          .partitionBy(partCols: _*)
+          .parquet(path)
+        finally {
+          prev match {
+            case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+            case None => spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+          }
+          merged.unpersist()
+        }
+      }
+      .start()
+
   /** Run a streaming candle pipeline over a bounded source to
     * completion and return the full result — used by verify/tests to
     * prove stream==batch. Complete mode keeps every window (no
