@@ -51,6 +51,34 @@ object CandleStore {
             dateKey: String): DataFrame =
     CandleQueries.pointLookup(read(spark, path), symbol, tf, dateKey)
 
+  /** Compact a store in place: streaming/incremental appends leave
+    * many small files per partition; rewrite each (timeframe, symbol)
+    * partition as ts-sorted files of reasonable size. Routine
+    * operational maintenance for any long-lived partitioned table —
+    * at 100 TB run it per-partition behind a manifest, not whole-table.
+    */
+  def compact(spark: SparkSession, path: String,
+              maxRecordsPerFile: Long = 5000000L): Unit = {
+    val tmp = path.stripSuffix("/") + ".compact.tmp"
+    read(spark, path)
+      .repartition(col("timeframe"), col("symbol"))
+      .sortWithinPartitions(col("window_start"))
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("timeframe", "symbol")
+      .parquet(tmp)
+    // atomic-ish swap (local/HDFS rename); object stores would use a
+    // manifest commit instead
+    val dst = new java.io.File(path)
+    val bak = new java.io.File(path + ".old")
+    require(dst.renameTo(bak), s"could not move $path aside")
+    require(new java.io.File(tmp).renameTo(dst), s"could not promote $tmp")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(bak)
+  }
+
   /** All stored (timeframe, symbol) combos — the analog of the
     * reference's Redis `keys candle:*` scans
     * (CandleStickService.kt:181-196), answered from partition

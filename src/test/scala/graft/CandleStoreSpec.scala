@@ -35,6 +35,23 @@ class CandleStoreSpec extends SparkSpec {
     assert(keys.count() === 20) // 4 timeframes × 5 symbols
   }
 
+  test("compact rewrites partitions to few sorted files, preserving content") {
+    val dir = Files.createTempDirectory("compactstore").toString
+    val candles = Candles.multiTimeframe(TransactionSimulator.batch(spark, 200))
+    // simulate fragmented appends
+    CandleStore.write(candles.filter($"timeframe" === "MINUTE"), dir)
+    candles.filter($"timeframe" =!= "MINUTE")
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("timeframe", "symbol").parquet(dir)
+    val before = CandleStore.read(spark, dir).orderBy("timeframe", "symbol", "window_start").collect()
+    CandleStore.compact(spark, dir)
+    val after = CandleStore.read(spark, dir).orderBy("timeframe", "symbol", "window_start").collect()
+    assert(after === before)
+    val filesPerPartition = new java.io.File(s"$dir/timeframe=MINUTE/symbol=AAPL")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(filesPerPartition === 1, s"expected 1 compacted file, got $filesPerPartition")
+  }
+
   test("sessionize splits on the inactivity gap") {
     val ev = Seq(
       (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1.0),
