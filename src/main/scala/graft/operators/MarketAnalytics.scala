@@ -180,6 +180,50 @@ object MarketAnalytics {
       candles.schema.add("ema", org.apache.spark.sql.types.DoubleType))
   }
 
+  /** Wilder's smoothed RSI — the classic recursive variant
+    * (avg = (prev·(n−1) + current)/n after an n-period simple seed).
+    * Sequential per symbol like `ema`; same partition-scan pattern.
+    */
+  def wilderRsi(candles: DataFrame, n: Int = 14): DataFrame = {
+    val spark = candles.sparkSession
+    val cols = candles.columns
+    val closeIdx = cols.indexOf("close")
+    val symIdx = cols.indexOf("symbol")
+    require(closeIdx >= 0 && symIdx >= 0, "needs symbol + close columns")
+    val out = candles
+      .repartition(col("symbol"))
+      .sortWithinPartitions(col("symbol"), col("window_start"))
+      .rdd.mapPartitions { rows =>
+        var curSym: String = null
+        var prevClose = 0.0
+        var count = 0
+        var gSum = 0.0; var lSum = 0.0    // seed accumulation
+        var avgG = 0.0; var avgL = 0.0
+        rows.map { r =>
+          val sym = r.getString(symIdx)
+          val close = r.getDouble(closeIdx)
+          if (sym != curSym) { curSym = sym; prevClose = close; count = 0
+            gSum = 0.0; lSum = 0.0; avgG = 0.0; avgL = 0.0 }
+          else {
+            val ch = close - prevClose
+            prevClose = close
+            val g = math.max(ch, 0.0); val l = math.max(-ch, 0.0)
+            count += 1
+            if (count <= n) { gSum += g; lSum += l
+              if (count == n) { avgG = gSum / n; avgL = lSum / n } }
+            else { avgG = (avgG * (n - 1) + g) / n; avgL = (avgL * (n - 1) + l) / n }
+          }
+          val rsi: java.lang.Double =
+            if (count < n) null
+            else if (avgL == 0.0) 100.0
+            else 100.0 - 100.0 / (1.0 + avgG / avgL)
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ rsi)
+        }
+      }
+    spark.createDataFrame(out,
+      candles.schema.add("rsi_wilder", org.apache.spark.sql.types.DoubleType))
+  }
+
   /** Sessionization with an inactivity gap: the scalable batch analog
     * of stateful stream sessionization (lag + cumulative sum of
     * session-break flags; one shuffle on the session key).

@@ -49,14 +49,24 @@ object Similarity {
     * bucket granularity (recall ↔ speed).
     */
   def annLsh(vectors: DataFrame, queries: DataFrame, topK: Int,
-             nBits: Int = 8): DataFrame = {
+             nBits: Int = 8, probes: Int = 0): DataFrame = {
+    require(probes == 0 || probes == 1, "probes ∈ {0 (exact bucket), 1 (+hamming-1)}")
     val sigVectors = vectors.withColumn("bucket", hyperplaneSig(col("embedding"), nBits))
+    val qSig = hyperplaneSig(col("query_emb"), nBits)
+    // multi-probe: also search every bucket one bit-flip away from the
+    // query's — the standard recall knob (×(nBits+1) probes instead of
+    // ×2^nBits smaller buckets)
+    val probeBuckets =
+      if (probes == 0) array(qSig)
+      else array(qSig +: (0 until nBits).map(b => qSig.bitwiseXOR(lit(1L << b))): _*)
     val sigQueries = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("query_emb"))
-      .withColumn("bucket", hyperplaneSig(col("query_emb"), nBits))
+      .withColumn("bucket", explode(probeBuckets))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id"))
     sigVectors.join(broadcast(sigQueries), "bucket")
+      .select(col("query_id"), col("query_emb"), col("vec_id"), col("embedding"))
+      .dropDuplicates("query_id", "vec_id")
       .withColumn("sim", cosine_sim(col("embedding"), col("query_emb")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)

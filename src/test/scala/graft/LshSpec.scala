@@ -54,6 +54,20 @@ class LshSpec extends SparkSpec {
     }
   }
 
+  test("multi-probe annLsh recall >= single-probe recall") {
+    val queries = emb.filter($"vec_id" < 10)
+    val brute = Similarity.knnBrute(emb, queries, topK = 5)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(p: Int) = {
+      val ann = Similarity.annLsh(emb, queries, topK = 5, nBits = 4, probes = p)
+        .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (brute & ann).size.toDouble / brute.size
+    }
+    val r0 = recall(0); val r1 = recall(1)
+    assert(r1 >= r0, s"multi-probe recall $r1 < single $r0")
+    assert(r1 >= 0.5, s"multi-probe recall $r1 too low")
+  }
+
   test("annLsh achieves decent recall vs brute force") {
     val queries = emb.filter($"vec_id" < 10)
     val brute = Similarity.knnBrute(emb, queries, topK = 5)
