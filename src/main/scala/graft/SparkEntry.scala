@@ -396,6 +396,33 @@ object SparkEntry {
           coalesce(col("signup"), lit(0L)).as("signup"),
           coalesce(col("view"), lit(0L)).as("view"))
         .orderBy(col("day"))),
+    "q_corr_subquery" -> ((s, dir) => {
+      // correlated scalar subqueries through the engine's SQL surface:
+      // orders costing more than 2x their customer's average
+      // (avg expressed as decimal-exact sum/count, FP-order-proof)
+      Tables.orders(s, dir).createOrReplaceTempView("v_orders")
+      s.sql("""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM v_orders o
+        WHERE CAST(o_totalprice AS DECIMAL(18,4)) *
+              (SELECT COUNT(*) FROM v_orders o2 WHERE o2.o_custkey = o.o_custkey) >
+              2 * (SELECT SUM(CAST(o3.o_totalprice AS DECIMAL(18,4)))
+                   FROM v_orders o3 WHERE o3.o_custkey = o.o_custkey)
+        ORDER BY o_orderkey""")
+    }),
+    "q_having" -> ((s, dir) => {
+      // big-spender cohort: HAVING over a join aggregate
+      Tables.customer(s, dir).createOrReplaceTempView("v_customer")
+      Tables.orders(s, dir).createOrReplaceTempView("v_orders")
+      s.sql("""
+        SELECT c_custkey, c_mktsegment, COUNT(*) AS n_orders,
+               CAST(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+                    AS DECIMAL(38,2)) AS DOUBLE) AS total_spend
+        FROM v_customer JOIN v_orders ON c_custkey = o_custkey
+        GROUP BY c_custkey, c_mktsegment
+        HAVING MAX(o_totalprice) > 400000.0
+        ORDER BY c_custkey""")
+    }),
     "q_window_funcs" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("l_returnflag"))
@@ -858,6 +885,22 @@ object SparkEntry {
         |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
         |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view
         |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    "q_corr_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders o
+        |WHERE CAST(o_totalprice AS DECIMAL(18,4)) *
+        |      (SELECT COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey) >
+        |      2 * (SELECT SUM(CAST(o3.o_totalprice AS DECIMAL(18,4)))
+        |           FROM orders o3 WHERE o3.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_having" ->
+      """SELECT c_custkey, c_mktsegment, COUNT(*) AS n_orders,
+        |  CAST(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+        |       AS DECIMAL(38,2)) AS DOUBLE) AS total_spend
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_mktsegment
+        |HAVING MAX(o_totalprice) > 400000.0
+        |ORDER BY c_custkey""".stripMargin,
     "q_window_funcs" ->
       """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
         |  ntile(4) OVER w AS quartile,
