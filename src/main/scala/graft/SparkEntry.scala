@@ -356,6 +356,23 @@ object SparkEntry {
           col("p_retailprice"))
         .orderBy(col("p_brand"), col("rk"))
     }),
+    "q_histogram" -> ((s, dir) =>
+      // fixed-width price histogram (integer bucket arithmetic — exact)
+      Tables.lineitem(s, dir)
+        .select((floor(col("l_extendedprice") / 10000).cast("int") * 10000).as("bucket_lo"))
+        .groupBy(col("bucket_lo"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket_lo"))),
+    "q_cube" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,4)")).cast("decimal(38,2)")
+            .cast("double").as("total"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("total"))
+        .orderBy(col("status"), col("priority"))),
     "q_rollup" -> ((s, dir) =>
       Tables.lineitem(s, dir)
         .rollup(col("l_returnflag"), col("l_linestatus"))
@@ -859,6 +876,18 @@ object SparkEntry {
         |      ORDER BY p_retailprice DESC, p_partkey) AS rk
         |  FROM part
         |) WHERE rk <= 3 ORDER BY p_brand, rk""".stripMargin,
+    "q_histogram" ->
+      """SELECT CAST(floor(l_extendedprice / 10000) AS INTEGER) * 10000 AS bucket_lo,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY bucket_lo""".stripMargin,
+    "q_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n,
+        |  CAST(CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+        |       AS DECIMAL(38,2)) AS DOUBLE) AS total
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
     "q_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
         |  coalesce(l_linestatus, 'ALL') AS linestatus,
