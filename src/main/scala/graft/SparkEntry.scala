@@ -495,6 +495,24 @@ object SparkEntry {
       TextAnalysis.stats(Tables.documents(s, dir))
         .select(col("doc_id"), col("lang_pred"))
         .orderBy(col("doc_id"))),
+    "q_vocab" -> ((s, dir) =>
+      // corpus vocabulary stats: top tokens by frequency (explode +
+      // count, the canonical map-side-combined word count)
+      Tables.documents(s, dir)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(20)),
+    "q_approx_distinct" -> ((s, dir) =>
+      // HLL++ sketch counts: the constant-memory distinct estimator for
+      // 100-TB cardinalities; deterministic for fixed input, no DuckDB
+      // oracle (different sketch) — bounds vs exact are spec-checked
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+          approx_count_distinct(col("props"), 0.02).as("approx_props"))
+        .orderBy(col("event_type"))),
     "q_split" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"),
@@ -1027,6 +1045,12 @@ object SparkEntry {
         |       WHEN fr = greatest(en, es, de, fr, zh) THEN 'fr'
         |       ELSE 'zh' END AS lang_pred
         |FROM sc ORDER BY doc_id""".stripMargin,
+    "q_vocab" ->
+      """SELECT token, count(*) AS n FROM (
+        |  SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                x -> len(x) > 0)) AS token
+        |  FROM documents
+        |) GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
     "q_split" ->
       """SELECT doc_id,
         |  CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'cccd' THEN 'train'
