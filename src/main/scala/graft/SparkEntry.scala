@@ -142,6 +142,19 @@ object SparkEntry {
         Candles.rollup(Candles.minuteCandles(Candles.transactions(s, dir)),
           CandleTimeFrame.Day),
         "view", CandleTimeFrame.Day, "20240115"))),
+    "q_store_roundtrip" -> ((s, dir) => {
+      // the complete reference workflow under the correctness gate:
+      // aggregate → write the partitioned store (Redis analog) →
+      // partition-pruned range read back; must equal computing the
+      // range directly from raw events (the oracle does the latter)
+      import graft.operators.CandleStore
+      val store = java.nio.file.Files.createTempDirectory("q_store").toString
+      CandleStore.write(
+        Candles.multiTimeframe(Candles.transactions(s, dir)), store)
+      candleOut(CandleStore.range(s, store, "purchase", CandleTimeFrame.Hour,
+        "2024-01-10 00:00:00", "2024-01-20 00:00:00")
+        .select(Candles.candleColumns: _*))
+    }),
     "q_symbols" -> ((s, dir) =>
       CandleQueries.symbols(Candles.transactions(s, dir)).orderBy(col("symbol"))),
     "q_stream_candles" -> ((s, dir) => {
@@ -642,6 +655,15 @@ object SparkEntry {
         |ORDER BY timeframe, symbol, window_start""".stripMargin),
     "q_symbols" -> (txnCte + "\n" +
       "SELECT DISTINCT symbol FROM txn ORDER BY symbol"),
+    "q_store_roundtrip" -> (txnCte + minuteCte + rollupCte("hour") + "\n" +
+      """SELECT symbol, 'HOUR' AS timeframe,
+        |  strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  strftime(ws + INTERVAL 1 hour, '%Y-%m-%d %H:%M:%S') AS window_end,
+        |  open, high, low, close, volume, n_txn
+        |FROM roll_c
+        |WHERE symbol = 'purchase' AND ws >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ws < TIMESTAMP '2024-01-20 00:00:00'
+        |ORDER BY timeframe, symbol, window_start""".stripMargin),
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
