@@ -554,7 +554,7 @@ object SparkEntry {
         .select(col("doc_a"), col("doc_b"), col("jaccard_micro"))
         .orderBy(col("doc_a"), col("doc_b"))),
     "q_embed_neardup" -> ((s, dir) =>
-      Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), threshold = 0.45)
+      Similarity.blockedNearDupPairs(Tables.embeddings(s, dir), threshold = 0.45)
         .withColumn("sim_micro", floor(col("sim") * 1e6).cast("long"))
         .select(col("vec_a"), col("vec_b"), col("sim_micro"))
         .orderBy(col("vec_a"), col("vec_b"))),

@@ -82,13 +82,22 @@ object Similarity {
     */
   def ivfIndex(vectors: DataFrame, nCells: Int): DataFrame = {
     val centroids = broadcast(ivfCentroids(vectors, nCells))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cell_sim").desc, col("cell_id"))
+    // Argmax via partial-aggregatable max(struct(...)): the broadcast
+    // crossJoin leaves each vector's nCells candidate rows inside the
+    // map task that produced them, so the partial aggregate collapses
+    // them to ONE row per vec_id before any exchange — the shuffle
+    // moves n rows (one embedding each), never the nCells-expanded
+    // frame. (A row_number window here would hash-exchange the full
+    // n×nCells frame including the arrays, then sort.) Tie-break on
+    // ties of cell_sim = smallest cell_id, hence -cell_id in the
+    // lexicographic struct order.
     vectors.crossJoin(centroids)
       .withColumn("cell_sim", cosine_sim(col("embedding"), col("centroid")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("cell_id"), col("vec_id"), col("embedding"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cell_sim"), (-col("cell_id")).as("neg_cell"),
+        col("cell_id"), col("embedding"))).as("best"))
+      .select(col("best.cell_id").as("cell_id"), col("vec_id"),
+        col("best.embedding").as("embedding"))
   }
 
   /** IVF search: probe the `nProbe` cells nearest to each query and
@@ -138,8 +147,61 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), col("sim"))
   }
 
+  /** Exact all-pairs near-duplicate join, blocked for scale.
+    *
+    * Same contract (and bit-identical result) as cosineNearDupPairs,
+    * but expressed as an equi-join on block-pair keys — the
+    * "triangle" blocked self-join: hash every vector into one of
+    * `nBlocks` blocks, emit the left side under keys (blk, j) for
+    * j ≥ blk and the right side under keys (i, blk) for i ≤ blk, and
+    * equi-join on the (i, j) key so each of the nBlocks·(nBlocks+1)/2
+    * buckets compares exactly one block-pair. Why this shape:
+    *
+    *  - At a low similarity threshold (this operator's regime —
+    *    near-orthogonal corpora, threshold ≈ 0.45) NO sublinear
+    *    candidate scheme is sound: a hyperplane-LSH band only agrees
+    *    with probability (1-θ/π)^bits per band, which at θ≈63° cannot
+    *    reach recall 1 without doing more compares than brute force.
+    *    Exact low-threshold all-pairs is inherently Θ(n²) compares;
+    *    the job is to make the COMMUNICATION linear and the plan
+    *    shuffle-friendly, which blocking does: each vector is
+    *    replicated ~nBlocks/2 times (choose nBlocks ≈ √parallelism ⇒
+    *    O(n·√P) traffic), compares spread evenly over B(B+1)/2
+    *    independent buckets, and the plan is a plain shuffled
+    *    equi-join — no CartesianProduct / BroadcastNestedLoopJoin
+    *    node, no single task owning the whole product.
+    *  - For HIGH thresholds (true near-dup mining, sim ≳ 0.8) use
+    *    lshNearDupPairs below — sublinear compares, probabilistic
+    *    recall.
+    *
+    * Off-diagonal buckets see each unordered pair exactly once;
+    * diagonal buckets (i == j) see both orders plus self-pairs, which
+    * the vec_a < vec_b filter removes.
+    */
+  def blockedNearDupPairs(vectors: DataFrame, threshold: Double,
+                          nBlocks: Int = 16): DataFrame = {
+    val blocked = vectors.select(col("vec_id"), col("embedding"),
+      pmod(xxhash64(col("vec_id")), lit(nBlocks)).cast("int").as("blk"))
+    val left = blocked
+      .select(col("blk").as("bi"), explode(sequence(col("blk"), lit(nBlocks - 1))).as("bj"),
+        col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val right = blocked
+      .select(explode(sequence(lit(0), col("blk"))).as("bi"), col("blk").as("bj"),
+        col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    left.join(right, Seq("bi", "bj"))
+      .filter(col("bi") =!= col("bj") || col("vec_a") < col("vec_b"))
+      .withColumn("sim", cosine_sim(col("emb_a"), col("emb_b")))
+      .filter(col("sim") > threshold)
+      .select(least(col("vec_a"), col("vec_b")).as("vec_a"),
+        greatest(col("vec_a"), col("vec_b")).as("vec_b"), col("sim"))
+  }
+
   /** LSH-bucketed near-duplicate pairs — same contract as
     * cosineNearDupPairs but only compares within hyperplane buckets.
+    * The high-threshold scale path (recall is probabilistic; sound
+    * only when true pairs are far above the hyperplane agreement
+    * noise floor). For exact low-threshold joins use
+    * blockedNearDupPairs.
     */
   def lshNearDupPairs(vectors: DataFrame, threshold: Double,
                       nBits: Int = 8): DataFrame = {

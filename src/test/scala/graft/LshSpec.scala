@@ -88,6 +88,33 @@ class LshSpec extends SparkSpec {
     assert(lsh.subsetOf(exact))
   }
 
+  test("blockedNearDupPairs == cosineNearDupPairs exactly (all block counts)") {
+    val exact = Similarity.cosineNearDupPairs(emb, 0.4)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    for (nb <- Seq(1, 3, 16)) {
+      val blocked = Similarity.blockedNearDupPairs(emb, 0.4, nBlocks = nb)
+        .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(blocked === exact, s"nBlocks=$nb mismatch")
+    }
+  }
+
+  test("ivfIndex assigns every vector exactly one cell, the argmax cell") {
+    val index = Similarity.ivfIndex(emb, nCells = 8)
+    assert(index.count() === emb.count())
+    assert(index.groupBy("vec_id").count().filter($"count" =!= 1).count() === 0)
+    // spot-check argmax: recompute best cell by brute force for 5 vectors
+    val cents = Similarity.ivfCentroids(emb, nCells = 8)
+    val brute = emb.filter($"vec_id" < 5).crossJoin(broadcast(cents))
+      .withColumn("s", graft.functions.cosine_sim($"embedding", $"centroid"))
+      .groupBy($"vec_id").agg(max(struct($"s", -$"cell_id", $"cell_id")).as("b"))
+      .select($"vec_id", $"b.cell_id".as("cell_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val got = index.filter($"vec_id" < 5)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cell_id"))).toMap
+    assert(got === brute)
+  }
+
   test("media: pack → batched decode round-trips metadata and byte stats") {
     val media = Media.packMedia(docs.limit(20))
     val feats = Media.decodeFeatures(media, batchSize = 7).collect()

@@ -35,6 +35,19 @@ class PlanSpec extends SparkSpec {
       s"expected exactly one hash-partition exchange in:\n$p")
   }
 
+  test("q_embed_neardup: blocked equi-join, no cartesian product in the plan") {
+    val p = plan("q_embed_neardup")
+    assert(!p.contains("CartesianProduct"), s"cartesian product in:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop join in:\n$p")
+  }
+
+  test("q_ann_ivf: index build is a partial aggregate, not a window over the expanded frame") {
+    val p = plan("q_ann_ivf")
+    assert(!p.contains("RunningWindowFunction") || !p.contains("row_number"),
+      s"window in IVF path:\n$p")
+    assert(p.contains("partial_max"), s"no partial argmax aggregation in:\n$p")
+  }
+
   test("q_knn_brute: query side is broadcast, vectors never shuffle for scoring") {
     val p = plan("q_knn_brute")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
