@@ -549,7 +549,10 @@ object SparkEntry {
       LshDedup.simhashCandidates(Tables.documents(s, dir), maxHamming = 6)
         .orderBy(col("doc_a"), col("doc_b"))),
     "q_ngram_jaccard" -> ((s, dir) =>
-      LshDedup.jaccardVerified(Tables.documents(s, dir), threshold = 0.2)
+      // exact inverted-index set-similarity join (no LSH recall
+      // caveat) — the ground-truth path; LSH-pruned mining is graded
+      // separately as q_dedup_minhash
+      LshDedup.exactJaccardPairs(Tables.documents(s, dir), threshold = 0.2)
         .withColumn("jaccard_micro", floor(col("jaccard") * 1e6).cast("long"))
         .select(col("doc_a"), col("doc_b"), col("jaccard_micro"))
         .orderBy(col("doc_a"), col("doc_b"))),
@@ -573,8 +576,11 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
     "q_dedup_cluster" -> ((s, dir) =>
+      // edges from the exact join so the oracle (recursive-CTE CC over
+      // the same exact edge set) is deterministic; CC itself is the
+      // operator under test
       Dedup.connectedComponents(
-        LshDedup.jaccardVerified(Tables.documents(s, dir), threshold = 0.8)
+        LshDedup.exactJaccardPairs(Tables.documents(s, dir), threshold = 0.8)
           .select(col("doc_a"), col("doc_b")))
         .orderBy(col("doc_id"))),
     "q_ann_ivf" -> ((s, dir) => {
@@ -836,8 +842,26 @@ object SparkEntry {
         |  CASE WHEN sum_loss = 0.0 THEN 100.0
         |       ELSE 100.0 - 100.0 / (1.0 + sum_gain / sum_loss) END AS rsi
         |FROM g ORDER BY symbol, window_start""".stripMargin),
-    // q_ema: sequential per-symbol recurrence — no windowed-SQL oracle;
-    // EmaSpec checks against an in-memory reference implementation.
+    // q_ema oracle: the per-symbol recurrence as a recursive CTE. The
+    // arithmetic mirrors MarketAnalytics.ema bit-for-bit: both sides
+    // compute alpha = 2.0/13.0 and alpha*close + (1-alpha)*prev as
+    // IEEE doubles in the same operation order, so the raw doubles
+    // hash-match (no rounding needed).
+    "q_ema" -> (txnCte.replace("WITH txn", "WITH RECURSIVE txn") + minuteCte +
+      rollupCte("day") +
+      """, ordered AS (
+        |  SELECT symbol, ws, close,
+        |    row_number() OVER (PARTITION BY symbol ORDER BY ws) AS rn
+        |  FROM roll_c
+        |), ema_rec AS (
+        |  SELECT symbol, ws, close, rn, close AS ema FROM ordered WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.symbol, o.ws, o.close, o.rn,
+        |    (2.0 / 13.0) * o.close + (1.0 - (2.0 / 13.0)) * e.ema
+        |  FROM ema_rec e JOIN ordered o ON o.symbol = e.symbol AND o.rn = e.rn + 1
+        |)
+        |SELECT symbol, strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, close, ema
+        |FROM ema_rec ORDER BY symbol, window_start""".stripMargin),
     "q_session_window" ->
       """WITH ev AS (
         |  SELECT user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts, value
@@ -1101,9 +1125,68 @@ object SparkEntry {
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash,
         |  min(doc_id) AS keep_doc_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
-    // q_fingerprint / q_dedup_minhash / q_dedup_simhash / q_ngram_jaccard /
-    // q_ann_lsh: xxhash64/custom signatures have no DuckDB counterpart →
+    // q_fingerprint / q_dedup_minhash / q_dedup_simhash / q_ann_lsh:
+    // xxhash64/custom signatures have no DuckDB counterpart →
     // rows-only checks (semantic properties covered by LshSpec).
+    // Shared DuckDB shingle-set pipeline: tokenization mirrors
+    // TextAnalysis.tokens (split lower(trim) on \s+, drop empties),
+    // 3-gram string shingles stand in for the Spark side's 64-bit
+    // shingle hashes (Jaccard only sees set cardinalities, which agree
+    // unless xxhash64 collides within a doc pair — ~2^-64).
+    "q_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |    t -> len(t) > 0) AS tk
+        |  FROM documents
+        |), shset AS (
+        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(tk) - 2),
+        |    i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS sh
+        |  FROM toks WHERE len(tk) >= 3
+        |), ex AS (SELECT doc_id, unnest(sh) AS s FROM shset),
+        |sizes AS (SELECT doc_id, len(sh) AS n_sh FROM shset),
+        |pair_int AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_int
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT doc_a, doc_b,
+        |  CAST(floor(CAST(n_int AS DOUBLE) / (sa.n_sh + sb.n_sh - n_int) * 1000000)
+        |    AS BIGINT) AS jaccard_micro
+        |FROM pair_int
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE CAST(n_int AS DOUBLE) / (sa.n_sh + sb.n_sh - n_int) >= 0.2
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dedup_cluster" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |    t -> len(t) > 0) AS tk
+        |  FROM documents
+        |), shset AS (
+        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(tk) - 2),
+        |    i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS sh
+        |  FROM toks WHERE len(tk) >= 3
+        |), ex AS (SELECT doc_id, unnest(sh) AS s FROM shset),
+        |sizes AS (SELECT doc_id, len(sh) AS n_sh FROM shset),
+        |pair_int AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_int
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT doc_a, doc_b FROM pair_int
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE CAST(n_int AS DOUBLE) / (sa.n_sh + sb.n_sh - n_int) >= 0.8
+        |), edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs
+        |), reach AS (
+        |  SELECT DISTINCT src AS doc_id, src AS lbl FROM edges
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc_id
+        |)
+        |SELECT doc_id, min(lbl) AS cluster_id
+        |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_embed_neardup" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |  CAST(floor(list_cosine_similarity(a.embedding::DOUBLE[],

@@ -115,6 +115,35 @@ object LshDedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Exact all-pairs n-gram Jaccard ≥ threshold — the inverted-index
+    * set-similarity join: explode distinct shingle hashes, self-join on
+    * the shingle (so only pairs sharing ≥1 shingle are ever formed),
+    * count intersections per pair, derive the union from the two set
+    * sizes. Shuffles only (shingle_hash, doc_id) pairs — document
+    * bodies never move — and needs no LSH recall argument: it is
+    * exact by construction. Cost grows with shared-shingle pair
+    * volume, so at corpus scale prefer jaccardVerified (LSH-pruned)
+    * for mining and keep this as the verification/ground-truth path.
+    */
+  def exactJaccardPairs(docs: DataFrame, threshold: Double, n: Int = 3): DataFrame = {
+    val sh = shingleHashes(docs, n = n)
+      .filter(size(col("shingle_hashes")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exploded = sh.select(col("doc_id"), explode(col("shingle_hashes")).as("s"))
+    val sizes = sh.select(col("doc_id"), size(col("shingle_hashes")).as("n_sh"))
+    exploded.as("a")
+      .join(exploded.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_int"))
+      .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_a", "n_sh" -> "n_a")), "doc_a")
+      .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_b", "n_sh" -> "n_b")), "doc_b")
+      .withColumn("jaccard",
+        col("n_int").cast("double") / (col("n_a") + col("n_b") - col("n_int")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
   /** 64-bit SimHash per doc (over token hashes, not shingles — the
     * classic Charikar construction).
     */
