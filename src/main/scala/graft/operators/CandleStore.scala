@@ -67,16 +67,17 @@ object CandleStore {
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy("timeframe", "symbol")
       .parquet(tmp)
-    // atomic-ish swap (local/HDFS rename); object stores would use a
-    // manifest commit instead
-    val dst = new java.io.File(path)
-    val bak = new java.io.File(path + ".old")
-    require(dst.renameTo(bak), s"could not move $path aside")
-    require(new java.io.File(tmp).renameTo(dst), s"could not promote $tmp")
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-    }
-    rm(bak)
+    // atomic-ish swap through the Hadoop FileSystem API (works on
+    // local paths and HDFS alike; rename is a metadata op on both).
+    // True object stores (S3) have no atomic rename — use a
+    // manifest-committing table format there instead.
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val bak = new org.apache.hadoop.fs.Path(path + ".old")
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.rename(dst, bak), s"could not move $path aside")
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), dst),
+      s"could not promote $tmp")
+    fs.delete(bak, true)
   }
 
   /** All stored (timeframe, symbol) combos — the analog of the

@@ -46,6 +46,26 @@ object CandleStream {
         col("t.quantity").as("quantity"), col("t.timestamp").as("ts"))
   }
 
+  /** Candle frame → Kafka-producer shape: binary key = symbol, binary
+    * value = the candle as a JSON payload, plus the target topic — the
+    * columns `writeStream.format("kafka")` consumes. Mirrors the
+    * reference re-publishing its candle stream to an output topic
+    * (reference: stream/CandlestickAggregator.kt:190-193,
+    * `minuteCandleStream.to(candlesTopic)` with JsonSerde). Timestamps
+    * are ISO strings in the payload so any JSON consumer can parse
+    * them without Spark's epoch conventions.
+    */
+  def toKafkaShaped(candles: DataFrame, topic: String = "candles"): DataFrame =
+    candles.select(
+      col("symbol").cast("binary").as("key"),
+      to_json(struct(
+        col("symbol"), col("timeframe"),
+        date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        date_format(col("window_end"), "yyyy-MM-dd HH:mm:ss").as("window_end"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("volume"), col("n_txn"))).cast("binary").as("value"),
+      lit(topic).as("topic"))
+
   /** Tumbling-window OHLCV aggregation of a transaction stream at one
     * timeframe. Emits the same candle schema as the batch
     * Candles.minuteCandles/rollup. Watermark + append mode emit each
@@ -127,9 +147,15 @@ object CandleStream {
         // merge-on-write: rewritten partitions must carry their
         // unchanged rows too, so read them back (partition-pruned via
         // the semi-join on the tiny affected-partition key set), drop
-        // rows superseded by this batch, and union the new versions
-        val storeHasData = Option(new java.io.File(path).list())
-          .exists(_.exists(_.startsWith("timeframe=")))
+        // rows superseded by this batch, and union the new versions.
+        // Existence check goes through the Hadoop FileSystem API so
+        // HDFS/S3 store paths behave identically to local ones (a
+        // java.io.File check would silently report "empty" there and
+        // the overwrite would drop unchanged rows).
+        val storePath = new org.apache.hadoop.fs.Path(path)
+        val fs = storePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val storeHasData = fs.exists(storePath) &&
+          fs.listStatus(storePath).exists(_.getPath.getName.startsWith("timeframe="))
         val merged = if (!storeHasData) batch else {
           val affected = batch.select(partCols.map(col): _*).distinct()
           val existing = spark.read.parquet(path)
