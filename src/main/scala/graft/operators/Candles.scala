@@ -119,17 +119,33 @@ object Candles {
   /** Gap-fill a candle series: emit one row per interval slot between
     * each symbol's first and last candle, carrying the last close
     * forward into empty slots (volume 0) — charts need a continuous
-    * series. Slot generation is per-symbol sequence+explode (no
-    * driver-side loops); the carry-forward is last-ignore-nulls over a
-    * time-ordered window.
+    * series. Slot generation is chunked: a single
+    * sequence(lo, hi, step) would materialize one array spanning the
+    * symbol's whole range in one row (a minute-grain fill over years =
+    * millions of elements), so instead explode bounded chunks of slot
+    * indices first, then the ≤`slotChunk` slots inside each chunk —
+    * identical slot set, every intermediate array bounded. The
+    * carry-forward is last-ignore-nulls over a time-ordered window.
     */
-  def gapFill(candles: DataFrame, seconds: Long): DataFrame = {
+  def gapFill(candles: DataFrame, seconds: Long,
+              slotChunk: Int = 8192): DataFrame = {
     val slots = candles
       .groupBy(col("symbol"))
       .agg(min(col("window_start")).as("lo"), max(col("window_start")).as("hi"))
-      .select(col("symbol"), explode(
-        sequence(col("lo"), col("hi"), expr(s"INTERVAL $seconds SECOND")))
-        .as("window_start"))
+      .withColumn("n_slots",
+        expr(s"(unix_timestamp(hi) - unix_timestamp(lo)) div $seconds + 1"))
+      .select(col("symbol"), col("lo"), col("n_slots"),
+        explode(sequence(lit(0L), expr(s"(n_slots - 1) div $slotChunk")))
+          .as("chunk"))
+      .select(col("symbol"),
+        explode(sequence(
+          col("chunk") * slotChunk,
+          least(col("chunk") * slotChunk + (slotChunk - 1), col("n_slots") - 1)))
+          .as("slot"),
+        col("lo"))
+      .select(col("symbol"),
+        timestamp_seconds(unix_timestamp(col("lo")) + col("slot") * seconds)
+          .as("window_start"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("symbol")).orderBy(col("window_start"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)

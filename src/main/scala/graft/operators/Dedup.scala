@@ -79,25 +79,41 @@ object Dedup {
     * O(diameter) rounds and near-dup graphs have tiny diameters).
     * Each round is one shuffle; iteration stops when no label changes.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // lineage must be cut every round (localCheckpoint), not just
+    // cached: the pointer-jump references the round's frame twice, so
+    // an uncut logical plan doubles per iteration. On a cluster with
+    // executor loss concerns, swap for reliable checkpoint() + a
+    // checkpoint dir — same algorithm.
     var labels = edges.groupBy(col("src").as("doc_id"))
       .agg(least(min(col("dst")), first(col("src"))).as("label"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // each node adopts the min label among itself and its neighbors
+      // propagate: each node adopts the min label among itself and its
+      // neighbors (one hop per round on its own)
       val neighborMin = edges
         .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("label")).as("nlabel"))
-      val next = labels.join(neighborMin, Seq("doc_id"), "left")
+      val prop = labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // pointer-jump: adopt the current label's own label. Every label
+      // value is itself a node (labels start as node ids and only ever
+      // take values from that set), so this halves chain distance each
+      // round — convergence in O(log diameter) rounds instead of
+      // O(diameter), which is what makes long near-dup chains safe.
+      val next = prop.as("a")
+        .join(prop.select(col("doc_id").as("label"), col("label").as("jump")),
+          Seq("label"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("jump"), col("label"))).as("label"))
+        .localCheckpoint()
       val changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
         .filter(col("label") =!= col("old")).limit(1).count()
       labels.unpersist()
@@ -106,6 +122,12 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    // a silent stop here would hand back wrong cluster ids (and dedup
+    // would then keep several representatives per cluster) — fail loud
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds; " +
+          "raise maxIter (pointer-jumping needs ~log2(diameter) rounds)")
     labels.withColumnRenamed("label", "cluster_id")
   }
 

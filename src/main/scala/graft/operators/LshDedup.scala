@@ -89,6 +89,39 @@ object LshDedup {
       .distinct()
   }
 
+  /** Observability companion to candidatePairs: the buckets the
+    * `maxBucket` skew guard will DROP, as (band, band_hash, n_docs).
+    * The cap is correct as a guard — a quadratic-size bucket means
+    * exact-duplicate spam — but at corpus scale dropping silently
+    * means a spam-heavy corpus under-dedups with no signal. Emit this
+    * frame's aggregate (bucket count / doc-slot sum) as a pipeline
+    * metric and alert when it is non-zero; the dropped docs are
+    * exact-dedup territory (Dedup.exactGroups) and should be routed
+    * there.
+    */
+  def droppedBuckets(buckets: DataFrame, maxBucket: Int): DataFrame =
+    buckets
+      .groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > maxBucket)
+
+  /** One-row summary of what the skew cap drops: (n_buckets_dropped,
+    * n_doc_slots_dropped). doc-slots, not distinct docs: a doc
+    * appearing in several oversized buckets counts once per bucket,
+    * matching the pair-generation work that was skipped.
+    */
+  def dropStats(docs: DataFrame, k: Int = 64, bands: Int = 16, n: Int = 3,
+                maxBucket: Int = 1000): DataFrame =
+    droppedBuckets(
+      shingleHashes(docs, n = n)
+        .filter(size(col("shingle_hashes")) > 0)
+        .select(col("doc_id"),
+          posexplode(minhash_band_hashes(col("shingle_hashes"), k, bands)))
+        .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash")),
+      maxBucket)
+      .agg(count(lit(1)).as("n_buckets_dropped"),
+        coalesce(sum(col("n_docs")), lit(0L)).as("n_doc_slots_dropped"))
+
   /** LSH candidates verified by exact n-gram Jaccard ≥ threshold.
     * Verification joins shingle sets back only for candidate pairs —
     * at corpus scale the candidate set is tiny relative to n².

@@ -23,6 +23,39 @@ class CandlesSpec extends SparkSpec {
     StockTransaction("MSFT", 90.0, 2, ts("2024-03-01 10:15:00"))
   ).toDF()
 
+  test("gapFill emits every slot with carry-forward close; chunked slots match the naive sequence") {
+    val c = Candles.minuteCandles(txns)
+    val filled = Candles.gapFill(c.filter($"symbol" === "MSFT"), 60)
+    // MSFT: 09:30 .. 10:15 → 46 minute slots, 44 of them gaps
+    assert(filled.count() === 46)
+    assert(filled.filter($"is_gap").count() === 44)
+    val gap = filled.filter($"window_start" === ts("2024-03-01 09:45:00")).collect().head
+    assert(gap.getAs[Double]("close_filled") === 100.0) // carried forward
+    assert(gap.getAs[Long]("volume") === 0L)
+    // a tiny slotChunk must produce the identical slot set (chunking is
+    // a materialization detail, not a semantics change)
+    val chunked = Candles.gapFill(c, 60, slotChunk = 7)
+      .select("symbol", "window_start").collect().toSet
+    val plain = Candles.gapFill(c, 60)
+      .select("symbol", "window_start").collect().toSet
+    assert(chunked === plain)
+  }
+
+  test("gapFill slot arrays stay bounded over a multi-year minute-grain range") {
+    // 2 candles 3 years apart: ~1.58M minute slots per symbol — the
+    // unchunked form would build one 1.58M-element array in a row
+    val far = Seq(
+      StockTransaction("AAPL", 1.0, 1, ts("2021-01-01 00:00:10")),
+      StockTransaction("AAPL", 2.0, 1, ts("2023-12-31 23:59:30"))).toDF()
+    val filled = Candles.gapFill(Candles.minuteCandles(far), 60)
+    val expected = (ts("2023-12-31 23:59:00").getTime -
+      ts("2021-01-01 00:00:00").getTime) / 60000L + 1
+    assert(filled.count() === expected)
+    // first and last slots present, everything between is the filled series
+    assert(filled.agg(min($"window_start"), max($"window_start")).collect().head
+      === org.apache.spark.sql.Row(ts("2021-01-01 00:00:00"), ts("2023-12-31 23:59:00")))
+  }
+
   test("minute candles: OHLCV per symbol per minute") {
     val c = Candles.minuteCandles(txns)
     val aapl = c.filter($"symbol" === "AAPL" &&

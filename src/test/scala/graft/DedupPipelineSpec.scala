@@ -18,6 +18,33 @@ class DedupPipelineSpec extends SparkSpec {
       5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 7L))
   }
 
+  test("connectedComponents converges on a chain far longer than the round budget") {
+    // a 60-node path: min-label alone needs 60 one-hop rounds, well
+    // past maxIter — pointer-jumping must close it in ~log2(60) rounds
+    val chain = (0L until 59L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(chain, maxIter = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.size === 60)
+    assert(cc.values.forall(_ === 0L), s"non-converged labels: $cc")
+  }
+
+  test("dropStats counts the buckets and doc-slots the LSH skew cap drops") {
+    import graft.operators.LshDedup
+    // spam corpus: 40 identical docs (every band bucket has 40 docs)
+    // plus distinct fillers
+    val spam = (0 until 40).map(i => (i.toLong, "the same spam text repeated over and over again"))
+    val fillers = (100 until 110).map(i => (i.toLong, s"unique filler document number $i with distinct words $i"))
+    val docs = (spam ++ fillers).toDF("doc_id", "text")
+    // cap below the spam bucket size: all 16 spam bands drop
+    val stats = LshDedup.dropStats(docs, maxBucket = 10).collect().head
+    assert(stats.getAs[Long]("n_buckets_dropped") === 16L)
+    assert(stats.getAs[Long]("n_doc_slots_dropped") === 16L * 40)
+    // with a generous cap nothing drops and the summary is zeros
+    val clean = LshDedup.dropStats(docs, maxBucket = 1000).collect().head
+    assert(clean.getAs[Long]("n_buckets_dropped") === 0L)
+    assert(clean.getAs[Long]("n_doc_slots_dropped") === 0L)
+  }
+
   test("dedupCorpus removes exactly the non-representative near-dups") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val kept = Dedup.dedupCorpus(docs, jaccardThreshold = 0.8)
