@@ -22,33 +22,43 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     def info(name: String, usage: String) =
       new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+    // arity-checked at plan time: SQL callers passing extra arguments
+    // (e.g. hoping to override the fixed k/bands) get a clear error,
+    // not silent truncation
+    def one(name: String, es: Seq[Expression]): Expression = {
+      require(es.length == 1, s"$name expects 1 argument, got ${es.length}")
+      es.head
+    }
     ext.injectFunction((
       FunctionIdentifier("poly_fingerprint64"),
       info("poly_fingerprint64", "_FUNC_(str) - 64-bit FNV-1a fingerprint"),
-      (es: Seq[Expression]) => PolyFingerprint64(es.head)))
+      (es: Seq[Expression]) => PolyFingerprint64(one("poly_fingerprint64", es))))
     ext.injectFunction((
       FunctionIdentifier("simhash64"),
       info("simhash64", "_FUNC_(array<long>) - 64-bit SimHash"),
-      (es: Seq[Expression]) => SimHash64(es.head)))
+      (es: Seq[Expression]) => SimHash64(one("simhash64", es))))
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       info("cosine_sim", "_FUNC_(array<float>, array<float>) - cosine similarity"),
-      (es: Seq[Expression]) => CosineSimF(es.head, es(1))))
+      (es: Seq[Expression]) => {
+        require(es.length == 2, s"cosine_sim expects 2 arguments, got ${es.length}")
+        CosineSimF(es.head, es(1))
+      }))
     ext.injectFunction((
       FunctionIdentifier("minhash_signature"),
       info("minhash_signature", "_FUNC_(array<long>) - 64-permutation MinHash signature"),
-      (es: Seq[Expression]) => MinHashSignature(es.head, 64)))
+      (es: Seq[Expression]) => MinHashSignature(one("minhash_signature", es), 64)))
     ext.injectFunction((
       FunctionIdentifier("shingle_hashes"),
       info("shingle_hashes", "_FUNC_(array<long>) - distinct rolling 3-gram shingle hashes"),
-      (es: Seq[Expression]) => ShingleHashes(es.head, 3)))
+      (es: Seq[Expression]) => ShingleHashes(one("shingle_hashes", es), 3)))
     ext.injectFunction((
       FunctionIdentifier("minhash_band_hashes"),
       info("minhash_band_hashes", "_FUNC_(array<long>) - 16 LSH band hashes of a 64-perm MinHash"),
-      (es: Seq[Expression]) => MinHashBandHashes(es.head, 64, 16)))
+      (es: Seq[Expression]) => MinHashBandHashes(one("minhash_band_hashes", es), 64, 16)))
     ext.injectFunction((
       FunctionIdentifier("hyperplane_sig"),
       info("hyperplane_sig", "_FUNC_(array<float>) - 16-bit random-hyperplane LSH signature"),
-      (es: Seq[Expression]) => HyperplaneSig(es.head, 16)))
+      (es: Seq[Expression]) => HyperplaneSig(one("hyperplane_sig", es), 16)))
   }
 }

@@ -155,6 +155,27 @@ object SparkEntry {
         "2024-01-10 00:00:00", "2024-01-20 00:00:00")
         .select(Candles.candleColumns: _*))
     }),
+    "q_store_recent" -> ((s, dir) => {
+      // store-backed recent-N: the materialized-store variant of
+      // q_candle_recent — write once, then answer from the partitioned
+      // store; must equal the direct computation (the oracle's path)
+      import graft.operators.CandleStore
+      val store = java.nio.file.Files.createTempDirectory("q_store_r").toString
+      CandleStore.write(
+        Candles.multiTimeframe(Candles.transactions(s, dir)), store)
+      candleOut(CandleStore.recent(s, store, CandleTimeFrame.Minute, 5)
+        .select(Candles.candleColumns: _*))
+    }),
+    "q_store_point" -> ((s, dir) => {
+      // store-backed point lookup (reference's Redis key get ≙
+      // partition-pruned scan + key-format equality)
+      import graft.operators.CandleStore
+      val store = java.nio.file.Files.createTempDirectory("q_store_p").toString
+      CandleStore.write(
+        Candles.multiTimeframe(Candles.transactions(s, dir)), store)
+      candleOut(CandleStore.point(s, store, "view", CandleTimeFrame.Day, "20240115")
+        .select(Candles.candleColumns: _*))
+    }),
     "q_symbols" -> ((s, dir) =>
       CandleQueries.symbols(Candles.transactions(s, dir)).orderBy(col("symbol"))),
     "q_stream_candles" -> ((s, dir) => {
@@ -652,6 +673,27 @@ object SparkEntry {
         |FROM ranked WHERE rn <= 5
         |ORDER BY timeframe, symbol, window_start""".stripMargin),
     "q_candle_point" -> (txnCte + minuteCte + rollupCte("day") + "\n" +
+      """SELECT symbol, 'DAY' AS timeframe,
+        |  strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  strftime(ws + INTERVAL 1 day, '%Y-%m-%d %H:%M:%S') AS window_end,
+        |  open, high, low, close, volume, n_txn
+        |FROM roll_c
+        |WHERE symbol = 'view' AND strftime(ws, '%Y%m%d') = '20240115'
+        |ORDER BY timeframe, symbol, window_start""".stripMargin),
+    // store-backed variants must equal the direct computation — same
+    // oracles as their q_candle_* counterparts by construction
+    "q_store_recent" -> (txnCte + minuteCte + "\n" +
+      """, ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY symbol ORDER BY ws DESC) AS rn
+        |  FROM minute_c
+        |)
+        |SELECT symbol, 'MINUTE' AS timeframe,
+        |  strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  strftime(ws + INTERVAL 1 minute, '%Y-%m-%d %H:%M:%S') AS window_end,
+        |  open, high, low, close, volume, n_txn
+        |FROM ranked WHERE rn <= 5
+        |ORDER BY timeframe, symbol, window_start""".stripMargin),
+    "q_store_point" -> (txnCte + minuteCte + rollupCte("day") + "\n" +
       """SELECT symbol, 'DAY' AS timeframe,
         |  strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
         |  strftime(ws + INTERVAL 1 day, '%Y-%m-%d %H:%M:%S') AS window_end,
@@ -1216,8 +1258,9 @@ object SparkEntry {
         |  CAST(64 + (doc_id * 7919 + length(text)) % 512 AS INTEGER) AS width,
         |  CAST(64 + (doc_id * 104729 + length(text)) % 512 AS INTEGER) AS height,
         |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
-        |  CASE WHEN length(text) > 0 THEN
-        |    CAST(list_sum(list_transform(string_split(text, ''), x -> unicode(x))) AS DOUBLE)
+        |  CASE WHEN octet_length(encode(text)) > 0 THEN
+        |    CAST(list_sum(list_transform(generate_series(1, octet_length(encode(text))),
+        |      i -> CAST('0x' || substr(hex(encode(text)), 2*i-1, 2) AS INTEGER))) AS DOUBLE)
         |      / octet_length(encode(text))
         |    ELSE 0.0 END AS mean_byte
         |FROM documents ORDER BY doc_id""".stripMargin,

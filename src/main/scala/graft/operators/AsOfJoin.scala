@@ -32,6 +32,12 @@ object AsOfJoin {
     require(valueCols.nonEmpty, "right side has no value columns to attach")
     require(valueCols.forall(c => !left.columns.contains(c)),
       s"right value columns ${valueCols.mkString(",")} collide with left")
+    // the output/internal names must be free too, or a left column
+    // would be silently overwritten instead of rejected
+    val reserved = valueCols.map(c => s"asof_$c") :+ "__side"
+    require(reserved.forall(c => !left.columns.contains(c)),
+      s"left columns collide with as-of output/internal names: " +
+        reserved.filter(left.columns.contains).mkString(","))
 
     val taggedRight = right
       .select((keyCols :+ tsCol).map(col) ++ valueCols.map(c => col(c).as(s"asof_$c")): _*)

@@ -51,6 +51,12 @@ object CandleStore {
             dateKey: String): DataFrame =
     CandleQueries.pointLookup(read(spark, path), symbol, tf, dateKey)
 
+  /** Latest n candles per symbol from the store (timeframe partition
+    * pruned; per-symbol top-k via WindowGroupLimit, no global sort).
+    */
+  def recent(spark: SparkSession, path: String, tf: String, n: Int): DataFrame =
+    CandleQueries.recent(read(spark, path), tf, n)
+
   /** Compact a store in place: streaming/incremental appends leave
     * many small files per partition; rewrite each (timeframe, symbol)
     * partition as ts-sorted files of reasonable size. Routine

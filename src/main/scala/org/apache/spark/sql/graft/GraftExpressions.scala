@@ -27,16 +27,24 @@ object GraftShim {
   import org.apache.spark.sql.classic.ExpressionUtils
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
+  /** Arity check for SQL builders: extra/missing args fail at parse
+    * time with the function name, not silently ignored.
+    */
+  def arity(name: String, n: Int, es: Seq[Expression]): Seq[Expression] = {
+    require(es.length == n,
+      s"$name expects $n argument(s), got ${es.length}")
+    es
+  }
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("poly_fingerprint64",
-      es => PolyFingerprint64(es.head), "scala_udf")
+      es => PolyFingerprint64(arity("poly_fingerprint64", 1, es).head), "scala_udf")
     reg.createOrReplaceTempFunction("simhash64",
-      es => SimHash64(es.head), "scala_udf")
+      es => SimHash64(arity("simhash64", 1, es).head), "scala_udf")
     reg.createOrReplaceTempFunction("cosine_sim",
-      es => CosineSimF(es.head, es(1)), "scala_udf")
+      es => { arity("cosine_sim", 2, es); CosineSimF(es.head, es(1)) }, "scala_udf")
     reg.createOrReplaceTempFunction("minhash_signature",
-      es => MinHashSignature(es.head, 64), "scala_udf")
+      es => MinHashSignature(arity("minhash_signature", 1, es).head, 64), "scala_udf")
   }
 }
 
@@ -85,6 +93,11 @@ case class PolyFingerprint64(child: Expression)
   */
 case class MinHashSignature(child: Expression, k: Int)
     extends UnaryExpression with ExpectsInputTypes {
+  // plan-time guard: the permutation tables are precomputed up to
+  // maxK; past it the failure would otherwise be an
+  // ArrayIndexOutOfBounds inside codegen'd executor code
+  require(k > 0 && k <= MinHashSignature.maxK,
+    s"k=$k out of range (1..${MinHashSignature.maxK})")
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
@@ -113,7 +126,7 @@ object MinHashSignature {
     z ^ (z >>> 31)
   }
 
-  private val maxK = 256
+  val maxK = 256
   // permutation constants precomputed once (h_i(x) = a_i·x + b_i)
   private val as: Array[Long] = Array.tabulate(maxK)(i => mix(2 * i + 1) | 1L)
   private val bs: Array[Long] = Array.tabulate(maxK)(i => mix(2 * i + 2))
@@ -198,6 +211,8 @@ object ShingleHashes {
   */
 case class MinHashBandHashes(child: Expression, k: Int, bands: Int)
     extends UnaryExpression with ExpectsInputTypes {
+  require(k > 0 && k <= MinHashSignature.maxK,
+    s"k=$k out of range (1..${MinHashSignature.maxK})")
   require(bands > 0 && k % bands == 0, s"bands=$bands must divide k=$k")
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
