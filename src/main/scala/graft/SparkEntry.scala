@@ -312,6 +312,20 @@ object SparkEntry {
         .select(col("symbol"), fmtTs(col("window_start")).as("window_start"),
           col("close"), col("ema"))
         .orderBy(col("symbol"), col("window_start"))),
+    "q_rsi_wilder" -> ((s, dir) =>
+      MarketAnalytics.wilderRsi(
+        Candles.rollup(Candles.minuteCandles(Candles.transactions(s, dir)),
+          CandleTimeFrame.Day), n = 14)
+        .select(col("symbol"), fmtTs(col("window_start")).as("window_start"),
+          col("close"), col("rsi_wilder"))
+        .orderBy(col("symbol"), col("window_start"))),
+    "q_macd" -> ((s, dir) =>
+      MarketAnalytics.macd(
+        Candles.rollup(Candles.minuteCandles(Candles.transactions(s, dir)),
+          CandleTimeFrame.Day))
+        .select(col("symbol"), fmtTs(col("window_start")).as("window_start"),
+          col("close"), col("macd"), col("macd_signal"), col("macd_hist"))
+        .orderBy(col("symbol"), col("window_start"))),
     "q_session_window" -> ((s, dir) =>
       // the built-in gap-based session_window (works batch AND
       // streaming) — same sessions as MarketAnalytics.sessionize, with
@@ -1167,9 +1181,87 @@ object SparkEntry {
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash,
         |  min(doc_id) AS keep_doc_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
-    // q_fingerprint / q_dedup_minhash / q_dedup_simhash / q_ann_lsh:
-    // xxhash64/custom signatures have no DuckDB counterpart →
-    // rows-only checks (semantic properties covered by LshSpec).
+    // q_rsi_wilder oracle: the seed phase (simple average of the first
+    // n gains/losses) and the smoothed recurrence, mirroring
+    // MarketAnalytics.wilderRsi's arithmetic operation-for-operation.
+    "q_rsi_wilder" -> (txnCte.replace("WITH txn", "WITH RECURSIVE txn") + minuteCte +
+      rollupCte("day") +
+      """, ordered AS (
+        |  SELECT symbol, ws, close,
+        |    row_number() OVER (PARTITION BY symbol ORDER BY ws) AS rn
+        |  FROM roll_c
+        |), rec AS (
+        |  SELECT symbol, ws, close, rn, close AS prev_close, 0 AS cnt,
+        |         0.0::DOUBLE AS g_sum, 0.0::DOUBLE AS l_sum,
+        |         0.0::DOUBLE AS avg_g, 0.0::DOUBLE AS avg_l
+        |  FROM ordered WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.symbol, o.ws, o.close, o.rn, o.close,
+        |    r.cnt + 1,
+        |    r.g_sum + greatest(o.close - r.prev_close, 0.0),
+        |    r.l_sum + greatest(r.prev_close - o.close, 0.0),
+        |    CASE WHEN r.cnt + 1 < 14 THEN 0.0
+        |         WHEN r.cnt + 1 = 14
+        |           THEN (r.g_sum + greatest(o.close - r.prev_close, 0.0)) / 14
+        |         ELSE (r.avg_g * 13 + greatest(o.close - r.prev_close, 0.0)) / 14 END,
+        |    CASE WHEN r.cnt + 1 < 14 THEN 0.0
+        |         WHEN r.cnt + 1 = 14
+        |           THEN (r.l_sum + greatest(r.prev_close - o.close, 0.0)) / 14
+        |         ELSE (r.avg_l * 13 + greatest(r.prev_close - o.close, 0.0)) / 14 END
+        |  FROM rec r JOIN ordered o ON o.symbol = r.symbol AND o.rn = r.rn + 1
+        |)
+        |SELECT symbol, strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, close,
+        |  CASE WHEN cnt < 14 THEN NULL
+        |       WHEN avg_l = 0.0 THEN 100.0
+        |       ELSE 100.0 - 100.0 / (1.0 + avg_g / avg_l) END AS rsi_wilder
+        |FROM rec ORDER BY symbol, window_start""".stripMargin),
+    // q_macd oracle: both close-EMAs and the signal-EMA carried through
+    // one recursive pass; seeds are close (EMAs) and the first macd
+    // value (signal), exactly as three MarketAnalytics.ema runs seed.
+    "q_macd" -> (txnCte.replace("WITH txn", "WITH RECURSIVE txn") + minuteCte +
+      rollupCte("day") +
+      """, ordered AS (
+        |  SELECT symbol, ws, close,
+        |    row_number() OVER (PARTITION BY symbol ORDER BY ws) AS rn
+        |  FROM roll_c
+        |), rec AS (
+        |  SELECT symbol, ws, close, rn,
+        |         close AS e_fast, close AS e_slow, 0.0::DOUBLE AS sig
+        |  FROM ordered WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.symbol, o.ws, o.close, o.rn,
+        |    (2.0 / 13.0) * o.close + (1.0 - (2.0 / 13.0)) * r.e_fast,
+        |    (2.0 / 27.0) * o.close + (1.0 - (2.0 / 27.0)) * r.e_slow,
+        |    (2.0 / 10.0) * (((2.0 / 13.0) * o.close + (1.0 - (2.0 / 13.0)) * r.e_fast)
+        |                  - ((2.0 / 27.0) * o.close + (1.0 - (2.0 / 27.0)) * r.e_slow))
+        |      + (1.0 - (2.0 / 10.0)) * r.sig
+        |  FROM rec r JOIN ordered o ON o.symbol = r.symbol AND o.rn = r.rn + 1
+        |)
+        |SELECT symbol, strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, close,
+        |  e_fast - e_slow AS macd, sig AS macd_signal,
+        |  (e_fast - e_slow) - sig AS macd_hist
+        |FROM rec ORDER BY symbol, window_start""".stripMargin),
+    // q_fingerprint oracle: FNV-1a 64-bit with wraparound arithmetic —
+    // HUGEINT products (≤2^104) reduced mod 2^64 each step, then
+    // mapped to the signed BIGINT Spark emits.
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+        |            THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT)
+        |    AS fingerprint
+        |FROM (
+        |  SELECT doc_id, list_reduce(
+        |    list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |      list_transform(generate_series(1, octet_length(encode(text))),
+        |        i -> CAST(CAST('0x' || substr(hex(encode(text)), 2*i-1, 2) AS INTEGER) AS HUGEINT))),
+        |    (acc, b) -> (xor(acc, b) * 1099511628211) % 18446744073709551616::HUGEINT
+        |  ) AS h
+        |  FROM documents
+        |) ORDER BY doc_id""".stripMargin,
+    // q_dedup_minhash / q_dedup_simhash / q_ann_lsh / q_ann_ivf /
+    // q_approx_distinct: xxhash64/custom signatures and HLL sketches
+    // have no DuckDB counterpart → rows-only checks (semantic
+    // properties covered by LshSpec/ApproxSpec/DedupPipelineSpec).
     // Shared DuckDB shingle-set pipeline: tokenization mirrors
     // TextAnalysis.tokens (split lower(trim) on \s+, drop empties),
     // 3-gram string shingles stand in for the Spark side's 64-bit

@@ -154,13 +154,15 @@ object MarketAnalytics {
     * Scales with symbol cardinality (each symbol's series streams
     * through one task; no driver collect).
     */
-  def ema(candles: DataFrame, span: Int = 12): DataFrame = {
+  def ema(candles: DataFrame, span: Int = 12, valueCol: String = "close",
+          outCol: String = "ema"): DataFrame = {
     val spark = candles.sparkSession
     val alpha = 2.0 / (span + 1)
     val cols = candles.columns
-    val closeIdx = cols.indexOf("close")
+    val valIdx = cols.indexOf(valueCol)
     val symIdx = cols.indexOf("symbol")
-    require(closeIdx >= 0 && symIdx >= 0, "needs symbol + close columns")
+    require(valIdx >= 0 && symIdx >= 0, s"needs symbol + $valueCol columns")
+    require(!cols.contains(outCol), s"output column $outCol already exists")
     val out = candles
       .repartition(col("symbol"))
       .sortWithinPartitions(col("symbol"), col("window_start"))
@@ -169,15 +171,30 @@ object MarketAnalytics {
         var state = 0.0
         rows.map { r =>
           val sym = r.getString(symIdx)
-          val close = r.getDouble(closeIdx)
-          state = if (sym != curSym) close
-                  else alpha * close + (1 - alpha) * state
+          val v = r.getDouble(valIdx)
+          state = if (sym != curSym) v
+                  else alpha * v + (1 - alpha) * state
           curSym = sym
           org.apache.spark.sql.Row.fromSeq(r.toSeq :+ state)
         }
       }
     spark.createDataFrame(out,
-      candles.schema.add("ema", org.apache.spark.sql.types.DoubleType))
+      candles.schema.add(outCol, org.apache.spark.sql.types.DoubleType))
+  }
+
+  /** MACD (12/26/9): fast and slow EMAs of close, their difference,
+    * the signal EMA over that difference, and the histogram — three
+    * runs of the same sequential-recurrence pattern as `ema` (the
+    * candle table is small relative to raw transactions; each pass is
+    * one symbol-partitioned scan).
+    */
+  def macd(candles: DataFrame, fast: Int = 12, slow: Int = 26,
+           signalSpan: Int = 9): DataFrame = {
+    val withFast = ema(candles, fast, outCol = "ema_fast")
+    val withSlow = ema(withFast, slow, outCol = "ema_slow")
+    val withMacd = withSlow.withColumn("macd", col("ema_fast") - col("ema_slow"))
+    ema(withMacd, signalSpan, valueCol = "macd", outCol = "macd_signal")
+      .withColumn("macd_hist", col("macd") - col("macd_signal"))
   }
 
   /** Wilder's smoothed RSI — the classic recursive variant
