@@ -1,10 +1,43 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{cosine_sim, hyperplane_sig}
+
+/** Running (per-dimension sum, count) buffer for vector averaging. */
+case class VecAvgBuf(sums: Array[Double], n: Long)
+
+/** Element-wise mean of float vectors as a typed Aggregator — the
+  * partial-aggregatable way to average embeddings (map-side combine;
+  * only (sums, count) buffers shuffle, never the member vectors).
+  */
+object VecAvg extends Aggregator[Seq[Float], VecAvgBuf, Seq[Float]] {
+  override def zero: VecAvgBuf = VecAvgBuf(Array.empty[Double], 0L)
+  override def reduce(b: VecAvgBuf, a: Seq[Float]): VecAvgBuf =
+    if (b.n == 0L) VecAvgBuf(a.map(_.toDouble).toArray, 1L)
+    else {
+      val s = b.sums
+      var i = 0
+      while (i < s.length) { s(i) += a(i); i += 1 }
+      VecAvgBuf(s, b.n + 1)
+    }
+  override def merge(x: VecAvgBuf, y: VecAvgBuf): VecAvgBuf =
+    if (x.n == 0L) y
+    else if (y.n == 0L) x
+    else {
+      val s = x.sums
+      var i = 0
+      while (i < s.length) { s(i) += y.sums(i); i += 1 }
+      VecAvgBuf(s, x.n + y.n)
+    }
+  override def finish(b: VecAvgBuf): Seq[Float] =
+    b.sums.map(d => (d / b.n).toFloat).toSeq
+  override def bufferEncoder: Encoder[VecAvgBuf] = Encoders.product[VecAvgBuf]
+  override def outputEncoder: Encoder[Seq[Float]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]()
+}
 
 /** Similarity search over embedding columns (array<float>).
   *
@@ -80,24 +113,48 @@ object Similarity {
     * like one k-means iteration's seeds and need no training loop; at
     * cluster scale the assignment is one broadcast-join pass.
     */
-  def ivfIndex(vectors: DataFrame, nCells: Int): DataFrame = {
-    val centroids = broadcast(ivfCentroids(vectors, nCells))
-    // Argmax via partial-aggregatable max(struct(...)): the broadcast
-    // crossJoin leaves each vector's nCells candidate rows inside the
-    // map task that produced them, so the partial aggregate collapses
-    // them to ONE row per vec_id before any exchange — the shuffle
-    // moves n rows (one embedding each), never the nCells-expanded
-    // frame. (A row_number window here would hash-exchange the full
-    // n×nCells frame including the arrays, then sort.) Tie-break on
-    // ties of cell_sim = smallest cell_id, hence -cell_id in the
-    // lexicographic struct order.
-    vectors.crossJoin(centroids)
+  def ivfIndex(vectors: DataFrame, nCells: Int): DataFrame =
+    ivfAssign(vectors, ivfCentroids(vectors, nCells))
+
+  /** Assign every vector to its nearest centroid.
+    * Argmax via partial-aggregatable max(struct(...)): the broadcast
+    * crossJoin leaves each vector's nCells candidate rows inside the
+    * map task that produced them, so the partial aggregate collapses
+    * them to ONE row per vec_id before any exchange — the shuffle
+    * moves n rows (one embedding each), never the nCells-expanded
+    * frame. (A row_number window here would hash-exchange the full
+    * n×nCells frame including the arrays, then sort.) Tie-break on
+    * ties of cell_sim = smallest cell_id, hence -cell_id in the
+    * lexicographic struct order.
+    */
+  def ivfAssign(vectors: DataFrame, centroids: DataFrame): DataFrame =
+    vectors.crossJoin(broadcast(centroids))
       .withColumn("cell_sim", cosine_sim(col("embedding"), col("centroid")))
       .groupBy(col("vec_id"))
       .agg(max(struct(col("cell_sim"), (-col("cell_id")).as("neg_cell"),
         col("cell_id"), col("embedding"))).as("best"))
       .select(col("best.cell_id").as("cell_id"), col("vec_id"),
         col("best.embedding").as("embedding"))
+
+  /** Refine the sampled centroids with `iters` Lloyd (k-means)
+    * iterations: assign, then average each cell's members. The vector
+    * average is a typed Aggregator (partial-aggregatable), so each
+    * map task emits one (sums, count) buffer per cell and the shuffle
+    * carries ≤ nCells×nPartitions small buffers — the corpus vectors
+    * never move. Cells that lose all members disappear (standard
+    * k-means dead-cell behavior); search handles fewer cells fine.
+    */
+  def ivfTrain(vectors: DataFrame, nCells: Int, iters: Int = 2): DataFrame = {
+    val vecAvg = udaf(VecAvg)
+    var cents = ivfCentroids(vectors, nCells)
+    var i = 0
+    while (i < iters) {
+      cents = ivfAssign(vectors, cents)
+        .groupBy(col("cell_id"))
+        .agg(vecAvg(col("embedding")).as("centroid"))
+      i += 1
+    }
+    cents
   }
 
   /** IVF search: probe the `nProbe` cells nearest to each query and

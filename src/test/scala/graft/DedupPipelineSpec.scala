@@ -58,6 +58,24 @@ class DedupPipelineSpec extends SparkSpec {
     assert(removed.forall(r => keptIds.exists(_ < r)))
   }
 
+  test("ivfTrain: Lloyd-refined centroids keep the index valid and recall healthy") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter($"vec_id" < 10)
+    val trained = Similarity.ivfTrain(emb, nCells = 8, iters = 2)
+    assert(trained.count() <= 8 && trained.count() > 0)
+    // trained centroids have the vector dimensionality
+    assert(trained.select(size($"centroid")).distinct().collect()
+      .map(_.getInt(0)).toSeq === Seq(64))
+    val index = Similarity.ivfAssign(emb, trained)
+    assert(index.count() === emb.count()) // still a partition of the corpus
+    val brute = Similarity.knnBrute(emb, queries, topK = 5)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfSearch(index, trained, queries, topK = 5, nProbe = 4)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"trained-IVF recall $recall too low")
+  }
+
   test("IVF search recall vs brute force") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val queries = emb.filter($"vec_id" < 10)
