@@ -158,7 +158,20 @@ object LshDedup {
     * volume, so at corpus scale prefer jaccardVerified (LSH-pruned)
     * for mining and keep this as the verification/ground-truth path.
     */
-  def exactJaccardPairs(docs: DataFrame, threshold: Double, n: Int = 3): DataFrame = {
+  def exactJaccardPairs(docs: DataFrame, threshold: Double, n: Int = 3): DataFrame =
+    // both paths are exact; pick by threshold. High thresholds let the
+    // PPJoin prefix filter prune most of the inverted index (prefix
+    // fraction ≈ 1-t of each set), low thresholds barely prune, where
+    // the count-based join avoids per-pair array intersections.
+    if (threshold >= 0.5) exactJaccardPairsPrefix(docs, threshold, n)
+    else exactJaccardPairsCounted(docs, threshold, n)
+
+  /** Count-based inverted-index join: count shared shingles per pair,
+    * derive the union from set sizes. Touches every shared-shingle
+    * co-occurrence — right at low thresholds where little prunes.
+    */
+  def exactJaccardPairsCounted(docs: DataFrame, threshold: Double,
+                               n: Int = 3): DataFrame = {
     val sh = shingleHashes(docs, n = n)
       .filter(size(col("shingle_hashes")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -173,6 +186,36 @@ object LshDedup {
       .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_b", "n_sh" -> "n_b")), "doc_b")
       .withColumn("jaccard",
         col("n_int").cast("double") / (col("n_a") + col("n_b") - col("n_int")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Prefix-filtered (PPJoin-style) exact join: sort each shingle set
+    * under the global hash order and index only the first
+    * |x| − ⌈t·|x|⌉ + 1 shingles — two sets with Jaccard ≥ t MUST
+    * share a prefix element (prefix-filtering principle), so joining
+    * prefixes generates a complete candidate set at ~`(1-t)` of the
+    * inverted-index volume; candidates are then verified with one
+    * exact array intersection per pair.
+    */
+  def exactJaccardPairsPrefix(docs: DataFrame, threshold: Double,
+                              n: Int = 3): DataFrame = {
+    val sorted = shingleHashes(docs, n = n)
+      .filter(size(col("shingle_hashes")) > 0)
+      .select(col("doc_id"), sort_array(col("shingle_hashes")).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prefLen = (size(col("sh")) -
+      ceil(lit(threshold) * size(col("sh"))) + 1).cast("int")
+    val pref = sorted.select(col("doc_id"),
+      explode(slice(col("sh"), lit(1), prefLen)).as("s"))
+    pref.as("a")
+      .join(pref.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .join(sorted.withColumnsRenamed(Map("doc_id" -> "doc_a", "sh" -> "sh_a")), "doc_a")
+      .join(sorted.withColumnsRenamed(Map("doc_id" -> "doc_b", "sh" -> "sh_b")), "doc_b")
+      .withColumn("jaccard", Dedup.jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }

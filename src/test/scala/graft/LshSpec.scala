@@ -88,6 +88,17 @@ class LshSpec extends SparkSpec {
     assert(lsh.subsetOf(exact))
   }
 
+  test("prefix-filtered exact Jaccard == count-based exact Jaccard at every threshold") {
+    for (t <- Seq(0.2, 0.5, 0.8)) {
+      val counted = LshDedup.exactJaccardPairsCounted(docs, t)
+        .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val prefixed = LshDedup.exactJaccardPairsPrefix(docs, t)
+        .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(prefixed === counted, s"threshold $t mismatch")
+      if (t == 0.8) assert(counted.nonEmpty)
+    }
+  }
+
   test("blockedNearDupPairs == cosineNearDupPairs exactly (all block counts)") {
     val exact = Similarity.cosineNearDupPairs(emb, 0.4)
       .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
