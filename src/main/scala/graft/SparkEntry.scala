@@ -569,6 +569,17 @@ object SparkEntry {
     "q_chunk" -> ((s, dir) =>
       graft.operators.Corpus.chunk(Tables.documents(s, dir), chunkSize = 32, overlap = 8)
         .orderBy(col("doc_id"), col("chunk_id"))),
+    "q_pack" -> ((s, dir) =>
+      graft.operators.Corpus.packSequences(
+        graft.operators.Corpus.chunk(Tables.documents(s, dir), chunkSize = 32, overlap = 8),
+        seqLen = 256, nBuckets = 8)
+        .orderBy(col("bucket"), col("seq_id"))),
+    "q_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfidfTopK(Tables.documents(s, dir), k = 3)
+        .withColumn("tfidf_micro", floor(col("tfidf") * 1e6).cast("long"))
+        .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("df"),
+          col("tfidf_micro"))
+        .orderBy(col("doc_id"), col("rk"))),
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(Tables.documents(s, dir))
         .orderBy(col("content_hash"))),
@@ -1177,6 +1188,56 @@ object SparkEntry {
         |  array_to_string(chunk, ' ') AS chunk_text,
         |  CAST(len(chunk) AS INTEGER) AS n_chunk_tokens
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    "q_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                x -> len(x) > 0) AS toks
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(0,
+        |      CAST(floor((greatest(len(toks), 1) - 1) / 24.0) AS INTEGER)),
+        |      i -> struct_pack(chunk_id := i,
+        |                       chunk := list_slice(toks, i * 24 + 1, i * 24 + 32))),
+        |      recursive := true)
+        |  FROM t WHERE len(toks) > 0
+        |), ch AS (
+        |  SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+        |         CAST(len(chunk) AS INTEGER) AS n_chunk_tokens
+        |  FROM c
+        |), cum AS (
+        |  SELECT doc_id % 8 AS bucket, doc_id, chunk_id, n_chunk_tokens,
+        |    sum(n_chunk_tokens) OVER (PARTITION BY doc_id % 8
+        |      ORDER BY doc_id, chunk_id) AS cum
+        |  FROM ch
+        |)
+        |SELECT bucket, CAST((cum - n_chunk_tokens) // 256 AS BIGINT) AS seq_id,
+        |  count(*) AS n_chunks, CAST(sum(n_chunk_tokens) AS BIGINT) AS n_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM cum GROUP BY 1, 2 ORDER BY bucket, seq_id""".stripMargin,
+    "q_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    regexp_split_to_array(lower(trim(text)), '\s+'),
+        |    t -> len(t) > 0)) AS term
+        |  FROM documents
+        |), tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM toks),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    tf.tf * ln(CAST(n_docs AS DOUBLE) / df) AS tfidf
+        |  FROM tf JOIN df USING (term) CROSS JOIN nd
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf DESC, term) AS rk
+        |  FROM scored
+        |)
+        |SELECT doc_id, CAST(rk AS INTEGER) AS rk, term,
+        |  CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+        |  CAST(floor(tfidf * 1000000) AS BIGINT) AS tfidf_micro
+        |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash,
         |  min(doc_id) AS keep_doc_id, count(*) AS n_copies

@@ -34,6 +34,34 @@ object Corpus {
     when(hashBucket(idCol) < lit(fractionThreshold(trainFraction)), "train")
       .otherwise("eval")
 
+  /** Pack chunks into fixed-length training sequences — the
+    * pretraining packer: chunks stream in deterministic (doc_id,
+    * chunk_id) order within a bucket and a chunk belongs to the
+    * sequence its starting token offset falls in (offset div seqLen).
+    * Buckets bound the window's partition size: packing is a running
+    * token count, inherently sequential, so it runs per-bucket in
+    * parallel rather than as one global (single-partition) window —
+    * at corpus scale raise nBuckets with the cluster, and swap the
+    * mod-bucket for a hash bucket if doc ids are not uniform.
+    * Emits one row per packed sequence:
+    * (bucket, seq_id, n_chunks, n_tokens, first_doc, last_doc).
+    */
+  def packSequences(chunks: DataFrame, seqLen: Int = 256,
+                    nBuckets: Int = 8): DataFrame = {
+    require(seqLen > 0 && nBuckets > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col("doc_id"), col("chunk_id"))
+    chunks
+      .withColumn("bucket", pmod(col("doc_id"), lit(nBuckets)))
+      .withColumn("cum", sum(col("n_chunk_tokens")).over(w))
+      .withColumn("seq_id", expr(s"(cum - n_chunk_tokens) div $seqLen"))
+      .groupBy(col("bucket"), col("seq_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("n_chunk_tokens")).cast("long").as("n_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+  }
+
   /** Token-window chunking with overlap — the standard RAG/pretraining
     * chunker: whitespace tokens, windows of `size` tokens advancing by
     * `size - overlap`, last window may be short. Emits

@@ -94,6 +94,31 @@ object TextAnalysis {
 
   def langId(text: Column): Column = langIdOf(text, tokens(text))
 
+  /** Top-k most distinctive terms per document by tf-idf
+    * (idf = ln(N/df)). Shuffles only (doc_id, term) count pairs; the
+    * document-frequency table is vocabulary-sized and broadcast, so
+    * scoring is a map-side join over the tf table.
+    */
+  def tfidfTopK(docs: DataFrame, k: Int = 3,
+                textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"),
+      explode(tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = toks.select(col("doc_id")).distinct()
+      .agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", col("tf") * log(col("n_docs").cast("double") / col("df")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("df"),
+        col("tfidf"))
+  }
+
   /** Full per-document stats frame (single tokenization). */
   def stats(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
