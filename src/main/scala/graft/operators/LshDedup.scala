@@ -158,12 +158,18 @@ object LshDedup {
     * volume, so at corpus scale prefer jaccardVerified (LSH-pruned)
     * for mining and keep this as the verification/ground-truth path.
     */
-  def exactJaccardPairs(docs: DataFrame, threshold: Double, n: Int = 3): DataFrame =
-    // both paths are exact; pick by threshold. High thresholds let the
-    // PPJoin prefix filter prune most of the inverted index (prefix
-    // fraction ≈ 1-t of each set), low thresholds barely prune, where
-    // the count-based join avoids per-pair array intersections.
-    if (threshold >= 0.5) exactJaccardPairsPrefix(docs, threshold, n)
+  def exactJaccardPairs(docs: DataFrame, threshold: Double, n: Int = 3,
+                        prefixFilter: Boolean = false): DataFrame =
+    // both paths are exact. Counted touches every shared-shingle
+    // co-occurrence (volume Σ cnt(s)² over all shingles) but needs the
+    // fewest shuffles — it wins up to mid-size corpora (measured ~3 s
+    // vs ~7 s at sf0.1). Prefix-filtered only indexes each set's
+    // rarest (1-t) fraction, collapsing the quadratic common-shingle
+    // term — the large-corpus/boilerplate-heavy path, at the price of
+    // two extra shuffles to rank shingles by frequency. Flip
+    // prefixFilter when co-occurrence volume, not shuffle count, is
+    // the bottleneck.
+    if (prefixFilter) exactJaccardPairsPrefix(docs, threshold, n)
     else exactJaccardPairsCounted(docs, threshold, n)
 
   /** Count-based inverted-index join: count shared shingles per pair,
@@ -190,31 +196,45 @@ object LshDedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  /** Prefix-filtered (PPJoin-style) exact join: sort each shingle set
-    * under the global hash order and index only the first
-    * |x| − ⌈t·|x|⌉ + 1 shingles — two sets with Jaccard ≥ t MUST
-    * share a prefix element (prefix-filtering principle), so joining
-    * prefixes generates a complete candidate set at ~`(1-t)` of the
-    * inverted-index volume; candidates are then verified with one
-    * exact array intersection per pair.
+  /** Prefix-filtered (PPJoin-style) exact join: order each shingle set
+    * under the canonical rarest-first global order (ascending document
+    * frequency, shingle hash as tiebreak) and index only the first
+    * |x| − ⌈t·|x|⌉ + 1 shingles — two sets with Jaccard ≥ t MUST share
+    * a prefix element (prefix-filtering principle), so joining
+    * prefixes generates a complete candidate set; candidates are then
+    * verified with one exact array intersection per pair. The
+    * rarest-first order is what makes the filter effective: prefixes
+    * are built from low-frequency shingles, so inverted-index buckets
+    * stay near-singleton instead of going quadratic on common
+    * trigrams (a hash-ordered prefix admits ~1000× more candidates on
+    * a shared-vocabulary corpus). Costs two extra shuffles of the
+    * (shingle, doc) table to rank by frequency — the standard trade
+    * of distributed set-similarity joins, amortized at scale by the
+    * candidate collapse.
     */
   def exactJaccardPairsPrefix(docs: DataFrame, threshold: Double,
                               n: Int = 3): DataFrame = {
-    val sorted = shingleHashes(docs, n = n)
+    val sh = shingleHashes(docs, n = n)
       .filter(size(col("shingle_hashes")) > 0)
-      .select(col("doc_id"), sort_array(col("shingle_hashes")).as("sh"))
+    val exploded = sh.select(col("doc_id"), explode(col("shingle_hashes")).as("s"))
+    val dfreq = exploded.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    // each doc's shingles re-assembled rarest-first
+    val ordered = exploded.join(dfreq, "s")
+      .groupBy(col("doc_id"))
+      .agg(transform(sort_array(collect_list(struct(col("df"), col("s")))),
+        x => x.getField("s")).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val prefLen = (size(col("sh")) -
       ceil(lit(threshold) * size(col("sh"))) + 1).cast("int")
-    val pref = sorted.select(col("doc_id"),
+    val pref = ordered.select(col("doc_id"),
       explode(slice(col("sh"), lit(1), prefLen)).as("s"))
     pref.as("a")
       .join(pref.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-      .join(sorted.withColumnsRenamed(Map("doc_id" -> "doc_a", "sh" -> "sh_a")), "doc_a")
-      .join(sorted.withColumnsRenamed(Map("doc_id" -> "doc_b", "sh" -> "sh_b")), "doc_b")
+      .join(ordered.withColumnsRenamed(Map("doc_id" -> "doc_a", "sh" -> "sh_a")), "doc_a")
+      .join(ordered.withColumnsRenamed(Map("doc_id" -> "doc_b", "sh" -> "sh_b")), "doc_b")
       .withColumn("jaccard", Dedup.jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
