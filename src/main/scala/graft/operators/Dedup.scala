@@ -43,6 +43,20 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Streaming exact dedup: drop any document whose normalized
+    * content hash was already seen within the watermark horizon —
+    * ingest-time dedup for a document stream. State is one hash per
+    * distinct document bounded by the watermark (Spark expires state
+    * past it); the batch operators above remain the full-corpus pass.
+    */
+  def dropExactDuplicatesStream(docs: DataFrame, tsCol: String,
+                                watermark: String,
+                                textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("content_hash", contentHash(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** End-to-end corpus dedup: exact (hash groups) then near-dup
     * (MinHash LSH → Jaccard-verified pairs → connected components),
     * keeping one representative per duplicate cluster.

@@ -51,6 +51,30 @@ class ApiSpec extends SparkSpec {
     assert(math.abs(v - 1.0) < 1e-12)
   }
 
+  test("plan-time validation: MinHash k cap, SQL arity, as-of collisions fail loud") {
+    // k beyond the precomputed permutation tables fails at plan time,
+    // not as an ArrayIndexOutOfBounds inside executor codegen
+    intercept[IllegalArgumentException] {
+      org.apache.spark.sql.graft.MinHashSignature(
+        org.apache.spark.sql.graft.GraftShim.toExpression(col("x")), 300)
+    }
+    // SQL callers passing extra args get an arity error, not silence
+    graft.functions.registerAll(spark)
+    val err = intercept[Exception] {
+      spark.sql("SELECT cosine_sim(array(1.0f), array(1.0f), 99)").collect()
+    }
+    assert(err.getMessage.contains("2 argument"))
+    // as-of join rejects left frames whose columns collide with the
+    // asof_<col>/__side output names instead of overwriting them
+    val left = Seq((1L, ts("2024-01-01 00:00:01"), 0.0))
+      .toDF("k", "ts", "asof_v")
+    val right = Seq((1L, ts("2024-01-01 00:00:00"), 1.0))
+      .toDF("k", "ts", "v")
+    intercept[IllegalArgumentException] {
+      graft.operators.AsOfJoin.asofBackward(left, right, Seq("k"), "ts")
+    }
+  }
+
   test("Kafka-shaped payload parsing matches the reference's JSON contract") {
     val kafka = Seq(
       ("""{"symbol":"AAPL","price":150.5,"quantity":7,"timestamp":"2024-03-01T09:30:05.000Z"}""")
