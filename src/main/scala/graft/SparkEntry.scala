@@ -543,6 +543,9 @@ object SparkEntry {
       TextAnalysis.stats(Tables.documents(s, dir))
         .select(col("doc_id"), col("lang_pred"))
         .orderBy(col("doc_id"))),
+    "q_corpus_mix" -> ((s, dir) =>
+      TextAnalysis.corpusMix(Tables.documents(s, dir))
+        .orderBy(col("source"), col("lang"))),
     "q_vocab" -> ((s, dir) =>
       // corpus vocabulary stats: top tokens by frequency (explode +
       // count, the canonical map-side-combined word count)
@@ -1135,6 +1138,32 @@ object SparkEntry {
         |      + 0.2 * (CASE WHEN punct_ratio BETWEEN 0.0 AND 0.2 THEN 1.0 ELSE 0.0 END)
         |      + 0.2 * least(stopword_ratio * 5.0, 1.0), 6) AS quality
         |FROM m ORDER BY doc_id""".stripMargin,
+    "q_corpus_mix" ->
+      """WITH t AS (
+        |  SELECT source, lang, text,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                x -> len(x) > 0) AS toks
+        |  FROM documents
+        |), m AS (
+        |  SELECT source, lang, toks,
+        |    round(0.4 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+        |      + 0.2 * (CASE WHEN (CASE WHEN len(toks) > 0 THEN
+        |          CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) / len(toks)
+        |          ELSE 0.0 END) BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.0 END)
+        |      + 0.2 * (CASE WHEN (CASE WHEN length(text) > 0 THEN
+        |          CAST(length(regexp_replace(text, '[^.,;:!?''"]', '', 'g')) AS DOUBLE) / length(text)
+        |          ELSE 0.0 END) BETWEEN 0.0 AND 0.2 THEN 1.0 ELSE 0.0 END)
+        |      + 0.2 * least((CASE WHEN len(toks) > 0 THEN
+        |          CAST(len(list_filter(toks, x -> list_contains(
+        |            ['the','a','an','and','of','to','in','is','it','that'], x))) AS DOUBLE)
+        |            / len(toks) ELSE 0.0 END) * 5.0, 1.0), 6) AS quality
+        |  FROM t
+        |)
+        |SELECT source, lang, count(*) AS n_docs,
+        |  CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CAST(quality AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS quality_sum_micro,
+        |  CAST(sum(CAST(quality AS DECIMAL(18,6))) * 1000000 AS BIGINT) // count(*) AS mean_quality_micro
+        |FROM m GROUP BY 1, 2 ORDER BY source, lang""".stripMargin,
     "q_lang_id" ->
       """WITH t AS (
         |  SELECT doc_id, text,

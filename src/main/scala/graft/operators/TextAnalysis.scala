@@ -119,6 +119,23 @@ object TextAnalysis {
         col("tfidf"))
   }
 
+  /** Training-mix report: per (source, lang) doc and token counts and
+    * mean quality — the corpus-composition summary a data pipeline
+    * publishes before choosing mixing weights. One map-side-combined
+    * shuffle on the (source, lang) key; quality accumulates in
+    * decimal micro-units so the mean is integer-exact and
+    * order-independent at any parallelism.
+    */
+  def corpusMix(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn("__toks", tokens(col(textCol)))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("__toks"))).cast("long").as("n_tokens"),
+        (sum(qualityScoreOf(col(textCol), col("__toks")).cast("decimal(18,6)"))
+          * 1000000).cast("long").as("quality_sum_micro"))
+      .withColumn("mean_quality_micro",
+        expr("quality_sum_micro div n_docs"))
+
   /** Full per-document stats frame (single tokenization). */
   def stats(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
