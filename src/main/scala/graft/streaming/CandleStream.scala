@@ -140,45 +140,94 @@ object CandleStream {
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (rawBatch: DataFrame, _: Long) =>
-        val spark = rawBatch.sparkSession
-        val batch = rawBatch.withColumn("window_date", to_date(col("window_start")))
-        val partCols = Seq("timeframe", "symbol", "window_date")
-        val keyCols = Seq("timeframe", "symbol", "window_start")
-        // merge-on-write: rewritten partitions must carry their
-        // unchanged rows too, so read them back (partition-pruned via
-        // the semi-join on the tiny affected-partition key set), drop
-        // rows superseded by this batch, and union the new versions.
-        // Existence check goes through the Hadoop FileSystem API so
-        // HDFS/S3 store paths behave identically to local ones (a
-        // java.io.File check would silently report "empty" there and
-        // the overwrite would drop unchanged rows).
-        val storePath = new org.apache.hadoop.fs.Path(path)
-        val fs = storePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val storeHasData = fs.exists(storePath) &&
-          fs.listStatus(storePath).exists(_.getPath.getName.startsWith("timeframe="))
-        val merged = if (!storeHasData) batch else {
-          val affected = batch.select(partCols.map(col): _*).distinct()
-          val existing = spark.read.parquet(path)
-            .join(broadcast(affected), partCols, "left_semi")
-            .join(broadcast(batch.select(keyCols.map(col): _*)), keyCols, "left_anti")
-          existing.unionByName(batch)
-        }
-        // materialize before writing: the write target is also the
-        // read source, which Spark (rightly) refuses without a barrier
-        merged.persist()
-        merged.count()
-        val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try merged.write.mode("overwrite")
-          .partitionBy(partCols: _*)
-          .parquet(path)
-        finally {
-          prev match {
-            case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-            case None => spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
-          }
-          merged.unpersist()
-        }
+        mergeBatchIntoStore(rawBatch, path)
+      }
+      .start()
+
+  /** Merge one candle batch into the partitioned store: rewrite
+    * exactly the affected (timeframe, symbol, window_date) partitions
+    * via dynamic partition overwrite, carrying their unchanged rows.
+    * The existence check goes through the Hadoop FileSystem API so
+    * HDFS/S3 store paths behave identically to local ones (a
+    * java.io.File check would silently report "empty" there and the
+    * overwrite would drop unchanged rows).
+    */
+  def mergeBatchIntoStore(rawBatch: DataFrame, path: String): Unit = {
+    val spark = rawBatch.sparkSession
+    val batch = rawBatch.withColumn("window_date", to_date(col("window_start")))
+    val partCols = Seq("timeframe", "symbol", "window_date")
+    val keyCols = Seq("timeframe", "symbol", "window_start")
+    // merge-on-write: rewritten partitions must carry their unchanged
+    // rows too, so read them back (partition-pruned via the semi-join
+    // on the tiny affected-partition key set), drop rows superseded by
+    // this batch, and union the new versions
+    val storePath = new org.apache.hadoop.fs.Path(path)
+    val fs = storePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val storeHasData = fs.exists(storePath) &&
+      fs.listStatus(storePath).exists(_.getPath.getName.startsWith("timeframe="))
+    val merged = if (!storeHasData) batch else {
+      val affected = batch.select(partCols.map(col): _*).distinct()
+      val existing = spark.read.parquet(path)
+        .join(broadcast(affected), partCols, "left_semi")
+        .join(broadcast(batch.select(keyCols.map(col): _*)), keyCols, "left_anti")
+      existing.unionByName(batch)
+    }
+    // materialize before writing: the write target is also the read
+    // source, which Spark (rightly) refuses without a barrier
+    merged.persist()
+    merged.count()
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try merged.write.mode("overwrite")
+      .partitionBy(partCols: _*)
+      .parquet(path)
+    finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+      }
+      merged.unpersist()
+    }
+  }
+
+  /** The reference's full cascade as an incremental streaming
+    * materialization (reference: CandlestickAggregator.kt:119-186 —
+    * the minute candle stream is re-windowed into HOUR/DAY/MONTH):
+    * each micro-batch upserts its minute candles, then re-derives the
+    * hour/day/month candles of every affected (symbol, month) from
+    * the minute partitions of the store and upserts those too. The
+    * store always holds a consistent view of all four timeframes; the
+    * rollups re-aggregate only the (tiny) minute-candle table scoped
+    * to the touched months, never the raw transactions.
+    */
+  def cascadeToStore(minuteCandles: DataFrame, path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    minuteCandles.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (minuteBatch: DataFrame, _: Long) =>
+        val spark = minuteBatch.sparkSession
+        minuteBatch.persist()
+        try {
+          mergeBatchIntoStore(minuteBatch, path)
+          // affected (symbol, month) scope: month is the widest rollup,
+          // so re-rolling whole months keeps every timeframe exact
+          val months = minuteBatch
+            .select(col("symbol").as("m_symbol"),
+              date_trunc("month", col("window_start")).as("m_month"))
+            .distinct()
+          val minuteScope = spark.read.parquet(path)
+            .filter(col("timeframe") === CandleTimeFrame.Minute)
+            .join(broadcast(months),
+              col("symbol") === col("m_symbol") &&
+                date_trunc("month", col("window_start")) === col("m_month"),
+              "left_semi")
+            .select(Candles.candleColumns: _*)
+          val rolled = Seq(CandleTimeFrame.Hour, CandleTimeFrame.Day, CandleTimeFrame.Month)
+            .map(Candles.rollup(minuteScope, _))
+            .reduce(_ unionByName _)
+          mergeBatchIntoStore(rolled, path)
+        } finally minuteBatch.unpersist()
       }
       .start()
 
