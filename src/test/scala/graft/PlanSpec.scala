@@ -53,4 +53,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       s"queries not broadcast in:\n$p")
   }
+
+  test("q_pack: one hash exchange total (bucket window feeds the rollup in place)") {
+    val p = plan("q_pack")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"expected exactly one hash exchange in:\n$p")
+    assert(p.contains("partial_sum"), s"no partial aggregation in:\n$p")
+  }
+
+  test("q_tfidf: document-frequency table and corpus count are broadcast") {
+    val p = plan("q_tfidf")
+    assert(p.contains("BroadcastHashJoin"), s"df join not broadcast in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+  }
+
+  test("q_corpus_mix: single map-side-combined shuffle on the mix key") {
+    val p = plan("q_corpus_mix")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"expected exactly one hash exchange in:\n$p")
+    assert(p.contains("partial_count") && p.contains("partial_sum"),
+      s"no partial aggregation in:\n$p")
+  }
 }
