@@ -86,6 +86,39 @@ object CandleStore {
     fs.delete(bak, true)
   }
 
+  /** Bucketed store layout for ultra-high symbol cardinality: with
+    * millions of symbols, one directory per symbol explodes the
+    * filesystem metadata, so partition by (timeframe, symbol_bucket =
+    * hash(symbol) mod nBuckets) instead. A symbol lookup computes its
+    * bucket (pruning to 1/nBuckets of the data), and parquet row-group
+    * stats on the symbol column prune inside the bucket (files are
+    * written symbol-then-time sorted to keep those stats tight).
+    */
+  def writeBucketed(candles: DataFrame, path: String, nBuckets: Int = 64,
+                    mode: SaveMode = SaveMode.Overwrite): Unit =
+    candles
+      .withColumn("symbol_bucket", pmod(xxhash64(col("symbol")), lit(nBuckets)))
+      .repartition(col("timeframe"), col("symbol_bucket"))
+      .sortWithinPartitions(col("symbol"), col("window_start"))
+      .write
+      .mode(mode)
+      .partitionBy("timeframe", "symbol_bucket")
+      .parquet(path)
+
+  /** Range query against a bucketed store: timeframe + the symbol's
+    * bucket hit partition pruning; symbol + time predicates hit
+    * row-group pruning inside the bucket.
+    */
+  def rangeBucketed(spark: SparkSession, path: String, symbol: String,
+                    tf: String, from: String, to: String,
+                    nBuckets: Int = 64): DataFrame = {
+    val bucketed = read(spark, path)
+      .filter(col("symbol_bucket") ===
+        pmod(xxhash64(lit(symbol)), lit(nBuckets)))
+    CandleQueries.range(bucketed, symbol, tf, from, to)
+      .drop("symbol_bucket")
+  }
+
   /** All stored (timeframe, symbol) combos — the analog of the
     * reference's Redis `keys candle:*` scans
     * (CandleStickService.kt:181-196), answered from partition

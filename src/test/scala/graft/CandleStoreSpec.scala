@@ -52,6 +52,30 @@ class CandleStoreSpec extends SparkSpec {
     assert(filesPerPartition === 1, s"expected 1 compacted file, got $filesPerPartition")
   }
 
+  test("bucketed store: range reads prune to the symbol's bucket and match direct computation") {
+    val dir = Files.createTempDirectory("bucketstore").toString
+    val candles = Candles.multiTimeframe(TransactionSimulator.batch(spark, 300))
+    CandleStore.writeBucketed(candles, dir, nBuckets = 8)
+
+    // bounded directory count: buckets, not symbols
+    val minuteDirs = new java.io.File(s"$dir/timeframe=MINUTE").listFiles()
+      .filter(_.getName.startsWith("symbol_bucket=")).map(_.getName)
+    assert(minuteDirs.nonEmpty && minuteDirs.length <= 8)
+
+    val got = CandleStore.rangeBucketed(spark, dir, "AAPL", CandleTimeFrame.Minute,
+      "2024-01-01 00:00:00", "2024-01-02 00:00:00", nBuckets = 8)
+    val want = graft.operators.CandleQueries.range(
+      candles, "AAPL", CandleTimeFrame.Minute,
+      "2024-01-01 00:00:00", "2024-01-02 00:00:00")
+    assert(got.select(Candles.candleColumns: _*).collect().toSet
+      === want.select(Candles.candleColumns: _*).collect().toSet)
+    assert(got.count() > 0)
+    // the bucket predicate reaches the partition filters
+    val explained = got.queryExecution.executedPlan.toString
+    assert(explained.contains("PartitionFilters") &&
+      explained.contains("symbol_bucket"), s"no bucket pruning in:\n$explained")
+  }
+
   test("sessionize splits on the inactivity gap") {
     val ev = Seq(
       (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1.0),
