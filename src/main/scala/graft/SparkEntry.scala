@@ -326,6 +326,21 @@ object SparkEntry {
         .select(col("symbol"), fmtTs(col("window_start")).as("window_start"),
           col("close"), col("macd"), col("macd_signal"), col("macd_hist"))
         .orderBy(col("symbol"), col("window_start"))),
+    "q_stochastic" -> ((s, dir) =>
+      MarketAnalytics.stochastic(
+        Candles.rollup(Candles.minuteCandles(Candles.transactions(s, dir)),
+          CandleTimeFrame.Day), n = 14)
+        .select(col("symbol"), fmtTs(col("window_start")).as("window_start"),
+          floor(col("pct_k") * 1e6).cast("long").as("pct_k_micro"),
+          floor(col("pct_d") * 1e6).cast("long").as("pct_d_micro"))
+        .orderBy(col("symbol"), col("window_start"))),
+    "q_obv" -> ((s, dir) =>
+      MarketAnalytics.obv(
+        Candles.rollup(Candles.minuteCandles(Candles.transactions(s, dir)),
+          CandleTimeFrame.Day))
+        .select(col("symbol"), fmtTs(col("window_start")).as("window_start"),
+          col("close"), col("volume"), col("obv"))
+        .orderBy(col("symbol"), col("window_start"))),
     "q_session_window" -> ((s, dir) =>
       // the built-in gap-based session_window (works batch AND
       // streaming) — same sessions as MarketAnalytics.sessionize, with
@@ -1331,6 +1346,41 @@ object SparkEntry {
         |  e_fast - e_slow AS macd, sig AS macd_signal,
         |  (e_fast - e_slow) - sig AS macd_hist
         |FROM rec ORDER BY symbol, window_start""".stripMargin),
+    // q_stochastic oracle: the same pinned-order arithmetic — %D is the
+    // explicit (k + lag1 + lag2) / 3, not an avg() window.
+    "q_stochastic" -> (txnCte + minuteCte + rollupCte("day") +
+      """, k AS (
+        |  SELECT symbol, ws,
+        |    CASE WHEN max(high) OVER w = min(low) OVER w THEN 50.0
+        |         ELSE (close - min(low) OVER w)
+        |              / (max(high) OVER w - min(low) OVER w) * 100.0 END AS pct_k
+        |  FROM roll_c
+        |  WINDOW w AS (PARTITION BY symbol ORDER BY ws
+        |               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        |), d AS (
+        |  SELECT symbol, ws, pct_k,
+        |    (pct_k + lag(pct_k, 1) OVER v + lag(pct_k, 2) OVER v) / 3.0 AS pct_d
+        |  FROM k
+        |  WINDOW v AS (PARTITION BY symbol ORDER BY ws)
+        |)
+        |SELECT symbol, strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  CAST(floor(pct_k * 1000000) AS BIGINT) AS pct_k_micro,
+        |  CAST(floor(pct_d * 1000000) AS BIGINT) AS pct_d_micro
+        |FROM d ORDER BY symbol, window_start""".stripMargin),
+    "q_obv" -> (txnCte + minuteCte + rollupCte("day") +
+      """, s AS (
+        |  SELECT symbol, ws, close, volume,
+        |    CASE WHEN close - lag(close, 1) OVER v > 0 THEN volume
+        |         WHEN close - lag(close, 1) OVER v < 0 THEN -volume
+        |         ELSE 0 END AS sv
+        |  FROM roll_c
+        |  WINDOW v AS (PARTITION BY symbol ORDER BY ws)
+        |)
+        |SELECT symbol, strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  close, volume,
+        |  CAST(sum(sv) OVER (PARTITION BY symbol ORDER BY ws
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS obv
+        |FROM s ORDER BY symbol, window_start""".stripMargin),
     // q_fingerprint oracle: FNV-1a 64-bit with wraparound arithmetic —
     // HUGEINT products (≤2^104) reduced mod 2^64 each step, then
     // mapped to the signed BIGINT Spark emits.

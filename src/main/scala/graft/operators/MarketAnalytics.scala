@@ -145,6 +145,41 @@ object MarketAnalytics {
           .otherwise(lit(100.0) - lit(100.0) / (lit(1.0) + sumGain / sumLoss)))
   }
 
+  /** Stochastic oscillator: %K = (close − lowest low) / (highest high
+    * − lowest low) · 100 over an `n`-candle trailing window, and
+    * %D = 3-period SMA of %K. The %D average is written as the
+    * explicit (k + lag(k,1) + lag(k,2)) / 3 so the FP operation order
+    * is pinned (engine-reproducible); NULL until three %K values
+    * exist. Flat windows (high == low) emit %K = 50.
+    */
+  def stochastic(candles: DataFrame, n: Int = 14): DataFrame = {
+    val bySym = Window.partitionBy(col("symbol")).orderBy(col("window_start"))
+    val trailing = bySym.rowsBetween(-(n - 1), 0)
+    val loN = min(col("low")).over(trailing)
+    val hiN = max(col("high")).over(trailing)
+    val pctK = when(hiN === loN, lit(50.0))
+      .otherwise((col("close") - loN) / (hiN - loN) * 100.0)
+    candles
+      .withColumn("pct_k", pctK)
+      .withColumn("pct_d",
+        (col("pct_k") + lag(col("pct_k"), 1).over(bySym)
+          + lag(col("pct_k"), 2).over(bySym)) / 3.0)
+  }
+
+  /** On-balance volume: running sum of +volume / −volume / 0 by the
+    * sign of the close-over-close change — integer-exact, so the
+    * cumulative sum is order-independent and engine-reproducible.
+    */
+  def obv(candles: DataFrame): DataFrame = {
+    val bySym = Window.partitionBy(col("symbol")).orderBy(col("window_start"))
+    val chg = col("close") - lag(col("close"), 1).over(bySym)
+    val signedVol = when(chg > 0, col("volume"))
+      .when(chg < 0, -col("volume"))
+      .otherwise(lit(0L))
+    candles.withColumn("obv",
+      sum(signedVol).over(bySym.rowsBetween(Window.unboundedPreceding, 0)))
+  }
+
   /** Exponential moving average of close per symbol —
     * EMA_t = α·close_t + (1−α)·EMA_{t−1}, α = 2/(span+1).
     *
