@@ -662,6 +662,14 @@ object SparkEntry {
         .select(col("doc_id"), col("mime"), col("width"), col("height"),
           col("n_bytes"), col("mean_byte"))
         .orderBy(col("doc_id"))),
+    "q_media_frames" -> ((s, dir) =>
+      // frame sampling shape check: every stride-th fixed-size payload
+      // chunk with its byte length (the partition-parallel frame-
+      // extraction pattern; oracle recomputes offsets arithmetically)
+      Media.sampleFrames(Media.packMedia(Tables.documents(s, dir)))
+        .select(col("doc_id"), col("frame_idx"),
+          octet_length(col("frame")).as("frame_bytes"))
+        .orderBy(col("doc_id"), col("frame_idx"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1485,6 +1493,18 @@ object SparkEntry {
         |SELECT query_id, rank, vec_id,
         |  CAST(floor(sim * 1000000) AS BIGINT) AS sim_micro
         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q_media_frames" ->
+      """WITH f AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n,
+        |    unnest(generate_series(0,
+        |      CAST(greatest(floor((octet_length(encode(text)) - 1) / 32.0), 0)
+        |        AS INTEGER))) AS frame_idx
+        |  FROM documents
+        |)
+        |SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+        |  CAST(least(32, n - frame_idx * 32) AS INTEGER) AS frame_bytes
+        |FROM f WHERE frame_idx % 4 = 0
+        |ORDER BY doc_id, frame_idx""".stripMargin,
     "q_media_meta" ->
       """SELECT doc_id, 'image/fake' AS mime,
         |  CAST(64 + (doc_id * 7919 + length(text)) % 512 AS INTEGER) AS width,
