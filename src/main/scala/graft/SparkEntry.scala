@@ -334,6 +334,13 @@ object SparkEntry {
           floor(col("pct_k") * 1e6).cast("long").as("pct_k_micro"),
           floor(col("pct_d") * 1e6).cast("long").as("pct_d_micro"))
         .orderBy(col("symbol"), col("window_start"))),
+    "q_atr" -> ((s, dir) =>
+      MarketAnalytics.atr(
+        Candles.rollup(Candles.minuteCandles(Candles.transactions(s, dir)),
+          CandleTimeFrame.Day), n = 14)
+        .select(col("symbol"), fmtTs(col("window_start")).as("window_start"),
+          col("close"), col("atr"))
+        .orderBy(col("symbol"), col("window_start"))),
     "q_obv" -> ((s, dir) =>
       MarketAnalytics.obv(
         Candles.rollup(Candles.minuteCandles(Candles.transactions(s, dir)),
@@ -1375,6 +1382,33 @@ object SparkEntry {
         |  CAST(floor(pct_k * 1000000) AS BIGINT) AS pct_k_micro,
         |  CAST(floor(pct_d * 1000000) AS BIGINT) AS pct_d_micro
         |FROM d ORDER BY symbol, window_start""".stripMargin),
+    // q_atr oracle: TR and the Wilder smoothing carried through a
+    // recursive CTE, arithmetic mirrored operation-for-operation.
+    "q_atr" -> (txnCte.replace("WITH txn", "WITH RECURSIVE txn") + minuteCte +
+      rollupCte("day") +
+      """, ordered AS (
+        |  SELECT symbol, ws, high, low, close,
+        |    row_number() OVER (PARTITION BY symbol ORDER BY ws) AS rn
+        |  FROM roll_c
+        |), rec AS (
+        |  SELECT symbol, ws, close, rn, 1 AS cnt,
+        |         high - low AS tr_sum, 0.0::DOUBLE AS atr
+        |  FROM ordered WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.symbol, o.ws, o.close, o.rn, r.cnt + 1,
+        |    r.tr_sum + greatest(o.high - o.low,
+        |      abs(o.high - r.close), abs(o.low - r.close)),
+        |    CASE WHEN r.cnt + 1 < 14 THEN 0.0
+        |         WHEN r.cnt + 1 = 14
+        |           THEN (r.tr_sum + greatest(o.high - o.low,
+        |                  abs(o.high - r.close), abs(o.low - r.close))) / 14
+        |         ELSE (r.atr * 13 + greatest(o.high - o.low,
+        |                abs(o.high - r.close), abs(o.low - r.close))) / 14 END
+        |  FROM rec r JOIN ordered o ON o.symbol = r.symbol AND o.rn = r.rn + 1
+        |)
+        |SELECT symbol, strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, close,
+        |  CASE WHEN cnt < 14 THEN NULL ELSE atr END AS atr
+        |FROM rec ORDER BY symbol, window_start""".stripMargin),
     "q_obv" -> (txnCte + minuteCte + rollupCte("day") +
       """, s AS (
         |  SELECT symbol, ws, close, volume,

@@ -276,6 +276,50 @@ object MarketAnalytics {
       candles.schema.add("rsi_wilder", org.apache.spark.sql.types.DoubleType))
   }
 
+  /** Average True Range — Wilder-smoothed volatility:
+    * TR = max(high−low, |high−prevClose|, |low−prevClose|) (first
+    * candle: high−low), seeded with the n-period simple average of TR
+    * and then smoothed as (prevATR·(n−1) + TR)/n. Sequential per
+    * symbol like `ema`/`wilderRsi`; NULL until n candles exist.
+    */
+  def atr(candles: DataFrame, n: Int = 14): DataFrame = {
+    val spark = candles.sparkSession
+    val cols = candles.columns
+    val hIdx = cols.indexOf("high"); val lIdx = cols.indexOf("low")
+    val cIdx = cols.indexOf("close"); val symIdx = cols.indexOf("symbol")
+    require(hIdx >= 0 && lIdx >= 0 && cIdx >= 0 && symIdx >= 0,
+      "needs symbol + high/low/close columns")
+    val out = candles
+      .repartition(col("symbol"))
+      .sortWithinPartitions(col("symbol"), col("window_start"))
+      .rdd.mapPartitions { rows =>
+        var curSym: String = null
+        var prevClose = 0.0
+        var count = 0
+        var trSum = 0.0
+        var atrV = 0.0
+        rows.map { r =>
+          val sym = r.getString(symIdx)
+          val h = r.getDouble(hIdx); val l = r.getDouble(lIdx)
+          val c = r.getDouble(cIdx)
+          if (sym != curSym) { curSym = sym; count = 0; trSum = 0.0; atrV = 0.0
+            prevClose = c }
+          val tr =
+            if (count == 0) h - l
+            else math.max(h - l,
+              math.max(math.abs(h - prevClose), math.abs(l - prevClose)))
+          prevClose = c
+          count += 1
+          if (count <= n) { trSum += tr; if (count == n) atrV = trSum / n }
+          else atrV = (atrV * (n - 1) + tr) / n
+          val outAtr: java.lang.Double = if (count < n) null else atrV
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ outAtr)
+        }
+      }
+    spark.createDataFrame(out,
+      candles.schema.add("atr", org.apache.spark.sql.types.DoubleType))
+  }
+
   /** Sessionization with an inactivity gap: the scalable batch analog
     * of stateful stream sessionization (lag + cumulative sum of
     * session-break flags; one shuffle on the session key).
