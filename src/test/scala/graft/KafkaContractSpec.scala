@@ -85,6 +85,15 @@ class KafkaContractSpec extends SparkSpec {
     assert(msft.head.getAs[Long]("volume") === 6L)
   }
 
+  test("malformed payloads are dropped, not aggregated as null-key rows") {
+    val frames = (trades :+ "{not json at all" :+
+      """{"symbol":"AAPL"}""" :+          // missing price/timestamp
+      """{"other":"shape","n":1}""").toDF("value")
+    val parsed = CandleStream.fromKafkaShaped(kafkaShaped(frames))
+    assert(parsed.count() === trades.length)
+    assert(parsed.filter(col("symbol").isNull || col("ts").isNull).count() === 0)
+  }
+
   test("toKafkaShaped round-trips the candle payload as consumable JSON") {
     val batchTxns = CandleStream.fromKafkaShaped(kafkaShaped(trades.toDF("value")))
     val candles = Candles.minuteCandles(batchTxns)
