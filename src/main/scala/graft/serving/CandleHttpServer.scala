@@ -1,0 +1,99 @@
+package graft.serving
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.model.CandleTimeFrame
+import graft.operators.{CandleStore, Candles}
+
+/** Thin HTTP query gateway over a CandleStore — the reference's
+  * serving layer (reference: controller/StockChartController.kt:23-60,
+  * service/CandleStickService.kt) re-expressed over the
+  * partition-pruned store. Uses only the JDK's built-in HttpServer (no
+  * added dependencies).
+  *
+  * Routes (all return JSON arrays of candle rows):
+  *   GET /symbols
+  *   GET /candles/{symbol}/{tf}?from=YYYY-MM-DD+HH:MM:SS&to=...
+  *   GET /candles/{symbol}/{tf}/recent?n=25
+  *   GET /candles/{symbol}/{tf}/point?key=yyyyMMdd...
+  *
+  * Serving is driver-side by design: each request is a
+  * partition-pruned read of one (timeframe, symbol) directory plus
+  * row-group pruning, so the collect returns a chart's worth of rows,
+  * not a scan. A production deployment would put a connection-pooled
+  * gateway in front of a long-lived SparkSession exactly like this.
+  */
+object CandleHttpServer {
+
+  def start(spark: SparkSession, storePath: String, port: Int = 0): HttpServer = {
+    val server = HttpServer.create(new InetSocketAddress(port), 0)
+    server.createContext("/", new Handler(spark, storePath))
+    server.setExecutor(null) // single-threaded: fine for a test gateway
+    server.start()
+    server
+  }
+
+  private final class Handler(spark: SparkSession, storePath: String)
+      extends HttpHandler {
+
+    override def handle(ex: HttpExchange): Unit =
+      try {
+        val path = ex.getRequestURI.getPath.stripPrefix("/").stripSuffix("/")
+        val query = Option(ex.getRequestURI.getQuery).getOrElse("")
+        val params = query.split("&").filter(_.contains("="))
+          .map { kv =>
+            val Array(k, v) = kv.split("=", 2)
+            k -> java.net.URLDecoder.decode(v, "UTF-8")
+          }.toMap
+        path.split("/").toList match {
+          case "symbols" :: Nil =>
+            respond(ex, 200, toJsonArray(
+              CandleStore.keys(spark, storePath).select("symbol").distinct()))
+          case "candles" :: symbol :: tf :: Nil =>
+            requireTf(tf)
+            respond(ex, 200, toJsonArray(candleRows(
+              CandleStore.range(spark, storePath, symbol, tf,
+                params.getOrElse("from", "1970-01-01 00:00:00"),
+                params.getOrElse("to", "9999-01-01 00:00:00")))))
+          case "candles" :: symbol :: tf :: "recent" :: Nil =>
+            requireTf(tf)
+            val n = params.getOrElse("n", "25").toInt
+            respond(ex, 200, toJsonArray(candleRows(
+              CandleStore.recent(spark, storePath, tf, n)
+                .filter(org.apache.spark.sql.functions.col("symbol") === symbol))))
+          case "candles" :: symbol :: tf :: "point" :: Nil =>
+            requireTf(tf)
+            respond(ex, 200, toJsonArray(candleRows(
+              CandleStore.point(spark, storePath, symbol, tf, params("key")))))
+          case _ =>
+            respond(ex, 404, s"""{"error":"no such route: /$path"}""")
+        }
+      } catch {
+        case e: IllegalArgumentException =>
+          respond(ex, 400, s"""{"error":"${e.getMessage}"}""")
+        case e: Exception =>
+          respond(ex, 500, s"""{"error":"${e.getClass.getSimpleName}"}""")
+      } finally ex.close()
+
+    private def requireTf(tf: String): Unit =
+      require(CandleTimeFrame.all.contains(tf),
+        s"unknown timeframe $tf (expected one of ${CandleTimeFrame.all.mkString(",")})")
+
+    private def candleRows(df: DataFrame): DataFrame =
+      df.select(Candles.candleColumns: _*)
+
+    private def toJsonArray(df: DataFrame): String =
+      df.toJSON.collect().mkString("[", ",", "]")
+
+    private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+      val bytes = body.getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(code, bytes.length)
+      ex.getResponseBody.write(bytes)
+    }
+  }
+}

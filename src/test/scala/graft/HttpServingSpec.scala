@@ -1,0 +1,54 @@
+package graft
+
+import java.net.URI
+import java.nio.file.Files
+
+import scala.io.Source
+
+import graft.model.CandleTimeFrame
+import graft.operators.{Candles, CandleStore}
+import graft.serving.CandleHttpServer
+import graft.streaming.TransactionSimulator
+
+/** The reference's serving layer end-to-end: HTTP requests against a
+  * store-backed gateway return the same candles the query operators
+  * produce (reference: controller/StockChartController.kt:23-60).
+  */
+class HttpServingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def get(url: String): String = {
+    val src = Source.fromInputStream(new URI(url).toURL.openStream(), "UTF-8")
+    try src.mkString finally src.close()
+  }
+
+  test("symbols / range / recent / point endpoints serve store-backed JSON") {
+    val dir = Files.createTempDirectory("http-store").toString
+    val candles = Candles.multiTimeframe(TransactionSimulator.batch(spark, 300))
+    CandleStore.write(candles, dir)
+    val server = CandleHttpServer.start(spark, dir)
+    val base = s"http://localhost:${server.getAddress.getPort}"
+    try {
+      val symbols = get(s"$base/symbols")
+      assert(symbols.contains("AAPL") && symbols.contains("MSFT"))
+
+      val range = get(s"$base/candles/AAPL/MINUTE?from=2024-01-01+00:00:00&to=2024-01-02+00:00:00")
+      val rangeRows = spark.read.json(Seq(range).toDS().as[String])
+      val want = graft.operators.CandleQueries.range(
+        candles, "AAPL", CandleTimeFrame.Minute,
+        "2024-01-01 00:00:00", "2024-01-02 00:00:00").count()
+      assert(rangeRows.count() === want && want > 0)
+
+      val recent = spark.read.json(Seq(get(s"$base/candles/AAPL/MINUTE/recent?n=3")).toDS().as[String])
+      assert(recent.count() === 3)
+
+      val point = get(s"$base/candles/AAPL/MINUTE/point?key=202401010002")
+      assert(point.contains("\"window_start\""))
+
+      // unknown timeframe → 400 with a JSON error, not a 500
+      val bad = new URI(s"$base/candles/AAPL/WEEK").toURL
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      assert(bad.getResponseCode === 400)
+    } finally server.stop(0)
+  }
+}
