@@ -471,6 +471,37 @@ object SparkEntry {
           coalesce(col("n_without_orders"), lit(0L)).as("n_without_orders"))
         .orderBy(col("c_mktsegment"))
     }),
+    "q_large_orders" -> ((s, dir) => {
+      // TPC-H Q18 shape: orders whose total lineitem quantity clears a
+      // threshold (aggregate-filtered key set → semi-join back to the
+      // fact/dim chain). The aggregate runs BEFORE the joins, so only
+      // qualifying keys flow into them — at scale this is a tiny
+      // broadcast of big-order keys, never a fact×fact join.
+      val bigKeys = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(dsum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 150.0)
+      Tables.orders(s, dir)
+        .join(bigKeys, col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("o_orderkey"),
+          fmtTs(col("o_orderdate")).as("o_orderdate"),
+          col("o_totalprice"), col("total_qty"))
+        .orderBy(col("total_qty").desc, col("o_orderkey"))
+        .limit(20)
+    }),
+    "q_exists_agg" -> ((s, dir) => {
+      // TPC-H Q4 shape: order-priority counts for orders with at least
+      // one returned lineitem (EXISTS ≙ left-semi join on the fact key)
+      val returned = Tables.lineitem(s, dir)
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"))
+      Tables.orders(s, dir)
+        .join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderpriority"))
+    }),
     "q_pivot" -> ((s, dir) =>
       Tables.events(s, dir)
         .groupBy(to_date(col("ts")).cast("string").as("day"))
@@ -761,6 +792,26 @@ object SparkEntry {
         |ORDER BY timeframe, symbol, window_start""".stripMargin),
     "q_symbols" -> (txnCte + "\n" +
       "SELECT DISTINCT symbol FROM txn ORDER BY symbol"),
+    "q_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2)
+        |      AS DECIMAL(38,2)) AS DOUBLE) AS total_qty
+        |  FROM lineitem GROUP BY 1
+        |)
+        |SELECT c_name, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+        |  o_totalprice, total_qty
+        |FROM orders
+        |JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE total_qty > 150.0
+        |ORDER BY total_qty DESC, o_orderkey LIMIT 20""".stripMargin,
+    "q_exists_agg" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
     "q_store_roundtrip" -> (txnCte + minuteCte + rollupCte("hour") + "\n" +
       """SELECT symbol, 'HOUR' AS timeframe,
         |  strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
