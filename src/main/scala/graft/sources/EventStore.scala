@@ -39,4 +39,11 @@ object EventStore {
         col("event_date") <= to_date(lit(to)) &&
         col("ts") >= to_timestamp(lit(from)) &&
         col("ts") < to_timestamp(lit(to)))
+
+  /** The distinct event dates present in the store, answered from the
+    * partition directory listing (a metadata-only scan: the date is a
+    * partition column, so no data files are read).
+    */
+  def dates(spark: SparkSession, path: String): DataFrame =
+    read(spark, path).select(col("event_date")).distinct()
 }

@@ -211,30 +211,38 @@ object CandleStream {
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (minuteBatch: DataFrame, _: Long) =>
-        val spark = minuteBatch.sparkSession
-        minuteBatch.persist()
-        try {
-          mergeBatchIntoStore(minuteBatch, path)
-          // affected (symbol, month) scope: month is the widest rollup,
-          // so re-rolling whole months keeps every timeframe exact
-          val months = minuteBatch
-            .select(col("symbol").as("m_symbol"),
-              date_trunc("month", col("window_start")).as("m_month"))
-            .distinct()
-          val minuteScope = spark.read.parquet(path)
-            .filter(col("timeframe") === CandleTimeFrame.Minute)
-            .join(broadcast(months),
-              col("symbol") === col("m_symbol") &&
-                date_trunc("month", col("window_start")) === col("m_month"),
-              "left_semi")
-            .select(Candles.candleColumns: _*)
-          val rolled = Seq(CandleTimeFrame.Hour, CandleTimeFrame.Day, CandleTimeFrame.Month)
-            .map(Candles.rollup(minuteScope, _))
-            .reduce(_ unionByName _)
-          mergeBatchIntoStore(rolled, path)
-        } finally minuteBatch.unpersist()
+        cascadeMerge(minuteBatch, path)
       }
       .start()
+
+  /** One cascade step, shared by the streaming sink and the batch
+    * backfill: merge a minute-candle batch, then re-derive and merge
+    * the hour/day/month candles of every affected (symbol, month)
+    * from the store's minute partitions. Months are the widest
+    * rollup, so re-rolling whole months keeps every timeframe exact.
+    */
+  def cascadeMerge(minuteBatch: DataFrame, path: String): Unit = {
+    val spark = minuteBatch.sparkSession
+    minuteBatch.persist()
+    try {
+      mergeBatchIntoStore(minuteBatch, path)
+      val months = minuteBatch
+        .select(col("symbol").as("m_symbol"),
+          date_trunc("month", col("window_start")).as("m_month"))
+        .distinct()
+      val minuteScope = spark.read.parquet(path)
+        .filter(col("timeframe") === CandleTimeFrame.Minute)
+        .join(broadcast(months),
+          col("symbol") === col("m_symbol") &&
+            date_trunc("month", col("window_start")) === col("m_month"),
+          "left_semi")
+        .select(Candles.candleColumns: _*)
+      val rolled = Seq(CandleTimeFrame.Hour, CandleTimeFrame.Day, CandleTimeFrame.Month)
+        .map(Candles.rollup(minuteScope, _))
+        .reduce(_ unionByName _)
+      mergeBatchIntoStore(rolled, path)
+    } finally minuteBatch.unpersist()
+  }
 
   /** Run a streaming candle pipeline over a bounded source to
     * completion and return the full result — used by verify/tests to
