@@ -451,6 +451,21 @@ object SparkEntry {
           coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
           col("sum_qty"), col("n"))
         .orderBy(col("returnflag"), col("linestatus"))),
+    "q_grouping_sets" -> ((s, dir) => {
+      // explicit GROUPING SETS (the general form ROLLUP/CUBE sugar):
+      // (flag, status), (flag), (status) — one pass, expand + partial agg
+      Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+      s.sql("""
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               CAST(CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2)
+                 AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
+               count(*) AS n
+        FROM v_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), (l_linestatus))
+        ORDER BY returnflag, linestatus""")
+    }),
     "q_distinct" -> ((s, dir) =>
       Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"))
@@ -807,6 +822,16 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |WHERE total_qty > 150.0
         |ORDER BY total_qty DESC, o_orderkey LIMIT 20""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |       coalesce(l_linestatus, 'ALL') AS linestatus,
+        |       CAST(CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2)
+        |         AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
+        |       count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |                        (l_returnflag), (l_linestatus))
+        |ORDER BY returnflag, linestatus""".stripMargin,
     "q_exists_agg" ->
       """SELECT o_orderpriority, count(*) AS n_orders
         |FROM orders
