@@ -451,6 +451,23 @@ object SparkEntry {
           coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
           col("sum_qty"), col("n"))
         .orderBy(col("returnflag"), col("linestatus"))),
+    "q_range_window" -> ((s, dir) => {
+      // time-RANGE window frame (not row-count): trailing 3-day volume
+      // and txn totals per symbol over day candles — frames defined by
+      // event-time distance survive gaps in the series
+      import org.apache.spark.sql.expressions.Window
+      val day = Candles.rollup(
+        Candles.minuteCandles(Candles.transactions(s, dir)), CandleTimeFrame.Day)
+      val w = Window.partitionBy(col("symbol"))
+        .orderBy(unix_timestamp(col("window_start")))
+        .rangeBetween(-3L * 86400L, 0L)
+      day
+        .withColumn("vol_3d", sum(col("volume")).over(w))
+        .withColumn("txn_3d", sum(col("n_txn")).over(w))
+        .select(col("symbol"), fmtTs(col("window_start")).as("window_start"),
+          col("volume"), col("vol_3d"), col("txn_3d"))
+        .orderBy(col("symbol"), col("window_start"))
+    }),
     "q_grouping_sets" -> ((s, dir) => {
       // explicit GROUPING SETS (the general form ROLLUP/CUBE sugar):
       // (flag, status), (flag), (status) — one pass, expand + partial agg
@@ -822,6 +839,15 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |WHERE total_qty > 150.0
         |ORDER BY total_qty DESC, o_orderkey LIMIT 20""".stripMargin,
+    "q_range_window" -> (txnCte + minuteCte + rollupCte("day") + "\n" +
+      """SELECT symbol, strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  volume,
+        |  CAST(sum(volume) OVER w AS BIGINT) AS vol_3d,
+        |  CAST(sum(n_txn) OVER w AS BIGINT) AS txn_3d
+        |FROM roll_c
+        |WINDOW w AS (PARTITION BY symbol ORDER BY ws
+        |             RANGE BETWEEN INTERVAL 3 DAY PRECEDING AND CURRENT ROW)
+        |ORDER BY symbol, window_start""".stripMargin),
     "q_grouping_sets" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
         |       coalesce(l_linestatus, 'ALL') AS linestatus,
