@@ -67,6 +67,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
   }
 
+  test("q_large_orders: quantity aggregate runs before the join chain") {
+    val p = plan("q_large_orders")
+    // the lineitem aggregate must appear below the joins (keys filtered
+    // pre-join), and the total_qty filter must not sit above a join
+    assert(p.contains("partial_sum"), s"no partial aggregation in:\n$p")
+    val aggIdx = p.indexOf("HashAggregate")
+    val joinIdx = p.indexOf("Join")
+    assert(aggIdx >= 0 && joinIdx >= 0 && joinIdx < aggIdx,
+      s"aggregate not below the join in:\n$p")
+  }
+
+  test("q_exists_agg: EXISTS is a semi join, not a distinct+inner join") {
+    val p = plan("q_exists_agg")
+    assert(p.contains("LeftSemi"), s"no semi join in:\n$p")
+  }
+
   test("q_corpus_mix: single map-side-combined shuffle on the mix key") {
     val p = plan("q_corpus_mix")
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
