@@ -35,10 +35,18 @@ object CandleBackfill {
     val fs = storePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val storeHasData = fs.exists(storePath) &&
       fs.listStatus(storePath).exists(_.getPath.getName.startsWith("timeframe="))
+    // a day is "done" only when its DAY candle exists: cascadeMerge
+    // writes minute candles first and the hour/day/month rollups in a
+    // second merge, so judging by the rollup (written last) makes an
+    // interrupted cascade self-healing — the next run re-processes the
+    // day instead of silently leaving the rollup timeframes stale.
+    // (A DAY candle's window_date IS the day, and it can only be
+    // written after that day's minute merge, so DAY coverage is exactly
+    // the set of fully-cascaded days.)
     val doneDays =
       if (!storeHasData) eventDays.filter(lit(false)).select(col("d"))
       else CandleStore.read(spark, candleStorePath)
-        .filter(col("timeframe") === CandleTimeFrame.Minute)
+        .filter(col("timeframe") === CandleTimeFrame.Day)
         .select(col("window_date").as("d")).distinct()
     // the day lists are metadata-scale; collecting them to drive the
     // pruned scan is the intended driver-side step (not a data collect)

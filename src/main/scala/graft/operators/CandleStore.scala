@@ -30,7 +30,10 @@ object CandleStore {
             mode: SaveMode = SaveMode.Overwrite): Unit =
     candles
       .repartition(col("timeframe"), col("symbol"))
-      .sortWithinPartitions(col("window_start"))
+      // partition columns lead so the writer's inserted dynamic-
+      // partition sort is a no-op and file ordering is preserved
+      .sortWithinPartitions(
+        col("timeframe"), col("symbol"), col("window_start"))
       .write
       .mode(mode)
       .partitionBy("timeframe", "symbol")
@@ -68,7 +71,8 @@ object CandleStore {
     val tmp = path.stripSuffix("/") + ".compact.tmp"
     read(spark, path)
       .repartition(col("timeframe"), col("symbol"))
-      .sortWithinPartitions(col("window_start"))
+      .sortWithinPartitions(
+        col("timeframe"), col("symbol"), col("window_start"))
       .write.mode(SaveMode.Overwrite)
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy("timeframe", "symbol")
@@ -99,7 +103,12 @@ object CandleStore {
     candles
       .withColumn("symbol_bucket", pmod(xxhash64(col("symbol")), lit(nBuckets)))
       .repartition(col("timeframe"), col("symbol_bucket"))
-      .sortWithinPartitions(col("symbol"), col("window_start"))
+      // lead with the partition columns: the dynamic-partition writer
+      // inserts its own sort on (timeframe, symbol_bucket) otherwise,
+      // which would reorder rows and loosen the per-file symbol/time
+      // row-group stats the pruning claim above relies on
+      .sortWithinPartitions(
+        col("timeframe"), col("symbol_bucket"), col("symbol"), col("window_start"))
       .write
       .mode(mode)
       .partitionBy("timeframe", "symbol_bucket")

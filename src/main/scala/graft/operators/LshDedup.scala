@@ -19,6 +19,41 @@ import graft.functions.{hamming64, minhash_band_hashes, minhash_signature, shing
   */
 object LshDedup {
 
+  /** Caching contract for the pair joins below: the shingle table
+    * feeds several plan branches, so it is persisted while the result
+    * is built — and unpersisted automatically after the FIRST action
+    * that executes the returned frame (a QueryExecutionListener keyed
+    * on the result's analyzed plan). Repeated calls therefore do not
+    * accumulate MEMORY_AND_DISK blocks for the session lifetime. If
+    * the caller never materializes the result, the cache stays until
+    * session end (persist is lazy, so no blocks exist in that case
+    * until first use anyway); callers re-executing the same frame many
+    * times should persist the RESULT, which is pairs-sized, not
+    * corpus-sized.
+    */
+  private def unpersistAfterFirstUse(result: DataFrame,
+                                     cached: DataFrame): DataFrame = {
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    val lm = result.sparkSession.listenerManager
+    val marker = result.queryExecution.analyzed
+    val listener: QueryExecutionListener = new QueryExecutionListener {
+      private def maybeRelease(qe: QueryExecution): Unit =
+        // analyzed subtrees are reused by reference in derived plans,
+        // so `eq` identifies "an action that ran through our result"
+        if ((qe.analyzed eq marker) || qe.analyzed.exists(_ eq marker)) {
+          cached.unpersist(false)
+          lm.unregister(this)
+        }
+      override def onSuccess(funcName: String, qe: QueryExecution,
+                             durationNs: Long): Unit = maybeRelease(qe)
+      override def onFailure(funcName: String, qe: QueryExecution,
+                             exception: Exception): Unit = maybeRelease(qe)
+    }
+    lm.register(listener)
+    result
+  }
+
   /** doc_id + distinct word-n-gram shingle hashes.
     * Tokens are hashed once (xxhash64 lambda); the rolling n-gram
     * combination and dedup happen inside the native ShingleHashes
@@ -129,7 +164,8 @@ object LshDedup {
   def jaccardVerified(docs: DataFrame, threshold: Double, k: Int = 64,
                       bands: Int = 16, n: Int = 3): DataFrame = {
     // shingle hashes feed three plan branches (signatures + both pair
-    // sides); persist so the shingling runs once. At cluster scale the
+    // sides); persist so the shingling runs once (released after the
+    // first action — see unpersistAfterFirstUse). At cluster scale the
     // equivalent move is materializing the signature table to storage
     // between the candidate and verify stages.
     val sh = shingleHashes(docs, n = n)
@@ -140,12 +176,12 @@ object LshDedup {
           posexplode(minhash_band_hashes(col("shingle_hashes"), k, bands)))
         .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash")),
       maxBucket = 1000)
-    cands
+    unpersistAfterFirstUse(cands
       .join(sh.withColumnsRenamed(Map("doc_id" -> "doc_a", "shingle_hashes" -> "sh_a")), "doc_a")
       .join(sh.withColumnsRenamed(Map("doc_id" -> "doc_b", "shingle_hashes" -> "sh_b")), "doc_b")
       .withColumn("jaccard", Dedup.jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard")), sh)
   }
 
   /** Exact all-pairs n-gram Jaccard ≥ threshold — the inverted-index
@@ -183,7 +219,7 @@ object LshDedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val exploded = sh.select(col("doc_id"), explode(col("shingle_hashes")).as("s"))
     val sizes = sh.select(col("doc_id"), size(col("shingle_hashes")).as("n_sh"))
-    exploded.as("a")
+    unpersistAfterFirstUse(exploded.as("a")
       .join(exploded.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -193,7 +229,7 @@ object LshDedup {
       .withColumn("jaccard",
         col("n_int").cast("double") / (col("n_a") + col("n_b") - col("n_int")))
       .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard")), sh)
   }
 
   /** Prefix-filtered (PPJoin-style) exact join: order each shingle set
@@ -228,7 +264,7 @@ object LshDedup {
       ceil(lit(threshold) * size(col("sh"))) + 1).cast("int")
     val pref = ordered.select(col("doc_id"),
       explode(slice(col("sh"), lit(1), prefLen)).as("s"))
-    pref.as("a")
+    unpersistAfterFirstUse(pref.as("a")
       .join(pref.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -237,7 +273,7 @@ object LshDedup {
       .join(ordered.withColumnsRenamed(Map("doc_id" -> "doc_b", "sh" -> "sh_b")), "doc_b")
       .withColumn("jaccard", Dedup.jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard")), ordered)
   }
 
   /** 64-bit SimHash per doc (over token hashes, not shingles — the

@@ -70,14 +70,30 @@ object CandleHttpServer {
             respond(ex, 200, toJsonArray(candleRows(
               CandleStore.point(spark, storePath, symbol, tf, params("key")))))
           case _ =>
-            respond(ex, 404, s"""{"error":"no such route: /$path"}""")
+            respond(ex, 404, errorJson(s"no such route: /$path"))
         }
       } catch {
         case e: IllegalArgumentException =>
-          respond(ex, 400, s"""{"error":"${e.getMessage}"}""")
+          respond(ex, 400, errorJson(e.getMessage))
+        case e: NoSuchElementException => // missing required query param
+          respond(ex, 400, errorJson(s"missing required parameter: ${e.getMessage}"))
         case e: Exception =>
-          respond(ex, 500, s"""{"error":"${e.getClass.getSimpleName}"}""")
+          respond(ex, 500, errorJson(e.getClass.getSimpleName))
       } finally ex.close()
+
+    /** Error payloads embed request-derived strings (e.g. the echoed
+      * timeframe), so they must be JSON-escaped or a quote in the input
+      * would yield an invalid response body.
+      */
+    private def errorJson(msg: String): String = {
+      val escaped = Option(msg).getOrElse("").flatMap {
+        case '"'  => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
+      s"""{"error":"$escaped"}"""
+    }
 
     private def requireTf(tf: String): Unit =
       require(CandleTimeFrame.all.contains(tf),

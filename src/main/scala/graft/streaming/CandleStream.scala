@@ -42,11 +42,13 @@ object CandleStream {
       StructField("quantity", IntegerType), StructField("timestamp", TimestampType)))
     kafka
       .select(from_json(col("value").cast("string"), payload).as("t"))
-      // unparseable frames (malformed JSON / wrong shape) are dropped,
-      // mirroring Kafka Streams' skip-on-deserialization-error, rather
-      // than flowing into the aggregation as null-key rows
+      // unparseable frames (malformed JSON / wrong shape / missing any
+      // field) are dropped, mirroring Kafka Streams' all-or-nothing
+      // JsonSerde deserialization, rather than flowing into the
+      // aggregation as null-key or null-volume rows
       .filter(col("t").isNotNull && col("t.symbol").isNotNull &&
-        col("t.price").isNotNull && col("t.timestamp").isNotNull)
+        col("t.price").isNotNull && col("t.quantity").isNotNull &&
+        col("t.timestamp").isNotNull)
       .select(col("t.symbol").as("symbol"), col("t.price").as("price"),
         col("t.quantity").as("quantity"), col("t.timestamp").as("ts"))
   }

@@ -45,6 +45,30 @@ class BackfillSpec extends SparkSpec {
     assert(got.collect().toSet === want.collect().toSet)
   }
 
+  test("an interrupted cascade (minute merged, rollups not) self-heals on the next run") {
+    val events = Files.createTempDirectory("crash-events").toString
+    val store = Files.createTempDirectory("crash-candles").toString
+    EventStore.write(day12.toDF(), events)
+
+    // simulate a crash between cascadeMerge's two merges: only the
+    // minute candles of the lake days land in the store
+    val minuteOnly = Candles.minuteCandles(
+      EventStore.read(spark, events)
+        .select($"symbol", $"price", $"quantity", $"ts"))
+    graft.streaming.CandleStream.mergeBatchIntoStore(minuteOnly, store)
+    assert(spark.read.parquet(store)
+      .filter($"timeframe" =!= graft.model.CandleTimeFrame.Minute).count() === 0)
+
+    // done-ness is judged by the DAY rollup (written last), so the
+    // next run re-processes both days instead of skipping them
+    val healed = CandleBackfill.run(spark, events, store)
+    assert(healed === Seq("2024-03-01", "2024-03-02"))
+    val want = Candles.multiTimeframe(day12.toDF())
+      .select(Candles.candleColumns: _*)
+    val got = spark.read.parquet(store).select(Candles.candleColumns: _*)
+    assert(got.collect().toSet === want.collect().toSet)
+  }
+
   test("force re-merges an already-processed day (late-event restatement)") {
     val events = Files.createTempDirectory("restate-events").toString
     val store = Files.createTempDirectory("restate-candles").toString

@@ -49,6 +49,22 @@ class HttpServingSpec extends SparkSpec {
       val bad = new URI(s"$base/candles/AAPL/WEEK").toURL
         .openConnection().asInstanceOf[java.net.HttpURLConnection]
       assert(bad.getResponseCode === 400)
+
+      // error bodies must stay valid JSON even when the echoed input
+      // contains quotes/backslashes (the timeframe is interpolated
+      // into the message)
+      val quoted = new URI(s"$base/candles/AAPL/%22W%5CEEK%22").toURL
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      assert(quoted.getResponseCode === 400)
+      val quotedBody = Source.fromInputStream(quoted.getErrorStream, "UTF-8").mkString
+      val parsed = spark.read.json(Seq(quotedBody).toDS().as[String])
+      assert(parsed.columns.contains("error") &&
+        !parsed.columns.contains("_corrupt_record"))
+
+      // missing required query param → 400, not a 500
+      val noKey = new URI(s"$base/candles/AAPL/MINUTE/point").toURL
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      assert(noKey.getResponseCode === 400)
     } finally server.stop(0)
   }
 }

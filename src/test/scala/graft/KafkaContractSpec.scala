@@ -88,10 +88,14 @@ class KafkaContractSpec extends SparkSpec {
   test("malformed payloads are dropped, not aggregated as null-key rows") {
     val frames = (trades :+ "{not json at all" :+
       """{"symbol":"AAPL"}""" :+          // missing price/timestamp
+      // missing ONLY quantity: would flow through a key/price/ts-only
+      // filter as a null volume contribution still counted in n_txn
+      """{"symbol":"AAPL","price":10.0,"timestamp":"2024-01-01 00:00:00"}""" :+
       """{"other":"shape","n":1}""").toDF("value")
     val parsed = CandleStream.fromKafkaShaped(kafkaShaped(frames))
     assert(parsed.count() === trades.length)
-    assert(parsed.filter(col("symbol").isNull || col("ts").isNull).count() === 0)
+    assert(parsed.filter(col("symbol").isNull || col("ts").isNull ||
+      col("quantity").isNull).count() === 0)
   }
 
   test("toKafkaShaped round-trips the candle payload as consumable JSON") {

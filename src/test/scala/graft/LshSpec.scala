@@ -32,6 +32,20 @@ class LshSpec extends SparkSpec {
     assert(v.forall(r => r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b")))
   }
 
+  test("pair joins release their shingle cache after the first action (no block leak)") {
+    def newlyPersisted(before: Set[Int]): Set[Int] =
+      spark.sparkContext.getPersistentRDDs.keySet.toSet.diff(before)
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    LshDedup.exactJaccardPairsCounted(docs, threshold = 0.5).count()
+    LshDedup.exactJaccardPairsPrefix(docs, threshold = 0.5).count()
+    LshDedup.jaccardVerified(docs, threshold = 0.5).count()
+    // the QueryExecutionListener fires asynchronously; poll briefly
+    val deadline = System.currentTimeMillis + 15000
+    while (newlyPersisted(before).nonEmpty && System.currentTimeMillis < deadline)
+      Thread.sleep(50)
+    assert(newlyPersisted(before) === Set.empty[Int])
+  }
+
   test("simhash: identical docs get identical signature; near-dups close in hamming") {
     val twice = docs.limit(5).union(docs.limit(5))
     val sigs = LshDedup.simhashes(twice).groupBy("doc_id")
