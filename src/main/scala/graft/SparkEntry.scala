@@ -97,6 +97,136 @@ object SparkEntry {
       candleSelect("roll_c", tf, s"ws + INTERVAL 1 $unit")
   }
 
+  /** DuckDB-reproducible MinHash/SimHash oracles.
+    *
+    * The engine's whole candidate chain — FNV-1a token hash →
+    * rolling shingle fold → splitmix64 finalizer → LCG permutations →
+    * band fold (GraftExpressions.scala) — is plain 64-bit wraparound
+    * arithmetic, so it re-expresses exactly in DuckDB as HUGEINT
+    * arithmetic mod 2^64 (the q_fingerprint technique, extended):
+    *  - multipliers ≥ 2^32 are hi/lo split so no intermediate product
+    *    exceeds HUGEINT range: a·h ≡ a_hi·((h mod 2^32)·2^32) + a_lo·h,
+    *    every term < 2^97;
+    *  - logical right-shifts are `//` by powers of two (values are
+    *    kept unsigned in [0, 2^64));
+    *  - the signature's SIGNED-long minimum is taken under a +2^63
+    *    bias (signed order ≡ unsigned order of x+2^63 mod 2^64);
+    *  - permutation constants come from the same public splitmix64
+    *    derivation the engine uses (MinHashSignature.mix), embedded as
+    *    literal tables — algorithm parameters, like FNV's prime.
+    * splitmix64's xor-with-shift needs its argument twice, so it runs
+    * as four chained list_transform stages, each introducing the fresh
+    * lambda binding the next step needs.
+    */
+  private object SketchOracles {
+    import org.apache.spark.sql.graft.MinHashSignature.mix
+    private val M = "18446744073709551616::HUGEINT"
+    private val Golden = "11400714819323198485::HUGEINT" // 0x9e3779b97f4a7c15
+    private val FnvP = "1099511628211"                   // 0x100000001b3 < 2^41
+    private val Bias = "9223372036854775808::HUGEINT"    // 2^63
+    private def u64(x: Long): BigInt = BigInt(x) & BigInt("ffffffffffffffff", 16)
+
+    private def mixStages(inner: String): String = {
+      val c1 = u64(0xbf58476d1ce4e5b9L); val c2 = u64(0x94d049bb133111ebL)
+      s"""list_transform(list_transform(list_transform(list_transform($inner,
+         |  z -> (z + $Golden) % $M),
+         |  z -> (${c1 >> 32}::HUGEINT * ((xor(z, z // 1073741824) % 4294967296) * 4294967296) % $M + ${c1 & 0xffffffffL}::HUGEINT * xor(z, z // 1073741824)) % $M),
+         |  z -> (${c2 >> 32}::HUGEINT * ((xor(z, z // 134217728) % 4294967296) * 4294967296) % $M + ${c2 & 0xffffffffL}::HUGEINT * xor(z, z // 134217728)) % $M),
+         |  z -> xor(z, z // 2147483648))""".stripMargin
+    }
+
+    /** doc_id + FNV-1a token hashes (mirrors TextAnalysis.tokens +
+      * poly_fingerprint64 per token, over UTF-8 bytes via hex pairs).
+      */
+    private val tokenHashCte: String =
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+         |    t -> len(t) > 0) AS tk
+         |  FROM documents
+         |), th AS (
+         |  SELECT doc_id, list_transform(tk, t -> list_reduce(
+         |    list_prepend(14695981039346656037::HUGEINT,
+         |      list_transform(generate_series(1, octet_length(encode(t))),
+         |        i -> CAST(CAST('0x' || substr(hex(encode(t)), 2*i-1, 2) AS INTEGER) AS HUGEINT))),
+         |    (acc, b) -> (xor(acc, b) * $FnvP) % $M)) AS tkh
+         |  FROM toks
+         |)""".stripMargin
+
+    /** Rolling 3-gram fold over the token hashes (ShingleHashes). */
+    private val shingleFold: String =
+      s"""list_transform(generate_series(1, len(tkh) - 2), i ->
+         |  (xor((xor((xor($Golden, tkh[i]) * $FnvP) % $M,
+         |    tkh[i+1]) * $FnvP) % $M, tkh[i+2]) * $FnvP) % $M)""".stripMargin
+
+    /** (i, a_hi, a_lo, b) permutation table, i = 1..64. */
+    private val permRows: String = (0 until 64).map { i =>
+      val a = u64(mix(2 * i + 1) | 1L); val b = u64(mix(2 * i + 2))
+      s"(${i + 1},${a >> 32},${a & 0xffffffffL},$b)"
+    }.mkString(",")
+
+    val minhashSql: String = {
+      val bandFold =
+        s"""list_transform(generate_series(0, 15), b ->
+           |  (xor((xor((xor((xor(xor($Golden, CAST(b AS HUGEINT)), sg[4*b+1]) * $FnvP) % $M,
+           |    sg[4*b+2]) * $FnvP) % $M,
+           |    sg[4*b+3]) * $FnvP) % $M,
+           |    sg[4*b+4]) * $FnvP) % $M)""".stripMargin
+      s"""$tokenHashCte, shs AS (
+         |  SELECT doc_id, list_distinct(${mixStages(shingleFold)}) AS sh
+         |  FROM th WHERE len(tkh) >= 3
+         |), ex AS (
+         |  SELECT doc_id, unnest(sh) AS h FROM shs
+         |), perm(i, ahi, alo, bc) AS (VALUES $permRows
+         |), sigr AS (
+         |  SELECT doc_id, i, (min(((CAST(ahi AS HUGEINT) * ((h % 4294967296) * 4294967296) % $M
+         |    + CAST(alo AS HUGEINT) * h + CAST(bc AS HUGEINT)) % $M
+         |    + $Bias) % $M) + $Bias) % $M AS sv
+         |  FROM ex CROSS JOIN perm
+         |  GROUP BY doc_id, i
+         |), sig AS (
+         |  SELECT doc_id, list(sv ORDER BY i) AS sg FROM sigr GROUP BY doc_id
+         |), bh AS (
+         |  SELECT doc_id, ${mixStages(bandFold)} AS bhs FROM sig
+         |), bx AS (
+         |  SELECT doc_id, u.b AS band, u.h AS h
+         |  FROM (SELECT doc_id, unnest(list_transform(generate_series(1, 16),
+         |          i -> {'b': i, 'h': bhs[i]})) AS u FROM bh)
+         |), ok AS (
+         |  SELECT band, h FROM bx GROUP BY band, h HAVING count(*) BETWEEN 2 AND 1000
+         |)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bx a JOIN bx b ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
+         |JOIN ok ON a.band = ok.band AND a.h = ok.h
+         |ORDER BY doc_a, doc_b""".stripMargin
+    }
+
+    /** All pairs with hamming ≤ 6: the pigeonhole chunk bucketing the
+      * engine uses (7 chunks of 64/7 bits) guarantees every such pair
+      * shares a chunk, so the engine's candidate∩filter output EQUALS
+      * the all-pairs answer — the oracle needs no bucket replica.
+      */
+    val simhashSql: String = {
+      val pw = (0 until 64).map(b => BigInt(1) << b).mkString("[", ",", "]")
+      s"""$tokenHashCte, pws AS (SELECT CAST($pw AS HUGEINT[]) AS pw
+         |), sims AS (
+         |  SELECT doc_id,
+         |    list_sum(list_transform(generate_series(0, 63), b ->
+         |      CASE WHEN 2 * len(list_filter(tkh, h -> (h // pw[b+1]) % 2 = 1)) > len(tkh)
+         |           THEN pw[b+1] ELSE 0::HUGEINT END)) AS su
+         |  FROM th CROSS JOIN pws
+         |), ss AS (
+         |  SELECT doc_id, CAST(CASE WHEN su >= $Bias
+         |    THEN su - $M ELSE su END AS BIGINT) AS s
+         |  FROM sims
+         |)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS hamming
+         |FROM ss a JOIN ss b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.s, b.s)) <= 6
+         |ORDER BY doc_a, doc_b""".stripMargin
+    }
+  }
+
   // ---- driver contract ------------------------------------------------
 
   /** Flagship: multi-timeframe candles on sf0.001 (driver smoke-checks
@@ -1542,15 +1672,19 @@ object SparkEntry {
         |  ) AS h
         |  FROM documents
         |) ORDER BY doc_id""".stripMargin,
-    // q_dedup_minhash / q_dedup_simhash / q_ann_lsh / q_ann_ivf /
-    // q_approx_distinct: xxhash64/custom signatures and HLL sketches
-    // have no DuckDB counterpart → rows-only checks (semantic
-    // properties covered by LshSpec/ApproxSpec/DedupPipelineSpec).
+    // q_ann_lsh / q_ann_ivf / q_approx_distinct: float-accumulation
+    // bucketing, sampled-kmeans training, and HLL sketches have no
+    // DuckDB counterpart → rows-only checks (semantic properties
+    // covered by LshSpec/ApproxSpec/DedupPipelineSpec).
+    // q_dedup_minhash / q_dedup_simhash: the full signature chain is
+    // reproduced bit-exactly in DuckDB (SketchOracles scaladoc).
+    "q_dedup_minhash" -> SketchOracles.minhashSql,
+    "q_dedup_simhash" -> SketchOracles.simhashSql,
     // Shared DuckDB shingle-set pipeline: tokenization mirrors
     // TextAnalysis.tokens (split lower(trim) on \s+, drop empties),
     // 3-gram string shingles stand in for the Spark side's 64-bit
     // shingle hashes (Jaccard only sees set cardinalities, which agree
-    // unless xxhash64 collides within a doc pair — ~2^-64).
+    // unless the FNV token hash collides within a doc pair — ~2^-64).
     "q_ngram_jaccard" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
