@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.CandleTimeFrame
-import graft.operators.{CandleQueries, Candles, Dedup, LshDedup, MarketAnalytics, Media, Similarity, TextAnalysis}
+import graft.operators.{CandleQueries, Candles, Curation, Dedup, LshDedup, MarketAnalytics, Media, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
@@ -784,6 +784,28 @@ object SparkEntry {
         .select(col("doc_id"),
           graft.operators.Corpus.splitLabel(col("doc_id"), 0.8).as("cohort"))
         .orderBy(col("doc_id"))),
+    "q_decontaminate" -> ((s, dir) =>
+      // eval-set 5-gram leakage into the train cohort (broadcast eval
+      // n-gram set; corpus never shuffles)
+      graft.operators.Curation.contaminationReport(Tables.documents(s, dir))
+        .orderBy(col("doc_id"))),
+    "q_pii_redact" -> ((s, dir) =>
+      graft.operators.Curation.piiRedact(Tables.documents(s, dir))
+        .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ids"),
+          md5(col("redacted")).as("redacted_md5"))
+        .orderBy(col("doc_id"))),
+    "q_repetition" -> ((s, dir) =>
+      graft.operators.Curation.repetitionStats(Tables.documents(s, dir))
+        .orderBy(col("doc_id"))),
+    "q_sample_stratified" -> ((s, dir) =>
+      graft.operators.Curation.stratifiedSampleReport(Tables.documents(s, dir))
+        .orderBy(col("source"))),
+    "q_quality_filter" -> ((s, dir) =>
+      graft.operators.Curation.qualityFilterVerdicts(Tables.documents(s, dir))
+        .orderBy(col("doc_id"))),
+    "q_token_hist" -> ((s, dir) =>
+      graft.operators.Curation.tokenHistogram(Tables.documents(s, dir))
+        .orderBy(col("bucket"))),
     "q_chunk" -> ((s, dir) =>
       graft.operators.Corpus.chunk(Tables.documents(s, dir), chunkSize = 32, overlap = 8)
         .orderBy(col("doc_id"), col("chunk_id"))),
@@ -1460,6 +1482,124 @@ object SparkEntry {
         |  CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'cccd' THEN 'train'
         |       ELSE 'eval' END AS cohort
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_decontaminate" ->
+      """WITH tt AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> len(x) > 0) AS toks
+        |  FROM documents
+        |), grams AS (
+        |  SELECT doc_id,
+        |    CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'cccd' THEN 'train'
+        |         ELSE 'eval' END AS cohort,
+        |    unnest(list_distinct(list_transform(generate_series(1, len(toks) - 4),
+        |      i -> array_to_string(list_slice(toks, i, i + 4), ' ')))) AS gram
+        |  FROM tt WHERE len(toks) >= 5
+        |), ev AS (SELECT DISTINCT gram FROM grams WHERE cohort = 'eval')
+        |SELECT doc_id, count(*) AS n_shared
+        |FROM grams JOIN ev USING (gram)
+        |WHERE cohort = 'train'
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_pii_redact" -> {
+      // same Java-regex/RE2-portable patterns the operator uses
+      val em = Curation.emailRe; val ph = Curation.phoneRe; val id = Curation.longNumRe
+      s"""WITH a AS (
+         |  SELECT doc_id, text,
+         |    regexp_replace(text, '$em', '<EMAIL>', 'g') AS r1
+         |  FROM documents
+         |), b AS (
+         |  SELECT doc_id, text, r1,
+         |    regexp_replace(r1, '$ph', '<PHONE>', 'g') AS r2
+         |  FROM a
+         |)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$em')) AS INTEGER) AS n_emails,
+         |  CAST(len(regexp_extract_all(r1, '$ph')) AS INTEGER) AS n_phones,
+         |  CAST(len(regexp_extract_all(r2, '$id')) AS INTEGER) AS n_ids,
+         |  md5(regexp_replace(r2, '$id', '<ID>', 'g')) AS redacted_md5
+         |FROM b ORDER BY doc_id""".stripMargin
+    },
+    "q_repetition" ->
+      """WITH tt AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> len(x) > 0) AS toks
+        |  FROM documents
+        |), ex AS (
+        |  SELECT doc_id, unnest(toks) AS t FROM tt WHERE len(toks) > 0
+        |), cnt AS (
+        |  SELECT doc_id, t, count(*) AS c FROM ex GROUP BY 1, 2
+        |), agg AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    count(*) AS n_distinct, max(c) AS top_freq
+        |  FROM cnt GROUP BY doc_id
+        |), tri AS (
+        |  SELECT doc_id, greatest(len(toks) - 2, 0) AS n_tri,
+        |    len(list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |      i -> array_to_string(list_slice(toks, i, i + 2), ' ')))) AS n_tri_distinct
+        |  FROM tt WHERE len(toks) > 0
+        |)
+        |SELECT doc_id, n_tokens, n_distinct,
+        |  CAST(floor((1.0 - CAST(n_distinct AS DOUBLE) / n_tokens) * 1000000) AS BIGINT)
+        |    AS dup_token_micro,
+        |  CAST(floor(CAST(top_freq AS DOUBLE) / n_tokens * 1000000) AS BIGINT)
+        |    AS top_token_micro,
+        |  CASE WHEN n_tri > 0 THEN
+        |    CAST(floor((1.0 - CAST(n_tri_distinct AS DOUBLE) / n_tri) * 1000000) AS BIGINT)
+        |    ELSE 0 END AS dup_trigram_micro
+        |FROM agg JOIN tri USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q_sample_stratified" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    CAST(coalesce(TRY_CAST(substr(source, 4) AS INTEGER), 0) % 4 + 1
+        |      AS INTEGER) AS rq
+        |  FROM documents
+        |)
+        |SELECT source, any_value(rq) AS rate_quarters, count(*) AS n_total,
+        |  CAST(sum(CASE WHEN md5(CAST(doc_id AS VARCHAR)) <
+        |    (CASE rq WHEN 1 THEN '4000' WHEN 2 THEN '8000'
+        |             WHEN 3 THEN 'c000' ELSE 'ffff' END)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
+    "q_quality_filter" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                x -> len(x) > 0) AS toks
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id, toks,
+        |    round(0.4 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+        |      + 0.2 * (CASE WHEN (CASE WHEN len(toks) > 0 THEN
+        |          CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) / len(toks)
+        |          ELSE 0.0 END) BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.0 END)
+        |      + 0.2 * (CASE WHEN (CASE WHEN length(text) > 0 THEN
+        |          CAST(length(regexp_replace(text, '[^.,;:!?''"]', '', 'g')) AS DOUBLE) / length(text)
+        |          ELSE 0.0 END) BETWEEN 0.0 AND 0.2 THEN 1.0 ELSE 0.0 END)
+        |      + 0.2 * least((CASE WHEN len(toks) > 0 THEN
+        |          CAST(len(list_filter(toks, x -> list_contains(
+        |            ['the','a','an','and','of','to','in','is','it','that'], x))) AS DOUBLE)
+        |            / len(toks) ELSE 0.0 END) * 5.0, 1.0), 6) AS quality,
+        |    len(list_filter(toks, x -> list_contains(['the','and','of','is','that'], x))) AS en,
+        |    len(list_filter(toks, x -> list_contains(['el','los','las','es','y'], x))) AS es,
+        |    len(list_filter(toks, x -> list_contains(['der','die','das','und','ist'], x))) AS de,
+        |    len(list_filter(toks, x -> list_contains(['le','les','est','et','dans'], x))) AS fr,
+        |    length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS zh
+        |  FROM t
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN len(toks) < 40 THEN 'too_short'
+        |       WHEN greatest(en, es, de, fr, zh) = 0 THEN 'wrong_lang'
+        |       WHEN quality < 0.5 THEN 'low_quality'
+        |       ELSE 'kept' END AS verdict
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "q_token_hist" ->
+      """WITH t AS (
+        |  SELECT CAST(floor(len(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> len(x) > 0)) / 16.0) AS BIGINT) AS bucket
+        |  FROM documents
+        |)
+        |SELECT bucket, bucket * 16 AS lo_tokens, count(*) AS n_docs
+        |FROM t GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q_chunk" ->
       """WITH t AS (
         |  SELECT doc_id,

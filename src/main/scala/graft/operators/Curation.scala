@@ -1,0 +1,206 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for LLM training-data pipelines:
+  * eval-set decontamination, PII redaction, intra-document repetition
+  * scoring, stratified sampling, quality filtering and token
+  * histograms — the filter/report stages that sit between raw corpus
+  * and tokenizer at 100 TB.
+  *
+  * Scale design: everything here is either a pure projection (scan
+  * speed: redaction, filtering, sampling) or one map-side-combined
+  * shuffle (repetition token counts, histograms, report aggregates).
+  * Decontamination joins the corpus against the eval n-gram set,
+  * which is benchmark-sized (MBs against the corpus's TBs) and so
+  * broadcast — the corpus itself never shuffles.
+  */
+object Curation {
+
+  /** Distinct word-n-gram strings of a token array (empty below n
+    * tokens — the guard matters: sequence(1,0) would count down).
+    */
+  def ngramsOf(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      array_distinct(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " "))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Benchmark decontamination report: split the corpus with the
+    * deterministic hash split (Corpus.splitLabel), then flag every
+    * train document sharing at least one word-n-gram with any eval
+    * document — the standard guard against test-set leakage into
+    * pretraining data. Emits (doc_id, n_shared) for contaminated
+    * train docs, n_shared = number of distinct eval n-grams hit.
+    *
+    * The eval n-gram set is distinct-ed and broadcast: eval
+    * benchmarks are tiny relative to the corpus, so the scan side
+    * joins map-side and the corpus never shuffles. (With a
+    * corpus-sized eval set, drop the broadcast and let AQE pick the
+    * shuffle join — the code is unchanged.)
+    */
+  def contaminationReport(docs: DataFrame, trainFraction: Double = 0.8,
+                          n: Int = 5, textCol: String = "text"): DataFrame = {
+    val grams = docs
+      .withColumn("cohort", Corpus.splitLabel(col("doc_id"), trainFraction))
+      .select(col("doc_id"), col("cohort"),
+        explode(ngramsOf(TextAnalysis.tokens(col(textCol)), n)).as("gram"))
+    val evalGrams = grams.filter(col("cohort") === "eval")
+      .select("gram").distinct()
+    grams.filter(col("cohort") === "train")
+      .join(broadcast(evalGrams), "gram")
+      // grams are distinct within a doc, so count(1) == countDistinct
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** The clean training set: train-cohort docs minus contaminated
+    * ones (left-anti against the report).
+    */
+  def decontaminate(docs: DataFrame, trainFraction: Double = 0.8,
+                    n: Int = 5, textCol: String = "text"): DataFrame =
+    docs
+      .filter(Corpus.splitLabel(col("doc_id"), trainFraction) === "train")
+      .join(contaminationReport(docs, trainFraction, n, textCol),
+        Seq("doc_id"), "left_anti")
+
+  // Conservative, lookaround-free patterns — identical semantics under
+  // Java regex (Spark) and RE2 (DuckDB's regexp_* functions).
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRe = "\\b\\d{3}[-.]\\d{3,4}[-.]\\d{4}\\b"
+  val longNumRe = "\\b\\d{6,}\\b"
+
+  /** PII redaction — emails, phone-shaped numbers and long digit runs
+    * replaced by typed placeholders, with per-class match counts.
+    * Pure projection (codegen'd regexes, no UDFs): runs at scan speed
+    * over the corpus. Classes apply in order on the already-redacted
+    * text so one span is never counted twice.
+    */
+  def piiRedact(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val raw = col(textCol)
+    val afterEmail = regexp_replace(raw, emailRe, "<EMAIL>")
+    val afterPhone = regexp_replace(afterEmail, phoneRe, "<PHONE>")
+    docs
+      .withColumn("n_emails", regexp_count(raw, lit(emailRe)).cast("int"))
+      .withColumn("n_phones", regexp_count(afterEmail, lit(phoneRe)).cast("int"))
+      .withColumn("n_ids", regexp_count(afterPhone, lit(longNumRe)).cast("int"))
+      .withColumn("redacted", regexp_replace(afterPhone, longNumRe, "<ID>"))
+  }
+
+  /** Intra-document repetition metrics — the boilerplate/spam signal
+    * quality pipelines filter on: duplicate-token fraction, dominant
+    * token share, duplicate-trigram fraction (micro-unit integers so
+    * the gate is exact). Token frequencies go through one map-side-
+    * combined shuffle of (doc_id, token) pairs; the trigram distinct
+    * ratio is computed columnar in the scan.
+    */
+  def repetitionStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+    val tokCounts = base
+      .select(col("doc_id"), explode(col("__toks")).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("long").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_freq"))
+    val tri = base.select(col("doc_id"),
+      ngramsOf(col("__toks"), 3).as("__tri"),
+      greatest(size(col("__toks")) - 2, lit(0)).as("n_tri"))
+      .select(col("doc_id"), col("n_tri"),
+        size(col("__tri")).as("n_tri_distinct"))
+    tokCounts.join(tri, "doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        floor((lit(1.0) - col("n_distinct").cast("double") / col("n_tokens")) * 1e6)
+          .cast("long").as("dup_token_micro"),
+        floor(col("top_freq").cast("double") / col("n_tokens") * 1e6)
+          .cast("long").as("top_token_micro"),
+        when(col("n_tri") > 0,
+          floor((lit(1.0) - col("n_tri_distinct").cast("double") / col("n_tri")) * 1e6))
+          .otherwise(lit(0)).cast("long").as("dup_trigram_micro"))
+  }
+
+  /** Deterministic per-source sampling rate in quarters {1..4}/4,
+    * derived from the source's numeric suffix — the stand-in for a
+    * curated source→rate table (swap in a real broadcast table in
+    * production; the mechanics below are unchanged).
+    */
+  def sourceRateQuarters(source: Column): Column =
+    coalesce(substring(source, 4, 10).cast("int"), lit(0)) % 4 + 1
+
+  /** Stratified deterministic sampling: each source keeps its own
+    * fraction of documents, chosen by the same engine-portable
+    * md5-threshold rule as Corpus.deterministicSample — stable under
+    * repartitioning, retries and engine changes. Fraction 4/4 uses
+    * threshold 'ffff' (1/65536 clip — the documented resolution of
+    * the hex-threshold rule). Pure filter: no shuffle.
+    */
+  def stratifiedSample(docs: DataFrame): DataFrame = {
+    val thr = element_at(
+      array(lit("4000"), lit("8000"), lit("c000"), lit("ffff")),
+      sourceRateQuarters(col("source")))
+    docs.filter(Corpus.hashBucket(col("doc_id")) < thr)
+  }
+
+  /** Per-source sampling report: configured rate, totals, kept. */
+  def stratifiedSampleReport(docs: DataFrame): DataFrame = {
+    val thr = element_at(
+      array(lit("4000"), lit("8000"), lit("c000"), lit("ffff")),
+      sourceRateQuarters(col("source")))
+    docs
+      .groupBy(col("source"))
+      .agg(first(sourceRateQuarters(col("source"))).as("rate_quarters"),
+        count(lit(1)).as("n_total"),
+        sum(when(Corpus.hashBucket(col("doc_id")) < thr, 1L).otherwise(0L))
+          .as("n_sampled"))
+  }
+
+  /** Quality-gate verdict per document, first failing rule wins:
+    * too_short (token floor) → wrong_lang (language-ID says unknown)
+    * → low_quality (composite score floor) → kept. Emitting the
+    * reason, not just the survivors, is deliberate: drop-reason
+    * distributions are the pipeline's observability signal (a spike
+    * in one reason means an upstream source changed).
+    */
+  def qualityFilterVerdicts(docs: DataFrame, minTokens: Int = 40,
+                            minQuality: Double = 0.5,
+                            textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs
+      .withColumn("__toks", TextAnalysis.tokens(t))
+      .withColumn("verdict",
+        when(size(col("__toks")) < minTokens, "too_short")
+          .when(TextAnalysis.langIdOf(t, col("__toks")) === "unknown", "wrong_lang")
+          .when(TextAnalysis.qualityScoreOf(t, col("__toks")) < minQuality, "low_quality")
+          .otherwise("kept"))
+      .select(col("doc_id"), col("verdict"))
+  }
+
+  /** The surviving documents under the same gate. */
+  def qualityFilter(docs: DataFrame, minTokens: Int = 40,
+                    minQuality: Double = 0.5,
+                    textCol: String = "text"): DataFrame =
+    docs.join(
+      qualityFilterVerdicts(docs, minTokens, minQuality, textCol)
+        .filter(col("verdict") === "kept")
+        .select("doc_id"),
+      Seq("doc_id"), "left_semi")
+
+  /** Fixed-width histogram of per-document token counts — the corpus
+    * length profile (sequence-length planning, truncation budgets).
+    * One tiny aggregate: (bucket, lo_tokens, n_docs).
+    */
+  def tokenHistogram(docs: DataFrame, width: Int = 16,
+                     textCol: String = "text"): DataFrame = {
+    require(width > 0)
+    docs
+      .select((TextAnalysis.tokenCount(col(textCol)) / width)
+        .cast("long").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("lo_tokens", col("bucket") * width)
+      .select(col("bucket"), col("lo_tokens"), col("n_docs"))
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Corpus, Curation}
+import graft.sources.Tables
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val docs = Tables.documents(spark, sf)
+
+  test("piiRedact replaces emails/phones/ids with typed placeholders and counts them") {
+    val d = Seq(
+      (1L, "mail me at jo.doe+x@ex-ample.org or admin@site.io thanks"),
+      (2L, "call 555-123-4567 and 030-555-1234 ref 123456789"),
+      (3L, "clean text with short 123 and word99 untouched"))
+      .toDF("doc_id", "text")
+    val r = Curation.piiRedact(d).orderBy("doc_id")
+      .select("n_emails", "n_phones", "n_ids", "redacted")
+      .collect()
+    assert(r(0).getInt(0) === 2 && r(0).getString(3) ===
+      "mail me at <EMAIL> or <EMAIL> thanks")
+    assert(r(1).getInt(1) === 2 && r(1).getInt(2) === 1 &&
+      r(1).getString(3) === "call <PHONE> and <PHONE> ref <ID>")
+    assert(r(2) === org.apache.spark.sql.Row(0, 0, 0,
+      "clean text with short 123 and word99 untouched"))
+  }
+
+  test("contamination: identical corpus -> every train doc flagged; disjoint -> none") {
+    val ids = (0L until 20L)
+    val text = "alpha beta gamma delta epsilon zeta eta theta"
+    val same = ids.map(i => (i, text)).toDF("doc_id", "text")
+    val cohorts = same
+      .withColumn("cohort", Corpus.splitLabel(col("doc_id"), 0.8))
+      .select("doc_id", "cohort").as[(Long, String)].collect().toMap
+    val trainIds = cohorts.filter(_._2 == "train").keySet
+    assert(trainIds.nonEmpty && trainIds.size < ids.size) // both cohorts hit
+    val flagged = Curation.contaminationReport(same)
+      .select("doc_id").as[Long].collect().toSet
+    assert(flagged === trainIds)
+    assert(Curation.decontaminate(same).count() === 0)
+
+    // per-doc unique vocabulary -> zero overlap, full train set survives
+    val disjoint = ids.map(i =>
+      (i, (0 to 7).map(j => s"tok_${i}_$j").mkString(" "))).toDF("doc_id", "text")
+    assert(Curation.contaminationReport(disjoint).count() === 0)
+    assert(Curation.decontaminate(disjoint).count() === trainIds.size)
+  }
+
+  test("repetitionStats micro-metrics on a constructed doc") {
+    val d = Seq((1L, "a a a a b")).toDF("doc_id", "text")
+    val r = Curation.repetitionStats(d).collect().head
+    assert(r.getAs[Long]("n_tokens") === 5L)
+    assert(r.getAs[Long]("n_distinct") === 2L)
+    assert(r.getAs[Long]("dup_token_micro") === 600000L)   // 1 - 2/5
+    assert(r.getAs[Long]("top_token_micro") === 800000L)   // 4/5
+    // trigrams: [a a a, a a a, a a b] -> 3 total, 2 distinct
+    assert(r.getAs[Long]("dup_trigram_micro") === 333333L)
+  }
+
+  test("stratifiedSample is deterministic and matches its report") {
+    val s1 = Curation.stratifiedSample(docs).select("doc_id").as[Long].collect().toSet
+    val s2 = Curation.stratifiedSample(docs).select("doc_id").as[Long].collect().toSet
+    assert(s1 === s2 && s1.nonEmpty && s1.size < docs.count())
+    val report = Curation.stratifiedSampleReport(docs).collect()
+    val bySource = Curation.stratifiedSample(docs)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    report.foreach { r =>
+      assert(r.getAs[Long]("n_sampled") ===
+        bySource.getOrElse(r.getAs[String]("source"), 0L))
+      assert(r.getAs[Int]("rate_quarters") >= 1 && r.getAs[Int]("rate_quarters") <= 4)
+    }
+  }
+
+  test("qualityFilterVerdicts covers every doc with a consistent reason") {
+    val v = Curation.qualityFilterVerdicts(docs)
+    assert(v.count() === docs.count())
+    val tooShort = v.filter($"verdict" === "too_short").select("doc_id")
+    val short = docs.join(tooShort, "doc_id")
+      .filter(size(graft.operators.TextAnalysis.tokens($"text")) >= 40)
+    assert(short.count() === 0)
+    assert(Curation.qualityFilter(docs).count() ===
+      v.filter($"verdict" === "kept").count())
+  }
+
+  test("tokenHistogram buckets partition the corpus") {
+    val h = Curation.tokenHistogram(docs)
+    assert(h.agg(sum("n_docs")).as[Long].head === docs.count())
+    h.collect().foreach { r =>
+      assert(r.getAs[Long]("lo_tokens") === r.getAs[Long]("bucket") * 16)
+    }
+  }
+}

@@ -90,4 +90,33 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count") && p.contains("partial_sum"),
       s"no partial aggregation in:\n$p")
   }
+
+  test("q_decontaminate: eval n-gram set broadcasts; corpus side never sort-merges") {
+    val p = plan("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), s"eval grams not broadcast in:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled for the join in:\n$p")
+  }
+
+  test("q_sample_stratified: pure filter+aggregate, exactly one shuffle") {
+    val p = plan("q_sample_stratified")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"expected exactly one hash exchange in:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"no partial aggregation in:\n$p")
+  }
+
+  test("q_repetition: token counts combine map-side before the doc rollup") {
+    val p = plan("q_repetition")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"no partial aggregation in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+  }
+
+  test("q_quality_filter and q_pii_redact: projection-only, no shuffle") {
+    for (q <- Seq("q_quality_filter", "q_pii_redact")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$q: unexpected shuffle in:\n$p")
+    }
+  }
 }
