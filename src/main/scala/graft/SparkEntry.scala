@@ -200,6 +200,86 @@ object SparkEntry {
          |ORDER BY doc_a, doc_b""".stripMargin
     }
 
+    /** Hyperplane-LSH ANN oracle (nBits=4, single-probe, top-10): the
+      * ±1 hyperplane components are parities of the engine's
+      * splitmix64 derivation (HyperplaneSig), precomputed here and
+      * embedded as literal sign vectors; the dot products accumulate
+      * left-to-right in double exactly as the native expression does
+      * (prepended 0.0 start, s·v addition), so bucket assignment is
+      * bit-identical. Candidates = exact bucket match; ranking reuses
+      * the q_knn_brute cosine pattern. Sign tables cover the
+      * testdata's 64-dim embeddings.
+      */
+    val annLshSql: String = {
+      val nBits = 4; val dim = 64
+      val signLists = (0 until nBits).map { j =>
+        val s = (0 until dim).map(i =>
+          if ((mix(j.toLong * 1000003L + i) & 1L) == 0L) "1.0" else "-1.0")
+        s"CAST([${s.mkString(",")}] AS DOUBLE[]) AS s$j"
+      }.mkString(", ")
+      val bitTerms = (0 until nBits).map { j =>
+        s"""(CASE WHEN list_reduce(list_prepend(0.0,
+           |    list_transform(generate_series(1, len(e)), i -> s$j[i] * e[i])),
+           |    (a, b) -> a + b) >= 0 THEN ${1 << j} ELSE 0 END)""".stripMargin
+      }.mkString(" + ")
+      s"""WITH sgn AS (SELECT $signLists
+         |), c0 AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+         |), sig AS (
+         |  SELECT vec_id, e, $bitTerms AS bucket FROM c0 CROSS JOIN sgn
+         |), q AS (
+         |  SELECT vec_id AS query_id, e AS qe, bucket FROM sig WHERE vec_id < 3
+         |), s AS (
+         |  SELECT q.query_id, v.vec_id,
+         |    list_cosine_similarity(v.e, q.qe) AS sim
+         |  FROM sig v JOIN q ON v.bucket = q.bucket
+         |), r AS (
+         |  SELECT query_id, vec_id, sim,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+         |  FROM s
+         |)
+         |SELECT query_id, rank, vec_id, CAST(floor(sim * 1000000) AS BIGINT) AS sim_micro
+         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+    }
+
+    /** IVF ANN oracle (16 md5-picked centroid cells, nProbe=4,
+      * top-10): centroid pick, argmax cell assignment, probe ranking
+      * and candidate ranking all mirror the operator 1:1. Cosine ties
+      * at double precision would be the only divergence source — the
+      * same tolerance the long-green q_knn_brute oracle runs under.
+      */
+    val annIvfSql: String =
+      """WITH c0 AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        |), cent AS (
+        |  SELECT vec_id AS cell_id, e AS c FROM c0
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+        |), asg AS (
+        |  SELECT vec_id, e, cell_id, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY list_cosine_similarity(e, c) DESC, cell_id) AS rn
+        |  FROM c0 CROSS JOIN cent
+        |), idx AS (
+        |  SELECT vec_id, e, cell_id FROM asg WHERE rn = 1
+        |), q AS (
+        |  SELECT vec_id AS query_id, e AS qe FROM c0 WHERE vec_id < 3
+        |), probes AS (
+        |  SELECT query_id, qe, cell_id FROM (
+        |    SELECT q.query_id, q.qe, cent.cell_id,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY list_cosine_similarity(q.qe, cent.c) DESC, cent.cell_id) AS rn
+        |    FROM q CROSS JOIN cent)
+        |  WHERE rn <= 4
+        |), s AS (
+        |  SELECT p.query_id, v.vec_id, list_cosine_similarity(v.e, p.qe) AS sim
+        |  FROM idx v JOIN probes p ON v.cell_id = p.cell_id
+        |), r AS (
+        |  SELECT query_id, vec_id, sim, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sim DESC, vec_id) AS rank
+        |  FROM s
+        |)
+        |SELECT query_id, rank, vec_id, CAST(floor(sim * 1000000) AS BIGINT) AS sim_micro
+        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
     /** All pairs with hamming ≤ 6: the pigeonhole chunk bucketing the
       * engine uses (7 chunks of 64/7 bits) guarantees every such pair
       * shares a chunk, so the engine's candidate∩filter output EQUALS
@@ -1812,14 +1892,15 @@ object SparkEntry {
         |  ) AS h
         |  FROM documents
         |) ORDER BY doc_id""".stripMargin,
-    // q_ann_lsh / q_ann_ivf / q_approx_distinct: float-accumulation
-    // bucketing, sampled-kmeans training, and HLL sketches have no
-    // DuckDB counterpart → rows-only checks (semantic properties
-    // covered by LshSpec/ApproxSpec/DedupPipelineSpec).
-    // q_dedup_minhash / q_dedup_simhash: the full signature chain is
-    // reproduced bit-exactly in DuckDB (SketchOracles scaladoc).
+    // q_approx_distinct: the HLL sketch has no DuckDB counterpart →
+    // rows-only check (error-bound properties covered by ApproxSpec).
+    // q_dedup_minhash / q_dedup_simhash / q_ann_lsh / q_ann_ivf: the
+    // signature/index chains are reproduced exactly in DuckDB
+    // (SketchOracles scaladocs).
     "q_dedup_minhash" -> SketchOracles.minhashSql,
     "q_dedup_simhash" -> SketchOracles.simhashSql,
+    "q_ann_lsh" -> SketchOracles.annLshSql,
+    "q_ann_ivf" -> SketchOracles.annIvfSql,
     // Shared DuckDB shingle-set pipeline: tokenization mirrors
     // TextAnalysis.tokens (split lower(trim) on \s+, drop empties),
     // 3-gram string shingles stand in for the Spark side's 64-bit

@@ -43,13 +43,22 @@ object Curation {
     */
   def contaminationReport(docs: DataFrame, trainFraction: Double = 0.8,
                           n: Int = 5, textCol: String = "text"): DataFrame = {
-    val grams = docs
+    val labeled = docs
       .withColumn("cohort", Corpus.splitLabel(col("doc_id"), trainFraction))
-      .select(col("doc_id"), col("cohort"),
-        explode(ngramsOf(TextAnalysis.tokens(col(textCol)), n)).as("gram"))
-    val evalGrams = grams.filter(col("cohort") === "eval")
+    // n-grams are matched by their 64-bit shingle hash (the native
+    // single-pass ShingleHashes expression), not as strings: equality
+    // is all the join needs, hashing skips per-position string
+    // building, and filtering each cohort BEFORE gram generation
+    // tokenizes every document exactly once (a shared grams frame
+    // would re-derive the whole corpus under both plan branches).
+    // A cross-set hash collision would take ~2^64 distinct grams to
+    // matter — far beyond any eval set.
+    def grams(side: DataFrame): DataFrame =
+      LshDedup.shingleHashes(side, textCol, n)
+        .select(col("doc_id"), explode(col("shingle_hashes")).as("gram"))
+    val evalGrams = grams(labeled.filter(col("cohort") === "eval"))
       .select("gram").distinct()
-    grams.filter(col("cohort") === "train")
+    grams(labeled.filter(col("cohort") === "train"))
       .join(broadcast(evalGrams), "gram")
       // grams are distinct within a doc, so count(1) == countDistinct
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))

@@ -181,11 +181,14 @@ object Similarity {
   }
 
   /** The centroid frame ivfSearch needs, derived from an index build's
-    * inputs (same deterministic pick as ivfIndex).
+    * inputs (same deterministic pick as ivfIndex). The hash-order pick
+    * uses md5 (Corpus.hashBucket's portable-hash convention) rather
+    * than xxhash64 so a second engine — the DuckDB oracle, a
+    * re-implementation — reproduces the exact same centroid set.
     */
   def ivfCentroids(vectors: DataFrame, nCells: Int): DataFrame =
     vectors
-      .orderBy(xxhash64(col("vec_id")))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
       .limit(nCells)
       .select(col("vec_id").as("cell_id"), col("embedding").as("centroid"))
 
