@@ -1,8 +1,15 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+/** Ad-hoc profiling harness: time one query (arg 0, default the
+  * current tuning target) for three rounds at sf0.1 — JIT-warm
+  * steady-state numbers, the same measurement Bench takes per query.
+  */
 object Prof {
   def main(args: Array[String]): Unit = {
+    val name = args.headOption.getOrElse("q_quality_filter")
+    val sf = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -11,9 +18,9 @@ object Prof {
     spark.range(1000000).select(sum("id")).collect()
     for (round <- 1 to 3) {
       val t0 = System.nanoTime()
-      SparkEntry.queries("q_dedup_minhash")(spark, "/root/testdata/sf0.1")
+      SparkEntry.queries(name)(spark, sf)
         .write.format("noop").mode("overwrite").save()
-      println(f"run$round ${(System.nanoTime()-t0)/1e9}%.2f s")
+      println(f"run$round ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     spark.stop()
   }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.{CosineSimF, GraftShim, HyperplaneSig, MinHashBandHashes, MinHashSignature, PolyFingerprint64, ShingleHashes, SimHash64}
+import org.apache.spark.sql.graft.{CosineSimF, GraftShim, HyperplaneSig, MinHashBandHashes, MinHashSignature, PolyFingerprint64, ShingleHashes, SimHash64, TextProfile}
 
 /** User-facing Column wrappers for graft's native Catalyst
   * expressions (see org.apache.spark.sql.graft.GraftExpressions).
@@ -50,6 +50,13 @@ package object functions {
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
+
+  /** One-pass text profile struct (token/bpeish/punct/CJK/stopword
+    * counts) — the codegen'd scan behind TextAnalysis (see
+    * org.apache.spark.sql.graft.TextProfile).
+    */
+  def text_profile(c: Column): Column =
+    GraftShim.toColumn(TextProfile(GraftShim.toExpression(c)))
 
   /** Register all graft functions for SQL (`SELECT cosine_sim(...)`). */
   def registerAll(spark: SparkSession): Unit = GraftShim.registerAll(spark)

@@ -175,17 +175,15 @@ object Curation {
     */
   def qualityFilterVerdicts(docs: DataFrame, minTokens: Int = 40,
                             minQuality: Double = 0.5,
-                            textCol: String = "text"): DataFrame = {
-    val t = col(textCol)
+                            textCol: String = "text"): DataFrame =
     docs
-      .withColumn("__toks", TextAnalysis.tokens(t))
+      .withColumn("__p", TextAnalysis.profile(col(textCol)))
       .withColumn("verdict",
-        when(size(col("__toks")) < minTokens, "too_short")
-          .when(TextAnalysis.langIdOf(t, col("__toks")) === "unknown", "wrong_lang")
-          .when(TextAnalysis.qualityScoreOf(t, col("__toks")) < minQuality, "low_quality")
+        when(col("__p.n_tokens") < minTokens, "too_short")
+          .when(TextAnalysis.langIdOfP(col("__p")) === "unknown", "wrong_lang")
+          .when(TextAnalysis.qualityScoreOfP(col("__p")) < minQuality, "low_quality")
           .otherwise("kept"))
       .select(col("doc_id"), col("verdict"))
-  }
 
   /** The surviving documents under the same gate. */
   def qualityFilter(docs: DataFrame, minTokens: Int = 40,

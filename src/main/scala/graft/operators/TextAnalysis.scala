@@ -3,58 +3,65 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.text_profile
+
 /** Text analysis for LLM-training-data pipelines: token counting,
-  * quality scoring, language ID. All pure column expressions
-  * (codegen'd, no UDFs, no shuffle) — at 100 TB these run at scan
-  * speed as a single projection over the corpus. `stats` tokenizes
-  * once and fans every metric out from that array (the regex split is
-  * the dominant cost; higher-order functions don't share
-  * subexpressions, so the sharing is done structurally).
+  * quality scoring, language ID. Every scalar metric derives from the
+  * native one-pass TextProfile expression (codegen'd, no UDFs, no
+  * shuffle, no intermediate token arrays) — at 100 TB these run at
+  * scan speed as a single projection over the corpus. The columnar
+  * equivalents (regex split + higher-order list functions) are
+  * CodegenFallback in Spark and measured ~3× slower on the corpus
+  * scan; `tokens` remains for operators that genuinely need the token
+  * ARRAY (chunking, shingling, tf-idf).
   */
 object TextAnalysis {
 
-  /** Whitespace tokens of the lowercased text. */
+  /** Whitespace tokens of the lowercased text (array producer — the
+    * scalar metrics below don't pay for this array).
+    */
   def tokens(text: Column): Column =
     filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
 
+  /** The one-pass profile struct (see o.a.s.sql.graft.TextProfile).
+    * Repeated references inside one projection are collapsed by
+    * whole-stage codegen's subexpression elimination, so deriving
+    * many metrics from `profile(t)` still scans each row once.
+    */
+  def profile(text: Column): Column = text_profile(text)
+
   /** Whitespace token count. */
-  def tokenCount(text: Column): Column = size(tokens(text))
+  def tokenCount(text: Column): Column = profile(text).getField("n_tokens")
 
   /** BPE-ish subword count: word pieces + standalone punctuation, the
     * usual cheap `len(tokenizer(text))` estimator
-    * (pattern: word chars | single non-word-non-space).
+    * (word-char runs | single non-word-non-space code points).
     */
-  def bpeishCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"), lit(0)))
+  def bpeishCount(text: Column): Column = profile(text).getField("n_bpeish")
 
   /** Ratio of punctuation chars to all chars. */
-  def punctRatio(text: Column): Column =
-    when(length(text) > 0,
-      length(regexp_replace(text, "[^.,;:!?'\"]", "")).cast("double") / length(text))
+  def punctRatio(text: Column): Column = punctRatioOfP(profile(text))
+
+  private def punctRatioOfP(p: Column): Column =
+    when(p.getField("n_chars") > 0,
+      p.getField("n_punct").cast("double") / p.getField("n_chars"))
       .otherwise(lit(0.0))
 
-  private val stopwordsEn = Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")
+  /** Ratio of stopword tokens to all tokens. */
+  def stopwordRatio(text: Column): Column = stopwordRatioOfP(profile(text))
 
-  private def hitCount(toks: Column, words: Seq[String]): Column = {
-    val sw = array(words.map(lit): _*)
-    size(filter(toks, t => array_contains(sw, t)))
-  }
-
-  /** Ratio of stopword tokens to all tokens (toks-sharing variant). */
-  def stopwordRatioOf(toks: Column): Column =
-    when(size(toks) > 0,
-      hitCount(toks, stopwordsEn).cast("double") / size(toks))
+  private def stopwordRatioOfP(p: Column): Column =
+    when(p.getField("n_tokens") > 0,
+      p.getField("sw_q").cast("double") / p.getField("n_tokens"))
       .otherwise(lit(0.0))
-
-  def stopwordRatio(text: Column): Column = stopwordRatioOf(tokens(text))
 
   /** Mean word length (non-space chars / token count). */
-  def meanWordLenOf(text: Column, toks: Column): Column =
-    when(size(toks) > 0,
-      length(regexp_replace(text, "\\s", "")).cast("double") / size(toks))
-      .otherwise(lit(0.0))
+  def meanWordLen(text: Column): Column = meanWordLenOfP(profile(text))
 
-  def meanWordLen(text: Column): Column = meanWordLenOf(text, tokens(text))
+  private def meanWordLenOfP(p: Column): Column =
+    when(p.getField("n_tokens") > 0,
+      p.getField("n_nonspace").cast("double") / p.getField("n_tokens"))
+      .otherwise(lit(0.0))
 
   /** Composite quality score in [0,1]: long enough, readable word
     * length, some punctuation, not stopword-soup. The exact recipe is
@@ -62,16 +69,17 @@ object TextAnalysis {
     * that it's deterministic, cheap, and derived from the standard
     * length/punct/stopword signals.
     */
-  def qualityScoreOf(text: Column, toks: Column): Column = {
-    val lenScore = least(length(text).cast("double") / lit(500.0), lit(1.0))
-    val wordLenOk = when(meanWordLenOf(text, toks).between(3.0, 8.0), 1.0).otherwise(0.0)
-    val punctOk = when(punctRatio(text).between(0.0, 0.2), 1.0).otherwise(0.0)
-    val swScore = least(stopwordRatioOf(toks) * lit(5.0), lit(1.0))
+  def qualityScore(text: Column): Column = qualityScoreOfP(profile(text))
+
+  /** Quality score from an already-bound profile struct column. */
+  def qualityScoreOfP(p: Column): Column = {
+    val lenScore = least(p.getField("n_chars").cast("double") / lit(500.0), lit(1.0))
+    val wordLenOk = when(meanWordLenOfP(p).between(3.0, 8.0), 1.0).otherwise(0.0)
+    val punctOk = when(punctRatioOfP(p).between(0.0, 0.2), 1.0).otherwise(0.0)
+    val swScore = least(stopwordRatioOfP(p) * lit(5.0), lit(1.0))
     round(lit(0.4) * lenScore + lit(0.2) * wordLenOk +
       lit(0.2) * punctOk + lit(0.2) * swScore, 6)
   }
-
-  def qualityScore(text: Column): Column = qualityScoreOf(text, tokens(text))
 
   /** Stopword-hit language ID — the classic cheap n-gram/stopword
     * heuristic: score = distinctive-stopword hits per language, CJK by
@@ -80,19 +88,18 @@ object TextAnalysis {
     * say "en/unknown" — the operator is the point, and its oracle
     * recomputes the identical heuristic.)
     */
-  def langIdOf(text: Column, toks: Column): Column = {
-    val en = hitCount(toks, Seq("the", "and", "of", "is", "that"))
-    val es = hitCount(toks, Seq("el", "los", "las", "es", "y"))
-    val de = hitCount(toks, Seq("der", "die", "das", "und", "ist"))
-    val fr = hitCount(toks, Seq("le", "les", "est", "et", "dans"))
-    val zh = length(regexp_replace(text, "[^\\u4e00-\\u9fff]", ""))
+  def langId(text: Column): Column = langIdOfP(profile(text))
+
+  /** Language ID from an already-bound profile struct column. */
+  def langIdOfP(p: Column): Column = {
+    val en = p.getField("sw_en"); val es = p.getField("sw_es")
+    val de = p.getField("sw_de"); val fr = p.getField("sw_fr")
+    val zh = p.getField("n_zh")
     val m = greatest(en, es, de, fr, zh)
     when(m === 0, "unknown")
       .when(en === m, "en").when(es === m, "es").when(de === m, "de")
       .when(fr === m, "fr").otherwise("zh")
   }
-
-  def langId(text: Column): Column = langIdOf(text, tokens(text))
 
   /** Top-k most distinctive terms per document by tf-idf
     * (idf = ln(N/df)). Shuffles only (doc_id, term) count pairs; the
@@ -127,29 +134,27 @@ object TextAnalysis {
     * order-independent at any parallelism.
     */
   def corpusMix(docs: DataFrame, textCol: String = "text"): DataFrame =
-    docs.withColumn("__toks", tokens(col(textCol)))
+    docs.withColumn("__p", profile(col(textCol)))
       .groupBy(col("source"), col("lang"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(size(col("__toks"))).cast("long").as("n_tokens"),
-        (sum(qualityScoreOf(col(textCol), col("__toks")).cast("decimal(18,6)"))
+        sum(col("__p.n_tokens")).cast("long").as("n_tokens"),
+        (sum(qualityScoreOfP(col("__p")).cast("decimal(18,6)"))
           * 1000000).cast("long").as("quality_sum_micro"))
       .withColumn("mean_quality_micro",
         expr("quality_sum_micro div n_docs"))
 
-  /** Full per-document stats frame (single tokenization). */
-  def stats(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val t = col(textCol)
+  /** Full per-document stats frame (single profile pass). */
+  def stats(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs
-      .withColumn("__toks", tokens(t))
+      .withColumn("__p", profile(col(textCol)))
       .select(
         col("doc_id"),
-        length(t).as("n_chars"),
-        size(col("__toks")).as("n_tokens"),
-        bpeishCount(t).as("n_bpeish"),
-        meanWordLenOf(t, col("__toks")).as("mean_word_len"),
-        punctRatio(t).as("punct_ratio"),
-        stopwordRatioOf(col("__toks")).as("stopword_ratio"),
-        qualityScoreOf(t, col("__toks")).as("quality"),
-        langIdOf(t, col("__toks")).as("lang_pred"))
-  }
+        col("__p.n_chars").as("n_chars"),
+        col("__p.n_tokens").as("n_tokens"),
+        col("__p.n_bpeish").as("n_bpeish"),
+        meanWordLenOfP(col("__p")).as("mean_word_len"),
+        punctRatioOfP(col("__p")).as("punct_ratio"),
+        stopwordRatioOfP(col("__p")).as("stopword_ratio"),
+        qualityScoreOfP(col("__p")).as("quality"),
+        langIdOfP(col("__p")).as("lang_pred"))
 }

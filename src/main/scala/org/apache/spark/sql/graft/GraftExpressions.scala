@@ -45,6 +45,8 @@ object GraftShim {
       es => { arity("cosine_sim", 2, es); CosineSimF(es.head, es(1)) }, "scala_udf")
     reg.createOrReplaceTempFunction("minhash_signature",
       es => MinHashSignature(arity("minhash_signature", 1, es).head, 64), "scala_udf")
+    reg.createOrReplaceTempFunction("text_profile",
+      es => TextProfile(arity("text_profile", 1, es).head), "scala_udf")
   }
 }
 
@@ -402,4 +404,178 @@ case class CosineSimF(left: Expression, right: Expression)
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+/** One-pass text profile: every scalar the text-analysis operators
+  * need, from a single scan over the UTF-8 bytes — token count,
+  * BPE-ish piece count, non-space/punctuation/CJK code-point counts
+  * and the stopword-set hit counts behind quality scoring and
+  * language ID. The columnar formulation of these metrics costs one
+  * regex split plus several interpreted higher-order list functions
+  * per metric (HigherOrderFunction is CodegenFallback in Spark), so a
+  * corpus scan leaves whole-stage codegen exactly where throughput
+  * matters; this expression keeps the scan in generated code with one
+  * byte pass and no intermediate token arrays.
+  *
+  * Semantics notes (kept bit-compatible with the columnar formulas
+  * and the DuckDB oracles):
+  *  - tokens are maximal runs of non-[ \t\n\x0B\f\r] bytes (Java
+  *    regex \s), counted when non-empty;
+  *  - stopword matching byte-lowercases A-Z only — ASCII stopword
+  *    sets cannot be hit by non-ASCII tokens under either Unicode or
+  *    ASCII lowering;
+  *  - counts are per code point (RE2/DuckDB semantics); Java regex's
+  *    double-counting of supplementary characters as two surrogate
+  *    matches is deliberately not replicated;
+  *  - CJK detection covers U+4E00..U+9FFF (3-byte UTF-8).
+  */
+case class TextProfile(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = TextProfile.schema
+  override def nullSafeEval(input: Any): Any =
+    TextProfile.profile(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graft.TextProfile.profile($c);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TextProfile {
+  val schema: StructType = StructType(Seq(
+    StructField("n_chars", IntegerType, nullable = false),
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("n_bpeish", IntegerType, nullable = false),
+    StructField("n_nonspace", IntegerType, nullable = false),
+    StructField("n_punct", IntegerType, nullable = false),
+    StructField("n_zh", IntegerType, nullable = false),
+    StructField("sw_q", IntegerType, nullable = false),
+    StructField("sw_en", IntegerType, nullable = false),
+    StructField("sw_es", IntegerType, nullable = false),
+    StructField("sw_de", IntegerType, nullable = false),
+    StructField("sw_fr", IntegerType, nullable = false)))
+
+  // stopword-set membership flags
+  private final val Q = 1   // the,a,an,and,of,to,in,is,it,that (quality)
+  private final val EN = 2  // the,and,of,is,that
+  private final val ES = 4  // el,los,las,es,y
+  private final val DE = 8  // der,die,das,und,ist
+  private final val FR = 16 // le,les,est,et,dans
+
+  /** Flags of a byte-lowercased token of length ≤ 4 (0 otherwise). */
+  private def tokenFlags(b: Array[Byte], start: Int, end: Int): Int = {
+    val len = end - start
+    if (len > 4) return 0
+    def lc(j: Int): Int = {
+      val c = b(start + j) & 0xff
+      if (c >= 'A' && c <= 'Z') c + 32 else c
+    }
+    len match {
+      case 1 => lc(0) match {
+        case 'a' => Q
+        case 'y' => ES
+        case _ => 0
+      }
+      case 2 => (lc(0): @annotation.switch) match {
+        case 'a' => if (lc(1) == 'n') Q else 0
+        case 'o' => if (lc(1) == 'f') Q | EN else 0
+        case 't' => if (lc(1) == 'o') Q else 0
+        case 'i' => lc(1) match {
+          case 'n' => Q; case 's' => Q | EN; case 't' => Q; case _ => 0
+        }
+        case 'e' => lc(1) match {
+          case 'l' => ES; case 's' => ES; case 't' => FR; case _ => 0
+        }
+        case 'l' => if (lc(1) == 'e') FR else 0
+        case _ => 0
+      }
+      case 3 =>
+        val k = (lc(0) << 16) | (lc(1) << 8) | lc(2)
+        k match {
+          case 0x746865 /* the */ => Q | EN
+          case 0x616e64 /* and */ => Q | EN
+          case 0x6c6f73 /* los */ => ES
+          case 0x6c6173 /* las */ => ES
+          case 0x646572 /* der */ => DE
+          case 0x646965 /* die */ => DE
+          case 0x646173 /* das */ => DE
+          case 0x756e64 /* und */ => DE
+          case 0x697374 /* ist */ => DE
+          case 0x6c6573 /* les */ => FR
+          case 0x657374 /* est */ => FR
+          case _ => 0
+        }
+      case 4 =>
+        val k = (lc(0) << 24) | (lc(1) << 16) | (lc(2) << 8) | lc(3)
+        k match {
+          case 0x74686174 /* that */ => Q | EN
+          case 0x64616e73 /* dans */ => FR
+          case _ => 0
+        }
+      case _ => 0
+    }
+  }
+
+  /** Shared by interpreted eval and generated code. */
+  def profile(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val b = s.getBytes
+    val n = b.length
+    var nChars = 0; var nTokens = 0; var nBpe = 0; var nNonspace = 0
+    var nPunct = 0; var nZh = 0
+    var swQ = 0; var en = 0; var es = 0; var de = 0; var fr = 0
+    var tokStart = -1
+    var wordRun = false
+    def closeToken(end: Int): Unit = {
+      nTokens += 1
+      val f = tokenFlags(b, tokStart, end)
+      if ((f & Q) != 0) swQ += 1
+      if ((f & EN) != 0) en += 1
+      if ((f & ES) != 0) es += 1
+      if ((f & DE) != 0) de += 1
+      if ((f & FR) != 0) fr += 1
+      tokStart = -1
+    }
+    var i = 0
+    while (i < n) {
+      val c = b(i) & 0xff
+      if (c < 0x80) {
+        nChars += 1
+        val ws = c == 0x20 || (c >= 0x09 && c <= 0x0D)
+        if (ws) {
+          if (tokStart >= 0) closeToken(i)
+          wordRun = false
+        } else {
+          nNonspace += 1
+          if (tokStart < 0) tokStart = i
+          if (c == '.' || c == ',' || c == ';' || c == ':' ||
+              c == '!' || c == '?' || c == 0x27 || c == '"') nPunct += 1
+          val word = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+            (c >= '0' && c <= '9') || c == '_'
+          if (word) {
+            if (!wordRun) { nBpe += 1; wordRun = true }
+          } else {
+            wordRun = false
+            nBpe += 1
+          }
+        }
+        i += 1
+      } else {
+        if ((c & 0xc0) != 0x80) { // leading byte of a multi-byte code point
+          nChars += 1; nNonspace += 1; nBpe += 1
+          wordRun = false
+          if (tokStart < 0) tokStart = i
+          if (c >= 0xe4 && c <= 0xe9 && i + 2 < n) {
+            val cp = ((c & 0x0f) << 12) | ((b(i + 1) & 0x3f) << 6) | (b(i + 2) & 0x3f)
+            if (cp >= 0x4e00 && cp <= 0x9fff) nZh += 1
+          }
+        }
+        i += 1
+      }
+    }
+    if (tokStart >= 0) closeToken(n)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nChars, nTokens, nBpe, nNonspace, nPunct, nZh,
+        swQ, en, es, de, fr))
+  }
 }

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis
+import graft.sources.Tables
+
+/** The native one-pass TextProfile expression must agree with the
+  * columnar formulation it replaced (regex split + higher-order list
+  * functions) — checked metric by metric on the real corpus plus
+  * constructed edge cases.
+  */
+class TextProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def columnarChecks(df: org.apache.spark.sql.DataFrame): Unit = {
+    val toks = filter(split(lower(trim($"text")), "\\s+"), t => length(t) > 0)
+    val sw = array(Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that").map(lit): _*)
+    val ref = df.select(
+      $"text",
+      length($"text").as("r_chars"),
+      size(toks).as("r_tokens"),
+      size(regexp_extract_all($"text", lit("[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"), lit(0)))
+        .as("r_bpeish"),
+      length(regexp_replace($"text", "\\s", "")).as("r_nonspace"),
+      length(regexp_replace($"text", "[^.,;:!?'\"]", "")).as("r_punct"),
+      length(regexp_replace($"text", "[^\\u4e00-\\u9fff]", "")).as("r_zh"),
+      size(filter(toks, t => array_contains(sw, t))).as("r_swq"))
+    val got = ref.withColumn("p", TextAnalysis.profile($"text"))
+    val bad = got.filter(
+      $"p.n_chars" =!= $"r_chars" || $"p.n_tokens" =!= $"r_tokens" ||
+        $"p.n_bpeish" =!= $"r_bpeish" || $"p.n_nonspace" =!= $"r_nonspace" ||
+        $"p.n_punct" =!= $"r_punct" || $"p.n_zh" =!= $"r_zh" ||
+        $"p.sw_q" =!= $"r_swq")
+    val mismatches = bad.select($"text", $"p", $"r_chars", $"r_tokens",
+      $"r_bpeish", $"r_nonspace", $"r_punct", $"r_zh", $"r_swq").take(3)
+    assert(mismatches.isEmpty, mismatches.mkString("\n"))
+  }
+
+  test("profile == columnar formulation on the real corpus") {
+    columnarChecks(Tables.documents(spark, "/root/testdata/sf0.001"))
+  }
+
+  test("profile == columnar formulation on edge cases") {
+    val edges = Seq(
+      "",
+      "   ",
+      "\t\n\r\f",
+      "the THE The tHe",
+      "one-token",
+      "a",
+      "y el los las es und der die das le les est et dans ist",
+      "punct.,;:!?'\"soup",
+      "под водой текст",                 // cyrillic (2-byte UTF-8)
+      "中文文本 在 这里",                  // CJK + spaces
+      "mixed 中文 and ascii the of",
+      "trailing space ",
+      " leading",
+      "__under_score__ 12numbers34",
+      "a b",                        // NBSP is NOT Java \s — one token
+      "über naïve café")                 // latin-1 supplement
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    columnarChecks(edges)
+
+    // language ID and quality agree with the struct-derived path
+    val both = edges.select(
+      TextAnalysis.langId($"text").as("l1"),
+      TextAnalysis.langIdOfP(TextAnalysis.profile($"text")).as("l2"),
+      TextAnalysis.qualityScore($"text").as("q1"),
+      TextAnalysis.qualityScoreOfP(TextAnalysis.profile($"text")).as("q2"))
+    assert(both.filter($"l1" =!= $"l2" || $"q1" =!= $"q2").count() === 0)
+  }
+}
