@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.{CosineSimF, GraftShim, HyperplaneSig, MinHashBandHashes, MinHashSignature, PolyFingerprint64, ShingleHashes, SimHash64, TextProfile}
+import org.apache.spark.sql.graft.{CosineSimF, GraftShim, HyperplaneSig, MinHashBandHashes, MinHashSignature, PolyFingerprint64, ShingleHashes, SimHash64, TextProfile, TokenFnvHashes}
 
 /** User-facing Column wrappers for graft's native Catalyst
   * expressions (see org.apache.spark.sql.graft.GraftExpressions).
@@ -57,6 +57,12 @@ package object functions {
     */
   def text_profile(c: Column): Column =
     GraftShim.toColumn(TextProfile(GraftShim.toExpression(c)))
+
+  /** FNV-1a hash per whitespace token — the codegen'd tokenize+hash
+    * front of the dedup/shingling chain. Pass pre-lowercased text.
+    */
+  def token_fnv_hashes(c: Column): Column =
+    GraftShim.toColumn(TokenFnvHashes(GraftShim.toExpression(c)))
 
   /** Register all graft functions for SQL (`SELECT cosine_sim(...)`). */
   def registerAll(spark: SparkSession): Unit = GraftShim.registerAll(spark)

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.{hamming64, minhash_band_hashes, minhash_signature, poly_fingerprint64, shingle_hashes, simhash64}
+import graft.functions.{hamming64, minhash_band_hashes, minhash_signature, shingle_hashes, simhash64, token_fnv_hashes}
 
 /** Near-duplicate detection via MinHash+LSH and SimHash — the
   * scalable (non-O(n²)) dedup family.
@@ -55,18 +55,21 @@ object LshDedup {
   }
 
   /** doc_id + distinct word-n-gram shingle hashes.
-    * Tokens are hashed once (FNV-1a via poly_fingerprint64 — chosen
-    * over xxhash64 deliberately: FNV is re-implementable in plain
+    * The whole chain is native and codegen'd end to end:
+    * lower/trim (built-ins) → TokenFnvHashes (FNV-1a per token — FNV
+    * over xxhash64 deliberately: it is re-implementable in plain
     * wraparound arithmetic, so an external engine (the DuckDB oracle,
     * or any second implementation) can reproduce the exact candidate
-    * set, not just its statistics); the rolling n-gram combination and
-    * dedup happen inside the native ShingleHashes expression — single
-    * pass, no per-shingle strings or arrays.
+    * set, not just its statistics) → ShingleHashes (rolling n-gram
+    * combine + dedup). No lambda higher-order functions: those are
+    * CodegenFallback, and the size()>0/isNotNull guards Spark infers
+    * around a downstream explode would re-run the interpreted chain
+    * up to 3× per row; in codegen, subexpression elimination runs it
+    * once.
     */
   def shingleHashes(docs: DataFrame, textCol: String = "text", n: Int = 3): DataFrame =
     docs.select(col("doc_id"),
-      shingle_hashes(
-        transform(TextAnalysis.tokens(col(textCol)), t => poly_fingerprint64(t)), n)
+      shingle_hashes(token_fnv_hashes(lower(trim(col(textCol)))), n)
         .as("shingle_hashes"))
 
   /** MinHash signatures (k permutations) per doc. */
@@ -285,7 +288,7 @@ object LshDedup {
     */
   def simhashes(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.select(col("doc_id"),
-      simhash64(transform(TextAnalysis.tokens(col(textCol)), t => poly_fingerprint64(t)))
+      simhash64(token_fnv_hashes(lower(trim(col(textCol)))))
         .as("simhash"))
 
   /** SimHash near-dup candidates: hamming(simhash) ≤ `maxHamming`.

@@ -579,3 +579,69 @@ object TextProfile {
         swQ, en, es, de, fr))
   }
 }
+
+/** FNV-1a hash per whitespace token of a string — the tokenize+hash
+  * front of the dedup/shingling family as ONE codegen'd expression.
+  * The columnar equivalent, `transform(filter(split(...)), t =>
+  * poly_fingerprint64(t))`, carries lambda higher-order functions
+  * (CodegenFallback), so every reference re-evaluates the whole chain
+  * interpreted — and Spark's InferFiltersFromGenerate adds
+  * size(...)>0 / isNotNull guards that reference it twice more. With
+  * a native expression the chain stays in whole-stage codegen, where
+  * subexpression elimination evaluates it once per row.
+  *
+  * Tokens are maximal runs of non-[ \t\n\x0B\f\r] bytes (Java regex
+  * \s — byte-safe in UTF-8: ASCII bytes never occur inside multi-byte
+  * sequences). Callers pass pre-lowercased text (lower(trim(text)),
+  * both codegen'd built-ins) so hashes stay bit-identical to the
+  * previous per-token poly_fingerprint64 over Unicode-lowered tokens.
+  */
+case class TokenFnvHashes(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TokenFnvHashes.hashes(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graft.TokenFnvHashes.hashes($c);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TokenFnvHashes {
+  /** Shared by interpreted eval and generated code. */
+  def hashes(s: UTF8String): ArrayData = {
+    val b = s.getBytes
+    val n = b.length
+    // count tokens first (exact-size output, no builder)
+    var count = 0
+    var inTok = false
+    var i = 0
+    while (i < n) {
+      val c = b(i) & 0xff
+      val ws = c == 0x20 || (c >= 0x09 && c <= 0x0d)
+      if (ws) inTok = false
+      else if (!inTok) { count += 1; inTok = true }
+      i += 1
+    }
+    val out = new Array[Long](count)
+    var k = 0
+    var h = 0xcbf29ce484222325L
+    inTok = false
+    i = 0
+    while (i < n) {
+      val c = b(i) & 0xff
+      val ws = c == 0x20 || (c >= 0x09 && c <= 0x0d)
+      if (ws) {
+        if (inTok) { out(k) = h; k += 1; inTok = false }
+      } else {
+        if (!inTok) { h = 0xcbf29ce484222325L; inTok = true }
+        h = (h ^ c) * 0x100000001b3L
+      }
+      i += 1
+    }
+    if (inTok) { out(k) = h; k += 1 }
+    new GenericArrayData(out)
+  }
+}
