@@ -744,6 +744,89 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"))
         .orderBy(col("o_orderpriority"))
     }),
+    "q7_nation_volume" -> ((s, dir) => {
+      // TPC-H Q7 shape: bilateral trade volume between nation pairs —
+      // the fact table feeds two independent dimension chains
+      // (supplier→nation and orders→customer→nation). Nation is
+      // broadcast twice under different aliases; supplier/customer/
+      // orders join by key (AQE picks broadcast when they fit); only
+      // the fact shuffles into the final 3-key rollup.
+      val n1 = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate").between(
+          lit("1996-01-01").cast("timestamp"), lit("1997-12-31").cast("timestamp")))
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(money(sum(col("l_extendedprice").cast("decimal(18,4)") *
+          (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)"))))
+          .as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+    "q_supplier_cnt" -> ((s, dir) => {
+      // TPC-H Q16 shape: distinct suppliers per part bucket, minus a
+      // complaint cohort — NOT IN ≙ left-anti join BEFORE the distinct
+      // aggregate, so excluded suppliers never inflate the shuffle
+      val complaints = Tables.supplier(s, dir)
+        .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+      Tables.lineitem(s, dir)
+        .join(Tables.part(s, dir).filter(col("p_brand") =!= "Brand#1"),
+          col("l_partkey") === col("p_partkey"))
+        .join(complaints, col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"))
+    }),
+    "q_value_share" -> ((s, dir) => {
+      // TPC-H Q11 shape: groups whose aggregate clears a threshold on
+      // the GLOBAL aggregate (scalar-subquery threshold). The global
+      // sum/count reuse the per-group aggregate — one shuffle, two
+      // tiny scalar broadcasts back. The gate is relative to the MEAN
+      // (value > 1.5×mean) so it is scale-factor-invariant. The
+      // compare runs in DOUBLE: a decimal×count product would trip
+      // Spark's precision-cap scale adjustment (≠ DuckDB), while the
+      // closest group to the 1.5×mean boundary sits ≥2.8e-6 relative
+      // away at either SF — nine orders above double rounding, so the
+      // predicate is engine-independent; the OUTPUT value stays
+      // decimal-exact.
+      Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+      s.sql("""
+        WITH pv AS (
+          SELECT l_partkey,
+            SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                CAST(l_quantity AS DECIMAL(18,4))) AS value
+          FROM v_lineitem GROUP BY l_partkey
+        )
+        SELECT l_partkey,
+          CAST(CAST(value AS DECIMAL(38,2)) AS DOUBLE) AS part_value
+        FROM pv
+        WHERE CAST(value AS DOUBLE) * 2 * (SELECT COUNT(*) FROM pv) >
+              CAST((SELECT SUM(value) FROM pv) AS DOUBLE) * 3
+        ORDER BY part_value DESC, l_partkey""")
+    }),
+    "q_argmax_join" -> ((s, dir) => {
+      // TPC-H Q2 shape, decorrelated: each nation's max-balance
+      // supplier(s) via aggregate + join-back on (key, max) equality —
+      // the argmax idiom when the payload must come from the original
+      // row (contrast q_topk_group's window form). Ties keep all rows.
+      val mx = Tables.supplier(s, dir)
+        .groupBy(col("s_nationkey")).agg(max(col("s_acctbal")).as("max_bal"))
+      Tables.supplier(s, dir)
+        .join(mx, Seq("s_nationkey"))
+        .filter(col("s_acctbal") === col("max_bal"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("s_suppkey"), col("s_name"), col("s_acctbal"))
+        .orderBy(col("n_name"), col("s_suppkey"))
+    }),
     "q_pivot" -> ((s, dir) =>
       Tables.events(s, dir)
         .groupBy(to_date(col("ts")).cast("string").as("day"))
@@ -869,6 +952,11 @@ object SparkEntry {
       // n-gram set; corpus never shuffles)
       graft.operators.Curation.contaminationReport(Tables.documents(s, dir))
         .orderBy(col("doc_id"))),
+    "q_decontaminate_bloom" -> ((s, dir) =>
+      // the same report through the bloom-prefilter scale path (exact
+      // after the verify join; filter bits built distributed)
+      graft.operators.Curation.contaminationReportBloom(Tables.documents(s, dir))
+        .orderBy(col("doc_id"))),
     "q_pii_redact" -> ((s, dir) =>
       graft.operators.Curation.piiRedact(Tables.documents(s, dir))
         .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ids"),
@@ -903,6 +991,18 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(Tables.documents(s, dir))
         .orderBy(col("content_hash"))),
+    "q_dedup_incremental" -> ((s, dir) => {
+      // daily-ingest dedup: the eval cohort arrives as a new batch
+      // against the train-cohort corpus; only unseen content survives
+      val docs = Tables.documents(s, dir)
+      val corpus = docs.filter(
+        graft.operators.Corpus.splitLabel(col("doc_id"), 0.8) === "train")
+      val batch = docs.filter(
+        graft.operators.Corpus.splitLabel(col("doc_id"), 0.8) === "eval")
+      Dedup.incrementalExact(corpus, batch)
+        .select(col("doc_id"), col("content_hash"), col("n_batch_copies"))
+        .orderBy(col("doc_id"))
+    }),
     "q_fingerprint" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"),
@@ -934,6 +1034,14 @@ object SparkEntry {
         .select(col("query_id"), col("rank"), col("vec_id"), col("sim_micro"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    "q_knn_graph" -> ((s, dir) =>
+      // every vector's top-5 neighbors (kNN graph) via the triangle-
+      // blocked self-join: each unordered pair scored once, no
+      // cartesian node, WindowGroupLimit partial top-k
+      Similarity.knnGraph(Tables.embeddings(s, dir), k = 5)
+        .withColumn("sim_micro", floor(col("sim") * 1e6).cast("long"))
+        .select(col("vec_id"), col("rank"), col("neighbor_id"), col("sim_micro"))
+        .orderBy(col("vec_id"), col("rank"))),
     "q_ann_lsh" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.annLsh(emb, emb.filter(col("vec_id") < 3), topK = 10, nBits = 4)
@@ -1095,6 +1203,52 @@ object SparkEntry {
         |FROM orders
         |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
         |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+    "q7_nation_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS INTEGER) AS l_year,
+        |  CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |    (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2)
+        |    AS DECIMAL(38,2)) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+        |                     AND TIMESTAMP '1997-12-31 00:00:00'
+        |  AND n1.n_name <> n2.n_name
+        |GROUP BY 1, 2, 3
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q_supplier_cnt" ->
+      """SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1'
+        |  AND NOT EXISTS (SELECT 1 FROM supplier
+        |                  WHERE s_acctbal < 0 AND s_suppkey = l_suppkey)
+        |GROUP BY 1, 2
+        |ORDER BY supplier_cnt DESC, p_brand, p_type""".stripMargin,
+    "q_value_share" ->
+      """WITH pv AS (
+        |  SELECT l_partkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |        CAST(l_quantity AS DECIMAL(18,4))) AS value
+        |  FROM lineitem GROUP BY l_partkey
+        |)
+        |SELECT l_partkey, CAST(CAST(value AS DECIMAL(38,2)) AS DOUBLE) AS part_value
+        |FROM pv
+        |WHERE CAST(value AS DOUBLE) * 2 * (SELECT COUNT(*) FROM pv) >
+        |      CAST((SELECT SUM(value) FROM pv) AS DOUBLE) * 3
+        |ORDER BY part_value DESC, l_partkey""".stripMargin,
+    "q_argmax_join" ->
+      """SELECT n_name, s_suppkey, s_name, s_acctbal
+        |FROM supplier
+        |JOIN (SELECT s_nationkey AS nk, max(s_acctbal) AS max_bal
+        |      FROM supplier GROUP BY 1) mx
+        |  ON s_nationkey = nk AND s_acctbal = max_bal
+        |JOIN nation ON s_nationkey = n_nationkey
+        |ORDER BY n_name, s_suppkey""".stripMargin,
     "q_store_roundtrip" -> (txnCte + minuteCte + rollupCte("hour") + "\n" +
       """SELECT symbol, 'HOUR' AS timeframe,
         |  strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
@@ -1579,6 +1733,25 @@ object SparkEntry {
         |FROM grams JOIN ev USING (gram)
         |WHERE cohort = 'train'
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // same ground truth as q_decontaminate: the bloom prefilter is a
+    // plan-level change only (false positives die in the verify join)
+    "q_decontaminate_bloom" ->
+      """WITH tt AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> len(x) > 0) AS toks
+        |  FROM documents
+        |), grams AS (
+        |  SELECT doc_id,
+        |    CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'cccd' THEN 'train'
+        |         ELSE 'eval' END AS cohort,
+        |    unnest(list_distinct(list_transform(generate_series(1, len(toks) - 4),
+        |      i -> array_to_string(list_slice(toks, i, i + 4), ' ')))) AS gram
+        |  FROM tt WHERE len(toks) >= 5
+        |), ev AS (SELECT DISTINCT gram FROM grams WHERE cohort = 'eval')
+        |SELECT doc_id, count(*) AS n_shared
+        |FROM grams JOIN ev USING (gram)
+        |WHERE cohort = 'train'
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_pii_redact" -> {
       // same Java-regex/RE2-portable patterns the operator uses
       val em = Curation.emailRe; val ph = Curation.phoneRe; val id = Curation.longNumRe
@@ -1753,6 +1926,25 @@ object SparkEntry {
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash,
         |  min(doc_id) AS keep_doc_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
+    "q_dedup_incremental" ->
+      """WITH labeled AS (
+        |  SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash,
+        |    CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'cccd' THEN 'train'
+        |         ELSE 'eval' END AS cohort
+        |  FROM documents
+        |), b AS (
+        |  SELECT doc_id, content_hash,
+        |    row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY content_hash) AS n_batch_copies
+        |  FROM labeled WHERE cohort = 'eval'
+        |)
+        |SELECT doc_id, content_hash, n_batch_copies
+        |FROM b
+        |WHERE rn = 1 AND NOT EXISTS (
+        |  SELECT 1 FROM labeled t
+        |  WHERE t.cohort = 'train' AND t.content_hash = b.content_hash)
+        |ORDER BY doc_id""".stripMargin,
     // q_rsi_wilder oracle: the seed phase (simple average of the first
     // n gains/losses) and the smoothed recurrence, mirroring
     // MarketAnalytics.wilderRsi's arithmetic operation-for-operation.
@@ -1984,6 +2176,20 @@ object SparkEntry {
         |SELECT query_id, rank, vec_id,
         |  CAST(floor(sim * 1000000) AS BIGINT) AS sim_micro
         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q_knn_graph" ->
+      """WITH s AS (
+        |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+        |    list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS sim
+        |  FROM embeddings a, embeddings b
+        |  WHERE a.vec_id <> b.vec_id
+        |), r AS (
+        |  SELECT vec_id, neighbor_id, sim,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM s
+        |)
+        |SELECT vec_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+        |  CAST(floor(sim * 1000000) AS BIGINT) AS sim_micro
+        |FROM r WHERE rank <= 5 ORDER BY vec_id, rank""".stripMargin,
     "q_media_frames" ->
       """WITH f AS (
         |  SELECT doc_id, octet_length(encode(text)) AS n,

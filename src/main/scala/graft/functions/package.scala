@@ -64,6 +64,19 @@ package object functions {
   def token_fnv_hashes(c: Column): Column =
     GraftShim.toColumn(TokenFnvHashes(GraftShim.toExpression(c)))
 
+  /** Distributed bloom-filter build over an int64 key column — one
+    * aggregate; the result value is the serialized filter bits (the
+    * driver never materializes the key set).
+    */
+  def bloom_agg(keys: Column, expectedItems: Long, numBits: Long): Column =
+    GraftShim.bloomAgg(keys, expectedItems, numBits)
+
+  /** Membership probe against serialized bloom bits (no false
+    * negatives; false positives at the built filter's fpp).
+    */
+  def bloom_might_contain(bits: Column, key: Column): Column =
+    GraftShim.bloomMightContain(bits, key)
+
   /** Register all graft functions for SQL (`SELECT cosine_sim(...)`). */
   def registerAll(spark: SparkSession): Unit = GraftShim.registerAll(spark)
 }

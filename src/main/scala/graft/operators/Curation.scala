@@ -74,6 +74,52 @@ object Curation {
       .join(contaminationReport(docs, trainFraction, n, textCol),
         Seq("doc_id"), "left_anti")
 
+  /** Bloom-prefiltered contamination report — same rows as
+    * [[contaminationReport]] (the result is EXACT), different scale
+    * envelope: when the eval n-gram set outgrows what a broadcast
+    * hash join wants to hold (multi-benchmark suites × n-gram
+    * explosion), a bloom filter over the gram hashes stays compact —
+    * ~1.2 MB per million grams at 1% fpp versus tens of MB of hash
+    * map — and is built DISTRIBUTED (one aggregate; the driver only
+    * ever holds the bit array). The corpus gram stream is probed
+    * scan-side (codegen, no shuffle), so only the ~fpp-sized survivor
+    * stream reaches the exact verify join that removes bloom false
+    * positives. That join is left un-hinted on purpose: its left side
+    * has already collapsed, and AQE picks the strategy.
+    *
+    * Size `expectedEvalGrams` from benchmark metadata (an over-
+    * estimate only wastes bits; an under-estimate only raises fpp —
+    * exactness never depends on it).
+    */
+  def contaminationReportBloom(docs: DataFrame, trainFraction: Double = 0.8,
+                               n: Int = 5, textCol: String = "text",
+                               expectedEvalGrams: Long = 1L << 20,
+                               fpp: Double = 0.01): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    val labeled = docs
+      .withColumn("cohort", Corpus.splitLabel(col("doc_id"), trainFraction))
+    def grams(side: DataFrame): DataFrame =
+      LshDedup.shingleHashes(side, textCol, n)
+        .select(col("doc_id"), explode(col("shingle_hashes")).as("gram"))
+    val evalGrams = grams(labeled.filter(col("cohort") === "eval"))
+      .select("gram").distinct()
+    val numBits = math.max(64L,
+      math.ceil(-expectedEvalGrams.toDouble * math.log(fpp)
+        / (math.log(2) * math.log(2))).toLong)
+    val bits = evalGrams
+      .agg(graft.functions.bloom_agg(col("gram"), expectedEvalGrams, numBits)
+        .as("bf"))
+      .head.getAs[Array[Byte]](0)
+    val trainGrams = grams(labeled.filter(col("cohort") === "train"))
+    if (bits == null) // no eval grams at all → nothing can be contaminated
+      trainGrams.select(col("doc_id"), lit(0L).as("n_shared")).limit(0)
+    else
+      trainGrams
+        .filter(graft.functions.bloom_might_contain(lit(bits), col("gram")))
+        .join(evalGrams, "gram")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+  }
+
   // Conservative, lookaround-free patterns — identical semantics under
   // Java regex (Spark) and RE2 (DuckDB's regexp_* functions).
   val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -43,6 +43,37 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Incremental exact dedup — the daily-ingest pattern: admit only
+    * new-batch documents whose content is unseen. Two rules, in
+    * order: one keeper per content group WITHIN the batch (min
+    * doc_id, with the group's copy count kept as observability), then
+    * drop keepers whose content hash already exists in the corpus
+    * (left-anti join).
+    *
+    * Scale: the corpus side is projected to its 16-byte content hash
+    * before the anti-join, so column pruning reaches the corpus scan
+    * and only hashes ever shuffle — at 100 TB this is a shuffle anti
+    * join of hash against hash, never document bodies. In a real
+    * pipeline the corpus hash table is maintained incrementally
+    * (exactGroups output persisted per ingest); pass such a frame
+    * directly — any `corpus` that already has a `content_hash` column
+    * is used as-is, skipping the re-scan.
+    */
+  def incrementalExact(corpus: DataFrame, batch: DataFrame,
+                       textCol: String = "text"): DataFrame = {
+    val corpusHashes =
+      if (corpus.columns.contains("content_hash")) corpus.select("content_hash")
+      else corpus.select(contentHash(col(textCol)).as("content_hash"))
+    val wOrd = Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))
+    val wAll = Window.partitionBy(col("content_hash"))
+    batch
+      .withColumn("content_hash", contentHash(col(textCol)))
+      .withColumn("__rn", row_number().over(wOrd))
+      .withColumn("n_batch_copies", count(lit(1)).over(wAll))
+      .filter(col("__rn") === 1).drop("__rn")
+      .join(corpusHashes, Seq("content_hash"), "left_anti")
+  }
+
   /** Streaming exact dedup: drop any document whose normalized
     * content hash was already seen within the watermark horizon —
     * ingest-time dedup for a document stream. State is one hash per

@@ -239,7 +239,15 @@ object Similarity {
     * the vec_a < vec_b filter removes.
     */
   def blockedNearDupPairs(vectors: DataFrame, threshold: Double,
-                          nBlocks: Int = 16): DataFrame = {
+                          nBlocks: Int = 16): DataFrame =
+    blockedPairsScored(vectors, nBlocks)
+      .filter(col("sim") > threshold)
+
+  /** Every unordered vector pair scored exactly once (vec_a < vec_b,
+    * sim) via the triangle-blocked self-join — the shared core of
+    * blockedNearDupPairs (threshold filter) and knnGraph (top-k rank).
+    */
+  private def blockedPairsScored(vectors: DataFrame, nBlocks: Int): DataFrame = {
     val blocked = vectors.select(col("vec_id"), col("embedding"),
       pmod(xxhash64(col("vec_id")), lit(nBlocks)).cast("int").as("blk"))
     val left = blocked
@@ -251,9 +259,35 @@ object Similarity {
     left.join(right, Seq("bi", "bj"))
       .filter(col("bi") =!= col("bj") || col("vec_a") < col("vec_b"))
       .withColumn("sim", cosine_sim(col("emb_a"), col("emb_b")))
-      .filter(col("sim") > threshold)
       .select(least(col("vec_a"), col("vec_b")).as("vec_a"),
         greatest(col("vec_a"), col("vec_b")).as("vec_b"), col("sim"))
+  }
+
+  /** Exact kNN graph: every vector's top-k neighbors by cosine — the
+    * build-a-neighbor-graph primitive behind embedding clustering and
+    * graph-based dedup. Each unordered pair is scored ONCE through
+    * the triangle-blocked self-join above (cosine is symmetric, and
+    * bit-exactly so: the dot/norm accumulations read the arrays in
+    * the same index order either way), both directions then feed a
+    * per-vector row_number rank, which Spark executes as
+    * WindowGroupLimit — only ~k rows per vector per partition survive
+    * to the rank shuffle, never the O(n) candidate lists. Exact
+    * all-pairs kNN is Θ(n²) compares by nature; this distributes them
+    * evenly and keeps communication O(n·nBlocks + n·k). For
+    * sub-quadratic ANN at corpus scale use annLsh / ivfSearch
+    * (recall < 1) instead.
+    */
+  def knnGraph(vectors: DataFrame, k: Int, nBlocks: Int = 16): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val scored = blockedPairsScored(vectors, nBlocks)
+    val directed = scored.unionByName(
+      scored.select(col("vec_b").as("vec_a"), col("vec_a").as("vec_b"), col("sim")))
+    val w = Window.partitionBy(col("vec_a")).orderBy(col("sim").desc, col("vec_b"))
+    directed
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("vec_a").as("vec_id"), col("rank"),
+        col("vec_b").as("neighbor_id"), col("sim"))
   }
 
   /** LSH-bucketed near-duplicate pairs — same contract as

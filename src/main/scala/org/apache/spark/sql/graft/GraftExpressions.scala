@@ -35,6 +35,28 @@ object GraftShim {
       s"$name expects $n argument(s), got ${es.length}")
     es
   }
+
+  /** Distributed bloom-filter build over a LongType key column: one
+    * partial-merged aggregate whose result is the serialized filter
+    * bits. The driver ever holds only the bit array (numBits/8 bytes),
+    * never the key set — the membership structure for key sets too
+    * large to broadcast as a hash map. Same machinery Spark's own
+    * runtime-filter injection uses (BloomFilterAggregate).
+    */
+  def bloomAgg(keys: Column, expectedItems: Long, numBits: Long): Column =
+    toColumn(new org.apache.spark.sql.catalyst.expressions.aggregate
+      .BloomFilterAggregate(toExpression(keys),
+        org.apache.spark.sql.catalyst.expressions.Literal(expectedItems),
+        org.apache.spark.sql.catalyst.expressions.Literal(numBits))
+      .toAggregateExpression())
+
+  /** Membership probe of a LongType key against serialized bloom bits
+    * (codegen'd; false positives at the filter's fpp, no false
+    * negatives).
+    */
+  def bloomMightContain(bits: Column, key: Column): Column =
+    toColumn(org.apache.spark.sql.catalyst.expressions
+      .BloomFilterMightContain(toExpression(bits), toExpression(key)))
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("poly_fingerprint64",

@@ -49,6 +49,44 @@ class CurationSpec extends SparkSpec {
     assert(Curation.decontaminate(disjoint).count() === trainIds.size)
   }
 
+  test("bloom contamination report equals the exact report (and probes scan-side)") {
+    // real corpus: bloom path must reproduce the exact rows, fpp or not
+    val exact = Curation.contaminationReport(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaBloom = Curation.contaminationReportBloom(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaBloom === exact && exact.nonEmpty)
+    // a deliberately tiny/overloaded filter (high fpp) stays exact —
+    // false positives die in the verify join
+    val overloaded = Curation.contaminationReportBloom(
+      docs, expectedEvalGrams = 16, fpp = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(overloaded === exact)
+    // the probe is in the plan (scan-side prefilter, not a join)
+    val plan = Curation.contaminationReportBloom(docs)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"))
+  }
+
+  test("incrementalExact admits only unseen-content batch docs, one keeper per group") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma"), (2L, "delta epsilon")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "  ALPHA beta   gamma "), // normalizes to corpus doc 1 → dropped
+      (11L, "zeta eta"), (12L, "zeta eta"), (13L, "Zeta   ETA"), // intra-batch dups
+      (14L, "unique new text")).toDF("doc_id", "text")
+    val r = operators.Dedup.incrementalExact(corpus, batch)
+      .select("doc_id", "n_batch_copies")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(r === Map(11L -> 3L, 14L -> 1L))
+    // pre-hashed corpus frame (the maintained hash table) is honored
+    val hashed = operators.Dedup.exactGroups(corpus)
+    val r2 = operators.Dedup.incrementalExact(hashed, batch)
+      .select("doc_id", "n_batch_copies")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(r2 === r)
+  }
+
   test("repetitionStats micro-metrics on a constructed doc") {
     val d = Seq((1L, "a a a a b")).toDF("doc_id", "text")
     val r = Curation.repetitionStats(d).collect().head

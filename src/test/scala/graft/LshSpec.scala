@@ -124,6 +124,27 @@ class LshSpec extends SparkSpec {
     }
   }
 
+  test("knnGraph == per-vector brute-force top-k (excluding self), all block counts") {
+    // brute force oracle: knnBrute with every vector as a query keeps
+    // self at rank 1 — drop it and shift ranks
+    val brute = Similarity.knnBrute(emb, emb, topK = 6).collect()
+      .filter(r => r.getAs[Long]("query_id") != r.getAs[Long]("vec_id"))
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rows) =>
+        q -> rows.sortBy(_.getAs[Int]("rank")).take(5)
+          .map(_.getAs[Long]("vec_id")).toSeq
+      }
+    for (nb <- Seq(1, 4)) {
+      val graph = Similarity.knnGraph(emb, k = 5, nBlocks = nb).collect()
+        .groupBy(_.getAs[Long]("vec_id"))
+        .map { case (v, rows) =>
+          v -> rows.sortBy(_.getAs[Int]("rank"))
+            .map(_.getAs[Long]("neighbor_id")).toSeq
+        }
+      assert(graph === brute, s"nBlocks=$nb mismatch")
+    }
+  }
+
   test("ivfIndex assigns every vector exactly one cell, the argmax cell") {
     val index = Similarity.ivfIndex(emb, nCells = 8)
     assert(index.count() === emb.count())

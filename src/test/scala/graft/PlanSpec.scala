@@ -119,4 +119,43 @@ class PlanSpec extends SparkSpec {
         s"$q: unexpected shuffle in:\n$p")
     }
   }
+
+  test("q7_nation_volume: both nation aliases broadcast; no cartesian") {
+    val p = plan("q7_nation_volume")
+    assert("BroadcastExchange".r.findAllIn(p).size >= 2,
+      s"nation dims not broadcast twice in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+  }
+
+  test("q_supplier_cnt: complaint cohort excluded via anti join before the distinct agg") {
+    val p = plan("q_supplier_cnt")
+    assert(p.contains("LeftAnti"), s"no anti join in:\n$p")
+    // the anti join must run below the aggregate (exclusion pre-shuffle)
+    val aggIdx = p.indexOf("HashAggregate")
+    val antiIdx = p.indexOf("LeftAnti")
+    assert(aggIdx >= 0 && antiIdx > aggIdx,
+      s"anti join not below the aggregate in:\n$p")
+  }
+
+  test("q_dedup_incremental: corpus side prunes to the content hash before the anti join") {
+    val p = plan("q_dedup_incremental")
+    assert(p.contains("LeftAnti"), s"no anti join in:\n$p")
+    // the window (intra-batch keeper) and the anti join both key on the
+    // 16-byte hash; document text must not appear in any exchange
+    assert(!"Exchange hashpartitioning\\([^)]*text".r.findFirstIn(p).isDefined,
+      s"document text shuffled in:\n$p")
+  }
+
+  test("q_knn_graph: triangle equi-join (no cartesian) with partial top-k rank") {
+    val p = plan("q_knn_graph")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"no partial top-k in:\n$p")
+  }
+
+  test("q_decontaminate_bloom: scan-side bloom probe precedes the verify join") {
+    val p = plan("q_decontaminate_bloom")
+    assert(p.contains("might_contain"), s"no bloom probe in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+  }
 }
