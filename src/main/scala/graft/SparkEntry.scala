@@ -164,7 +164,11 @@ object SparkEntry {
       s"(${i + 1},${a >> 32},${a & 0xffffffffL},$b)"
     }.mkString(",")
 
-    val minhashSql: String = {
+    /** The shared signature chain: token FNV → shingles → 64-perm
+      * signatures → band hashes → skew-capped buckets. Ends inside
+      * the WITH list so callers append their own final CTEs/select.
+      */
+    private val minhashCtes: String = {
       val bandFold =
         s"""list_transform(generate_series(0, 15), b ->
            |  (xor((xor((xor((xor(xor($Golden, CAST(b AS HUGEINT)), sg[4*b+1]) * $FnvP) % $M,
@@ -193,12 +197,33 @@ object SparkEntry {
          |          i -> {'b': i, 'h': bhs[i]})) AS u FROM bh)
          |), ok AS (
          |  SELECT band, h FROM bx GROUP BY band, h HAVING count(*) BETWEEN 2 AND 1000
-         |)
-         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |FROM bx a JOIN bx b ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
-         |JOIN ok ON a.band = ok.band AND a.h = ok.h
-         |ORDER BY doc_a, doc_b""".stripMargin
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bx a JOIN bx b ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
+         |  JOIN ok ON a.band = ok.band AND a.h = ok.h
+         |)""".stripMargin
     }
+
+    val minhashSql: String =
+      s"""$minhashCtes
+         |SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b""".stripMargin
+
+    /** Calibration: signature-agreement estimate (pure integer micro
+      * units) next to exact shingle Jaccard, per candidate pair.
+      */
+    val minhashEstSql: String =
+      s"""$minhashCtes
+         |SELECT c.doc_a, c.doc_b,
+         |  CAST(len(list_filter(generate_series(1, 64), i -> sa.sg[i] = sb.sg[i]))
+         |    * 15625 AS BIGINT) AS est_micro,
+         |  CAST(floor(len(list_intersect(ha.sh, hb.sh)) * 1000000.0
+         |    / len(list_distinct(list_concat(ha.sh, hb.sh)))) AS BIGINT) AS jac_micro
+         |FROM cand c
+         |JOIN sig sa ON sa.doc_id = c.doc_a
+         |JOIN sig sb ON sb.doc_id = c.doc_b
+         |JOIN shs ha ON ha.doc_id = c.doc_a
+         |JOIN shs hb ON hb.doc_id = c.doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin
 
     /** Hyperplane-LSH ANN oracle (nBits=4, single-probe, top-10): the
       * ±1 hyperplane components are parities of the engine's
@@ -827,6 +852,12 @@ object SparkEntry {
         .select(col("n_name"), col("s_suppkey"), col("s_name"), col("s_acctbal"))
         .orderBy(col("n_name"), col("s_suppkey"))
     }),
+    "q_funnel" -> ((s, dir) =>
+      // ordered view→click→purchase funnel by first-view cohort day —
+      // running-min windows + rollup over ONE shuffle (no per-stage
+      // fact self-joins)
+      graft.operators.Funnel.report(Tables.events(s, dir))
+        .orderBy(col("cohort_day"))),
     "q_pivot" -> ((s, dir) =>
       Tables.events(s, dir)
         .groupBy(to_date(col("ts")).cast("string").as("day"))
@@ -968,6 +999,12 @@ object SparkEntry {
     "q_sample_stratified" -> ((s, dir) =>
       graft.operators.Curation.stratifiedSampleReport(Tables.documents(s, dir))
         .orderBy(col("source"))),
+    "q_sample_topn" -> ((s, dir) =>
+      // exactly 40 docs per source by deterministic hash rank, via the
+      // bucketed two-level rank (no window sees a whole stratum)
+      graft.operators.Curation.stratifiedTopN(Tables.documents(s, dir), n = 40)
+        .select(col("source"), col("rk"), col("doc_id"))
+        .orderBy(col("source"), col("rk"))),
     "q_quality_filter" -> ((s, dir) =>
       graft.operators.Curation.qualityFilterVerdicts(Tables.documents(s, dir))
         .orderBy(col("doc_id"))),
@@ -1010,6 +1047,11 @@ object SparkEntry {
         .orderBy(col("doc_id"))),
     "q_dedup_minhash" -> ((s, dir) =>
       LshDedup.minhashCandidates(Tables.documents(s, dir))
+        .orderBy(col("doc_a"), col("doc_b"))),
+    "q_minhash_est" -> ((s, dir) =>
+      // estimator calibration: signature-agreement Jaccard estimate
+      // vs exact shingle Jaccard for every LSH candidate pair
+      LshDedup.minhashEstimates(Tables.documents(s, dir))
         .orderBy(col("doc_a"), col("doc_b"))),
     "q_dedup_simhash" -> ((s, dir) =>
       LshDedup.simhashCandidates(Tables.documents(s, dir), maxHamming = 6)
@@ -1056,6 +1098,13 @@ object SparkEntry {
       Dedup.connectedComponents(
         LshDedup.exactJaccardPairs(Tables.documents(s, dir), threshold = 0.8)
           .select(col("doc_a"), col("doc_b")))
+        .orderBy(col("doc_id"))),
+    "q_dedup_corpus" -> ((s, dir) =>
+      // the whole dedup pipeline end-to-end: exact content dedup →
+      // exact near-dup pairs → connected components → one
+      // representative per cluster; output = the surviving corpus
+      Dedup.dedupCorpusExact(Tables.documents(s, dir), jaccardThreshold = 0.8)
+        .select(col("doc_id"))
         .orderBy(col("doc_id"))),
     "q_ann_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -1241,6 +1290,33 @@ object SparkEntry {
         |WHERE CAST(value AS DOUBLE) * 2 * (SELECT COUNT(*) FROM pv) >
         |      CAST((SELECT SUM(value) FROM pv) AS DOUBLE) * 3
         |ORDER BY part_value DESC, l_partkey""".stripMargin,
+    "q_funnel" ->
+      """WITH st AS (
+        |  SELECT user_id, ts, event_type,
+        |    min(CASE WHEN event_type = 'view' THEN ts END)
+        |      OVER (PARTITION BY user_id ORDER BY ts
+        |            RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1
+        |  FROM events
+        |), st2 AS (
+        |  SELECT *, CASE WHEN event_type = 'click' AND ts > cum1 THEN ts END AS s2
+        |  FROM st
+        |), st3 AS (
+        |  SELECT *, min(s2) OVER (PARTITION BY user_id ORDER BY ts
+        |            RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2
+        |  FROM st2
+        |), st4 AS (
+        |  SELECT *, CASE WHEN event_type = 'purchase' AND ts > cum2 THEN ts END AS s3
+        |  FROM st3
+        |), u AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS tv,
+        |    min(s2) AS tc, min(s3) AS tp
+        |  FROM st4 GROUP BY user_id
+        |)
+        |SELECT strftime(tv, '%Y-%m-%d') AS cohort_day,
+        |  count(*) AS n_view, count(tc) AS n_click, count(tp) AS n_purchase
+        |FROM u WHERE tv IS NOT NULL
+        |GROUP BY 1 ORDER BY cohort_day""".stripMargin,
     "q_argmax_join" ->
       """SELECT n_name, s_suppkey, s_name, s_acctbal
         |FROM supplier
@@ -1812,6 +1888,17 @@ object SparkEntry {
         |             WHEN 3 THEN 'c000' ELSE 'ffff' END)
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
         |FROM r GROUP BY source ORDER BY source""".stripMargin,
+    // oracle is the single global per-stratum rank — the operator's
+    // bucketed two-level rank must coincide with it exactly
+    "q_sample_topn" ->
+      """WITH r AS (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents
+        |)
+        |SELECT source, CAST(rk AS INTEGER) AS rk, doc_id
+        |FROM r WHERE rk <= 40 ORDER BY source, rk""".stripMargin,
     "q_quality_filter" ->
       """WITH t AS (
         |  SELECT doc_id, text,
@@ -2090,6 +2177,7 @@ object SparkEntry {
     // signature/index chains are reproduced exactly in DuckDB
     // (SketchOracles scaladocs).
     "q_dedup_minhash" -> SketchOracles.minhashSql,
+    "q_minhash_est" -> SketchOracles.minhashEstSql,
     "q_dedup_simhash" -> SketchOracles.simhashSql,
     "q_ann_lsh" -> SketchOracles.annLshSql,
     "q_ann_ivf" -> SketchOracles.annIvfSql,
@@ -2152,6 +2240,48 @@ object SparkEntry {
         |)
         |SELECT doc_id, min(lbl) AS cluster_id
         |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q_dedup_corpus: the q_dedup_cluster reachability machinery
+    // restricted to exact-dedup keepers, then survivors = keepers that
+    // are their own cluster representative (or in no cluster at all)
+    "q_dedup_corpus" ->
+      """WITH RECURSIVE hx AS (
+        |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+        |  FROM documents
+        |), keep AS (
+        |  SELECT min(doc_id) AS doc_id FROM hx GROUP BY h
+        |), toks AS (
+        |  SELECT d.doc_id, list_filter(regexp_split_to_array(lower(trim(d.text)), '\s+'),
+        |    t -> len(t) > 0) AS tk
+        |  FROM documents d JOIN keep k ON d.doc_id = k.doc_id
+        |), shset AS (
+        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(tk) - 2),
+        |    i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS sh
+        |  FROM toks WHERE len(tk) >= 3
+        |), ex AS (SELECT doc_id, unnest(sh) AS s FROM shset),
+        |sizes AS (SELECT doc_id, len(sh) AS n_sh FROM shset),
+        |pair_int AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_int
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT doc_a, doc_b FROM pair_int
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE CAST(n_int AS DOUBLE) / (sa.n_sh + sb.n_sh - n_int) >= 0.8
+        |), edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs
+        |), reach AS (
+        |  SELECT DISTINCT src AS doc_id, src AS lbl FROM edges
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc_id
+        |), lbl AS (
+        |  SELECT doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc_id
+        |)
+        |SELECT k.doc_id FROM keep k
+        |WHERE NOT EXISTS (SELECT 1 FROM lbl
+        |                  WHERE lbl.doc_id = k.doc_id AND lbl.cluster_id <> k.doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "q_embed_neardup" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |  CAST(floor(list_cosine_similarity(a.embedding::DOUBLE[],

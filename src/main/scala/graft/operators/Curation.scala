@@ -212,6 +212,37 @@ object Curation {
           .as("n_sampled"))
   }
 
+  /** Fixed-SIZE stratified sample: exactly min(n, |stratum|)
+    * documents per stratum, chosen by md5-hash rank — deterministic
+    * under repartitioning, retries and engine changes (contrast
+    * [[stratifiedSample]], which keeps a fixed FRACTION).
+    *
+    * Scale design: a naive per-stratum row_number funnels every
+    * stratum through one task — with corpus-sized strata that is the
+    * skew cliff. Instead rank twice: first within (stratum, hash
+    * bucket) — nBuckets bounded sub-partitions per stratum, each
+    * seeing ~|stratum|/nBuckets rows — keep n per bucket, then rank
+    * the ≤ n·nBuckets survivors per stratum. Identical result to the
+    * single global rank (every global top-n row is in its bucket's
+    * top-n), but no window partition ever holds a whole stratum.
+    * Raise nBuckets with cluster parallelism.
+    */
+  def stratifiedTopN(docs: DataFrame, n: Int, strataCol: String = "source",
+                     nBuckets: Int = 64): DataFrame = {
+    require(n > 0 && nBuckets > 0)
+    import org.apache.spark.sql.expressions.Window
+    val hk = Corpus.hashBucket(col("doc_id"))
+    val wBucket = Window
+      .partitionBy(col(strataCol), pmod(xxhash64(col("doc_id")), lit(nBuckets)))
+      .orderBy(hk, col("doc_id"))
+    val wStratum = Window.partitionBy(col(strataCol)).orderBy(hk, col("doc_id"))
+    docs
+      .withColumn("__brk", row_number().over(wBucket))
+      .filter(col("__brk") <= n).drop("__brk")
+      .withColumn("rk", row_number().over(wStratum))
+      .filter(col("rk") <= n)
+  }
+
   /** Quality-gate verdict per document, first failing rule wins:
     * too_short (token floor) → wrong_lang (language-ID says unknown)
     * → low_quality (composite score floor) → kept. Emitting the

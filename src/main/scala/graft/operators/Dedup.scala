@@ -100,6 +100,25 @@ object Dedup {
     dropNearDuplicates(exact, pairs)
   }
 
+  /** The fully-deterministic variant of [[dedupCorpus]]: near-dup
+    * pairs come from the EXACT inverted-index set-similarity join
+    * instead of LSH banding, so the surviving set is a pure function
+    * of the corpus (no recall caveat — which is what lets a DuckDB
+    * oracle check the whole pipeline end-to-end). Same stages
+    * otherwise: exact content dedup → near-dup pairs → connected
+    * components → one representative (min doc_id) per cluster. LSH
+    * banding in dedupCorpus buys sub-quadratic candidate generation
+    * at corpus scale; this path's cost is the set-similarity join
+    * (still bucketed by shingle, never all-pairs).
+    */
+  def dedupCorpusExact(docs: DataFrame, jaccardThreshold: Double = 0.8,
+                       textCol: String = "text"): DataFrame = {
+    val exact = dropExactDuplicates(docs, textCol)
+    val pairs = LshDedup.exactJaccardPairs(exact, jaccardThreshold)
+      .select(col("doc_a"), col("doc_b"))
+    dropNearDuplicates(exact, pairs)
+  }
+
   /** Word n-gram shingles (distinct) — the unit set for Jaccard /
     * MinHash.
     */

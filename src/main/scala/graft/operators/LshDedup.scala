@@ -168,6 +168,45 @@ object LshDedup {
     * Verification joins shingle sets back only for candidate pairs —
     * at corpus scale the candidate set is tiny relative to n².
     */
+  /** Estimator calibration over the LSH candidate set: for every
+    * candidate pair, the MinHash ESTIMATE of Jaccard (fraction of
+    * agreeing signature positions) next to the EXACT shingle Jaccard.
+    * The report quality pipelines use to pick (k, bands, threshold)
+    * before committing to a full dedup pass — the estimate drives the
+    * cheap path, the exact column says how far off it runs on this
+    * corpus. est_micro is pure integer arithmetic (agree × 10^6/k);
+    * the signature/shingle joins key on doc ids (candidate-sized, not
+    * corpus-sized). The zip_with/filter lambda is CodegenFallback,
+    * fine here: it runs per candidate pair, not per corpus row.
+    */
+  def minhashEstimates(docs: DataFrame, k: Int = 64, bands: Int = 16,
+                       n: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    require(1000000 % k == 0, s"k=$k must divide 10^6 for exact micro units")
+    val sh = shingleHashes(docs, n = n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nonEmpty = sh.filter(size(col("shingle_hashes")) > 0)
+    val cands = candidatePairs(
+      nonEmpty
+        .select(col("doc_id"),
+          posexplode(minhash_band_hashes(col("shingle_hashes"), k, bands)))
+        .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash")),
+      maxBucket)
+    val sigs = nonEmpty
+      .select(col("doc_id"), minhash_signature(col("shingle_hashes"), k).as("sig"))
+    unpersistAfterFirstUse(cands
+      .join(sigs.withColumnsRenamed(Map("doc_id" -> "doc_a", "sig" -> "sig_a")), "doc_a")
+      .join(sigs.withColumnsRenamed(Map("doc_id" -> "doc_b", "sig" -> "sig_b")), "doc_b")
+      .join(sh.withColumnsRenamed(Map("doc_id" -> "doc_a", "shingle_hashes" -> "sh_a")), "doc_a")
+      .join(sh.withColumnsRenamed(Map("doc_id" -> "doc_b", "shingle_hashes" -> "sh_b")), "doc_b")
+      .withColumn("n_agree",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), p => p)))
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_agree") * lit(1000000 / k)).cast("long").as("est_micro"),
+        floor(size(array_intersect(col("sh_a"), col("sh_b"))) * lit(1e6)
+          / size(array_union(col("sh_a"), col("sh_b")))).cast("long").as("jac_micro")),
+      sh)
+  }
+
   def jaccardVerified(docs: DataFrame, threshold: Double, k: Int = 64,
                       bands: Int = 16, n: Int = 3): DataFrame = {
     // shingle hashes feed three plan branches (signatures + both pair

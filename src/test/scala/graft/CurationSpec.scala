@@ -87,6 +87,30 @@ class CurationSpec extends SparkSpec {
     assert(r2 === r)
   }
 
+  test("stratifiedTopN: exact sizes, deterministic, equals the naive global rank") {
+    import org.apache.spark.sql.expressions.Window
+    val n = 7
+    val naive = docs
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(Corpus.hashBucket(col("doc_id")), col("doc_id"))))
+      .filter(col("rk") <= n)
+      .select("source", "rk", "doc_id")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    for (nb <- Seq(1, 5, 64)) {
+      val got = Curation.stratifiedTopN(docs, n, nBuckets = nb)
+        .select("source", "rk", "doc_id")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+      assert(got === naive, s"nBuckets=$nb mismatch")
+    }
+    // every stratum delivers exactly min(n, stratum size)
+    val sizes = docs.groupBy("source").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val per = Curation.stratifiedTopN(docs, n).groupBy("source").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(per === sizes.map { case (s, c) => s -> math.min(n.toLong, c) })
+  }
+
   test("repetitionStats micro-metrics on a constructed doc") {
     val d = Seq((1L, "a a a a b")).toDF("doc_id", "text")
     val r = Curation.repetitionStats(d).collect().head

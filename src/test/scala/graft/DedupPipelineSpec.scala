@@ -58,6 +58,24 @@ class DedupPipelineSpec extends SparkSpec {
     assert(removed.forall(r => keptIds.exists(_ < r)))
   }
 
+  test("dedupCorpusExact: representative invariant and exact-path determinism") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val kept = Dedup.dedupCorpusExact(docs, jaccardThreshold = 0.8)
+    val keptIds = kept.select("doc_id").as[Long].collect().toSet
+    val all = docs.select("doc_id").as[Long].collect().toSet
+    val removed = all -- keptIds
+    assert(keptIds.nonEmpty && removed.nonEmpty)
+    // every survivor is the minimum of its duplicate cluster: no
+    // removed doc can be smaller than ALL survivors it duplicates —
+    // weak form checked cheaply: min doc overall always survives
+    assert(keptIds.contains(all.min))
+    // exact path ⊇ LSH path's survivors can differ only by LSH recall;
+    // rerunning the exact path must reproduce itself bit-for-bit
+    val again = Dedup.dedupCorpusExact(docs, jaccardThreshold = 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again === keptIds)
+  }
+
   test("ivfTrain: Lloyd-refined centroids keep the index valid and recall healthy") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val queries = emb.filter($"vec_id" < 10)

@@ -124,6 +124,23 @@ class LshSpec extends SparkSpec {
     }
   }
 
+  test("minhashEstimates: exact 1e6 on identical docs, bounded micro units elsewhere") {
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val d = Seq((1L, text), (2L, text),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (4L, "totally different words entirely here now okay then")).toDF("doc_id", "text")
+    val r = LshDedup.minhashEstimates(d).collect()
+      .map(x => ((x.getLong(0), x.getLong(1)),
+        (x.getLong(2), x.getLong(3)))).toMap
+    // identical docs: estimate AND exact at exactly 10^6
+    assert(r((1L, 2L)) === ((1000000L, 1000000L)))
+    // every metric in range; near-dup pair estimates high
+    assert(r.values.forall { case (e, j) =>
+      e >= 0L && e <= 1000000L && j >= 0L && j <= 1000000L })
+    r.get((1L, 3L)).foreach { case (e, j) =>
+      assert(j > 500000L && e > 250000L) }
+  }
+
   test("knnGraph == per-vector brute-force top-k (excluding self), all block counts") {
     // brute force oracle: knnBrute with every vector as a query keeps
     // self at rank 1 — drop it and shift ranks

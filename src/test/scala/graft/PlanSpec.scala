@@ -153,6 +153,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), s"no partial top-k in:\n$p")
   }
 
+  test("q_funnel: stage windows + user rollup share one fact exchange; no self-joins") {
+    val p = plan("q_funnel")
+    // exactly two hash exchanges: the fact shuffles ONCE on user_id
+    // (all three stage windows + the per-user aggregate reuse it); the
+    // second regroups the already-tiny per-user rows by cohort day
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 2,
+      s"expected two hash exchanges (user_id + cohort regroup) in:\n$p")
+    assert(!p.contains("Join"), s"unexpected join in:\n$p")
+  }
+
   test("q_decontaminate_bloom: scan-side bloom probe precedes the verify join") {
     val p = plan("q_decontaminate_bloom")
     assert(p.contains("might_contain"), s"no bloom probe in:\n$p")
