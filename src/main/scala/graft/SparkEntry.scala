@@ -964,6 +964,16 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token"))
         .limit(20)),
+    "q_bigrams" -> ((s, dir) =>
+      // corpus-wide adjacent-pair frequencies (multiplicity counts) —
+      // the merge-frequency step a BPE-style trainer iterates; one
+      // explode + one map-side-combined shuffle, top-20 deterministic
+      Tables.documents(s, dir)
+        .select(explode(TextAnalysis.bigrams(col("text"))).as("bigram"))
+        .groupBy(col("bigram"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram"))
+        .limit(20)),
     "q_approx_distinct" -> ((s, dir) =>
       // HLL++ sketch counts: the constant-memory distinct estimator for
       // 100-TB cardinalities; deterministic for fixed input, no DuckDB
@@ -1121,6 +1131,18 @@ object SparkEntry {
         .select(col("doc_id"), col("mime"), col("width"), col("height"),
           col("n_bytes"), col("mean_byte"))
         .orderBy(col("doc_id"))),
+    "q_media_dedup" -> ((s, dir) =>
+      // byte-exact payload dedup over the BINARY column (the
+      // content-addressable-storage primitive for blob lakes): only
+      // 16-byte digests shuffle, the blobs never leave the scan
+      Media.packMedia(Tables.documents(s, dir))
+        .select(md5(col("payload")).as("payload_md5"), col("doc_id"),
+          length(col("payload")).as("n_bytes"))
+        .groupBy(col("payload_md5"))
+        .agg(min(col("doc_id")).as("keep_doc_id"),
+          count(lit(1)).as("n_copies"),
+          min(col("n_bytes")).as("n_bytes"))
+        .orderBy(col("payload_md5"))),
     "q_media_frames" -> ((s, dir) =>
       // frame sampling shape check: every stride-th fixed-size payload
       // chunk with its byte length (the partition-parallel frame-
@@ -1787,6 +1809,18 @@ object SparkEntry {
         |                x -> len(x) > 0)) AS token
         |  FROM documents
         |) GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+    "q_bigrams" ->
+      """WITH t AS (
+        |  SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |         x -> len(x) > 0) AS tk
+        |  FROM documents
+        |), b AS (
+        |  SELECT unnest(list_transform(generate_series(1, len(tk) - 1),
+        |         i -> tk[i] || ' ' || tk[i+1])) AS bigram
+        |  FROM t WHERE len(tk) >= 2
+        |)
+        |SELECT bigram, count(*) AS n FROM b
+        |GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
     "q_split" ->
       """SELECT doc_id,
         |  CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'cccd' THEN 'train'
@@ -2343,5 +2377,12 @@ object SparkEntry {
         |      / octet_length(encode(text))
         |    ELSE 0.0 END AS mean_byte
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // DuckDB's md5() takes VARCHAR (hashing its UTF-8 bytes), which is
+    // exactly Spark's md5(encode(text, 'UTF-8')) over the payload
+    "q_media_dedup" ->
+      """SELECT md5(text) AS payload_md5, min(doc_id) AS keep_doc_id,
+        |  count(*) AS n_copies,
+        |  CAST(min(octet_length(encode(text))) AS INTEGER) AS n_bytes
+        |FROM documents GROUP BY 1 ORDER BY payload_md5""".stripMargin,
   )
 }

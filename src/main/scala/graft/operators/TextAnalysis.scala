@@ -23,6 +23,20 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
 
+  /** All adjacent token pairs WITH multiplicity (contrast
+    * Curation.ngramsOf, which dedups) — the counting unit of a
+    * merge-frequency pass (the BPE-trainer inner loop at word grain):
+    * corpus-wide pair counts are one explode + one map-side-combined
+    * groupBy away.
+    */
+  def bigrams(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** The one-pass profile struct (see o.a.s.sql.graft.TextProfile).
     * Repeated references inside one projection are collapsed by
     * whole-stage codegen's subexpression elimination, so deriving

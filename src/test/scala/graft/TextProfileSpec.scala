@@ -71,4 +71,13 @@ class TextProfileSpec extends SparkSpec {
       TextAnalysis.qualityScoreOfP(TextAnalysis.profile($"text")).as("q2"))
     assert(both.filter($"l1" =!= $"l2" || $"q1" =!= $"q2").count() === 0)
   }
+
+  test("bigrams keep multiplicity and ordering; short docs yield none") {
+    val d = Seq((1L, "a b a b a"), (2L, "solo"), (3L, ""))
+      .toDF("doc_id", "text")
+    val got = d.select($"doc_id", TextAnalysis.bigrams($"text").as("bg"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got(1L) === Seq("a b", "b a", "a b", "b a")) // dups preserved
+    assert(got(2L) === Seq.empty && got(3L) === Seq.empty)
+  }
 }
