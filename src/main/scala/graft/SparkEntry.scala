@@ -967,9 +967,13 @@ object SparkEntry {
     "q_bigrams" -> ((s, dir) =>
       // corpus-wide adjacent-pair frequencies (multiplicity counts) —
       // the merge-frequency step a BPE-style trainer iterates; one
-      // explode + one map-side-combined shuffle, top-20 deterministic
+      // explode + one map-side-combined shuffle, top-20 deterministic.
+      // bigramPairs (codegen'd slice+zip) not bigrams (lambda HOF):
+      // the interpreted transform re-runs per row under the explode
+      // guards — measured 13× slower (NOTES_r3.md)
       Tables.documents(s, dir)
-        .select(explode(TextAnalysis.bigrams(col("text"))).as("bigram"))
+        .select(explode(TextAnalysis.bigramPairs(col("text"))).as("p"))
+        .select(concat_ws(" ", col("p.a"), col("p.b")).as("bigram"))
         .groupBy(col("bigram"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("bigram"))

@@ -28,6 +28,11 @@ object TextAnalysis {
     * merge-frequency pass (the BPE-trainer inner loop at word grain):
     * corpus-wide pair counts are one explode + one map-side-combined
     * groupBy away.
+    *
+    * Convenience string form; for the corpus scan use [[bigramPairs]]
+    * — the lambda `transform` here is CodegenFallback, and the
+    * null/size guards Spark wraps around a downstream explode re-run
+    * the interpreted chain per row (measured 6.7 s vs 0.5 s at sf0.1).
     */
   def bigrams(text: Column): Column = {
     val toks = tokens(text)
@@ -35,6 +40,17 @@ object TextAnalysis {
       transform(sequence(lit(1), size(toks) - 1),
         i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
       .otherwise(array().cast("array<string>"))
+  }
+
+  /** Adjacent token pairs as a zipped struct array — codegen'd
+    * builtins only (slice + arrays_zip, no lambda): the corpus-scan
+    * form. Build the pair string AFTER the explode
+    * (`concat_ws(" ", p.a, p.b)`), where it is plain per-row codegen.
+    */
+  def bigramPairs(text: Column): Column = {
+    val toks = tokens(text)
+    val n = greatest(size(toks) - 1, lit(0))
+    arrays_zip(slice(toks, lit(1), n).as("a"), slice(toks, lit(2), n).as("b"))
   }
 
   /** The one-pass profile struct (see o.a.s.sql.graft.TextProfile).

@@ -79,5 +79,13 @@ class TextProfileSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
     assert(got(1L) === Seq("a b", "b a", "a b", "b a")) // dups preserved
     assert(got(2L) === Seq.empty && got(3L) === Seq.empty)
+    // the codegen scan form produces the identical pair stream
+    val viaPairs = d
+      .select($"doc_id", explode(TextAnalysis.bigramPairs($"text")).as("p"))
+      .select($"doc_id", concat_ws(" ", $"p.a", $"p.b").as("bg"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (k, rs) => k -> rs.map(_.getString(1)).toSeq }
+    assert(viaPairs.getOrElse(1L, Seq.empty) === got(1L))
+    assert(!viaPairs.contains(2L) && !viaPairs.contains(3L))
   }
 }
