@@ -928,6 +928,24 @@ object SparkEntry {
         Tables.lineitem(s, dir), Seq("l_returnflag"), "l_extendedprice",
         Seq(0.5, 0.9), Seq("p50_price", "p90_price"))
         .orderBy(col("l_returnflag"))),
+    "q_clip_outliers" -> ((s, dir) => {
+      // robust-preprocessing shape: exact per-group p01/p99 (the
+      // sort-based scalable quantile, not a buffering percentile agg)
+      // → broadcast the tiny threshold table back over the fact →
+      // winsorize + clip-count report in one map-side-combined pass
+      val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
+      val thr = graft.operators.Percentiles.exact(
+        ev, Seq("event_type"), "value", Seq(0.01, 0.99), Seq("p01", "p99"))
+      val clipped = greatest(least(col("value"), col("p99")), col("p01"))
+      ev.join(broadcast(thr), "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value") < col("p01"), 1L).otherwise(0L)).as("n_clip_low"),
+          sum(when(col("value") > col("p99"), 1L).otherwise(0L)).as("n_clip_high"),
+          min(clipped).as("min_clipped"),
+          max(clipped).as("max_clipped"))
+        .orderBy(col("event_type"))
+    }),
     "q_json" -> ((s, dir) =>
       Tables.events(s, dir)
         .select(col("event_type"),
@@ -1709,6 +1727,19 @@ object SparkEntry {
         |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
         |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_clip_outliers" ->
+      """WITH thr AS (
+        |  SELECT event_type, round(quantile_cont(value, 0.01), 4) AS p01,
+        |         round(quantile_cont(value, 0.99), 4) AS p99
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(CASE WHEN value < p01 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_low,
+        |  CAST(sum(CASE WHEN value > p99 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_high,
+        |  min(greatest(least(value, p99), p01)) AS min_clipped,
+        |  max(greatest(least(value, p99), p01)) AS max_clipped
+        |FROM events JOIN thr USING (event_type)
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
     "q_json" ->
       """SELECT event_type,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
