@@ -852,6 +852,18 @@ object SparkEntry {
         .select(col("n_name"), col("s_suppkey"), col("s_name"), col("s_acctbal"))
         .orderBy(col("n_name"), col("s_suppkey"))
     }),
+    "q_concurrency" -> ((s, dir) => {
+      // peak concurrent user sessions per day — sweep-line over
+      // session boundaries, running sum partitioned by day + a tiny
+      // day-carry (no single-partition global window)
+      val sess = MarketAnalytics
+        .sessionize(Tables.events(s, dir), "user_id", "ts", gapMinutes = 30)
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
+      MarketAnalytics.peakConcurrency(sess)
+        .select(col("day").cast("string").as("day"), col("peak_concurrency"))
+        .orderBy(col("day"))
+    }),
     "q_funnel" -> ((s, dir) =>
       // ordered view→click→purchase funnel by first-view cohort day —
       // running-min windows + rollup over ONE shuffle (no per-stage
@@ -1334,6 +1346,42 @@ object SparkEntry {
         |WHERE CAST(value AS DOUBLE) * 2 * (SELECT COUNT(*) FROM pv) >
         |      CAST((SELECT SUM(value) FROM pv) AS DOUBLE) * 3
         |ORDER BY part_value DESC, l_partkey""".stripMargin,
+    "q_concurrency" ->
+      """WITH ev AS (
+        |  SELECT user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts
+        |  FROM events
+        |), flagged AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL THEN 1
+        |         WHEN epoch_us(ts) // 1000000 - epoch_us(lag(ts) OVER w) // 1000000 > 1800
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), sess AS (
+        |  SELECT user_id, ts,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM flagged
+        |), iv AS (
+        |  SELECT user_id, session_seq, min(ts) AS s, max(ts) AS e
+        |  FROM sess GROUP BY 1, 2
+        |), deltas AS (
+        |  SELECT s AS t, 1 AS d FROM iv UNION ALL SELECT e, -1 FROM iv
+        |), byday AS (
+        |  SELECT t, d, CAST(t AS DATE) AS day FROM deltas
+        |), daily AS (
+        |  SELECT day, sum(d) AS dd FROM byday GROUP BY 1
+        |), carry AS (
+        |  SELECT day, coalesce(sum(dd) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+        |  FROM daily
+        |), run AS (
+        |  SELECT b.day,
+        |    sum(d) OVER (PARTITION BY b.day ORDER BY t, d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + c AS r
+        |  FROM byday b JOIN carry USING (day)
+        |)
+        |SELECT CAST(day AS VARCHAR) AS day, CAST(max(r) AS BIGINT) AS peak_concurrency
+        |FROM run GROUP BY 1 ORDER BY day""".stripMargin,
     "q_funnel" ->
       """WITH st AS (
         |  SELECT user_id, ts, event_type,

@@ -324,6 +324,39 @@ object MarketAnalytics {
     * of stateful stream sessionization (lag + cumulative sum of
     * session-break flags; one shuffle on the session key).
     */
+  /** Peak interval concurrency per day — the sweep-line (interval
+    * stabbing) aggregate, distributed. A single global running sum
+    * over all boundaries would be a one-partition window (the classic
+    * scale trap); instead: (a) the running sum partitions by DAY (the
+    * fact's one shuffle), and (b) a per-day CARRY — the cumulative
+    * net delta of all prior days — rides in from a tiny day-level
+    * aggregate whose global window is over one row per day.
+    * Intervals spanning days are exactly what the carry accounts for.
+    * At the same instant, ends (-1) sort before starts (+1):
+    * end-exclusive intervals. Ordering among equal (t, d) rows does
+    * not affect the max (monotone runs within the tie group).
+    */
+  def peakConcurrency(intervals: DataFrame,
+                      startCol: String = "session_start",
+                      endCol: String = "session_end"): DataFrame = {
+    val deltas = intervals.select(col(startCol).as("t"), lit(1).as("d"))
+      .unionByName(intervals.select(col(endCol).as("t"), lit(-1).as("d")))
+      .withColumn("day", to_date(col("t")))
+    val daily = deltas.groupBy(col("day")).agg(sum(col("d")).as("day_delta"))
+    val carry = daily
+      .withColumn("carry", coalesce(
+        sum(col("day_delta")).over(
+          Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("day"), col("carry"))
+    val w = Window.partitionBy(col("day")).orderBy(col("t"), col("d"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    deltas.join(broadcast(carry), "day")
+      .withColumn("run", sum(col("d")).over(w) + col("carry"))
+      .groupBy(col("day"))
+      .agg(max(col("run")).as("peak_concurrency"))
+  }
+
   def sessionize(events: DataFrame, key: String, tsCol: String,
                  gapMinutes: Int): DataFrame = {
     val byKey = Window.partitionBy(col(key)).orderBy(col(tsCol))

@@ -89,4 +89,23 @@ class CandleStoreSpec extends SparkSpec {
     assert(u1.getAs[Long]("n_events") === 2)
     assert(u1.getAs[Double]("total_value") === 3.0)
   }
+
+  test("peakConcurrency: day carry for spanning intervals, end-exclusive ties") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val iv = Seq(
+      // day 1: two overlapping + one exactly back-to-back (end == start)
+      (t("2024-01-01 10:00:00"), t("2024-01-01 12:00:00")),
+      (t("2024-01-01 11:00:00"), t("2024-01-01 13:00:00")),
+      (t("2024-01-01 13:00:00"), t("2024-01-01 14:00:00")), // starts at prior end
+      // spans into day 2: must carry +1 into the next day
+      (t("2024-01-01 23:00:00"), t("2024-01-02 02:00:00")),
+      (t("2024-01-02 01:00:00"), t("2024-01-02 03:00:00")))
+      .toDF("session_start", "session_end")
+    val got = MarketAnalytics.peakConcurrency(iv).collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    // day 1 peak: 10-12 & 11-13 overlap = 2 (back-to-back does NOT
+    // stack: end-exclusive); day 2 peak: the spanning interval + the
+    // 01-03 one = 2, only reachable WITH the carry
+    assert(got === Map("2024-01-01" -> 2L, "2024-01-02" -> 2L))
+  }
 }
