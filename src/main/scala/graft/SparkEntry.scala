@@ -1052,6 +1052,11 @@ object SparkEntry {
     "q_quality_filter" -> ((s, dir) =>
       graft.operators.Curation.qualityFilterVerdicts(Tables.documents(s, dir))
         .orderBy(col("doc_id"))),
+    "q_corpus_intake" -> ((s, dir) =>
+      // the intake funnel (raw → quality → sampled → unique) per
+      // (source, lang) — one scan, one hash window, one rollup
+      graft.operators.Curation.intakeReport(Tables.documents(s, dir))
+        .orderBy(col("source"), col("lang"))),
     "q_token_hist" -> ((s, dir) =>
       graft.operators.Curation.tokenHistogram(Tables.documents(s, dir))
         .orderBy(col("bucket"))),
@@ -2016,6 +2021,59 @@ object SparkEntry {
         |)
         |SELECT source, CAST(rk AS INTEGER) AS rk, doc_id
         |FROM r WHERE rk <= 40 ORDER BY source, rk""".stripMargin,
+    // same quality/lang/sample/dedup rules as their standalone oracles,
+    // composed into the intake funnel counts
+    "q_corpus_intake" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, lang, text,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                x -> len(x) > 0) AS toks
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id, source, lang, text, toks,
+        |    round(0.4 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+        |      + 0.2 * (CASE WHEN (CASE WHEN len(toks) > 0 THEN
+        |          CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) / len(toks)
+        |          ELSE 0.0 END) BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.0 END)
+        |      + 0.2 * (CASE WHEN (CASE WHEN length(text) > 0 THEN
+        |          CAST(length(regexp_replace(text, '[^.,;:!?''"]', '', 'g')) AS DOUBLE) / length(text)
+        |          ELSE 0.0 END) BETWEEN 0.0 AND 0.2 THEN 1.0 ELSE 0.0 END)
+        |      + 0.2 * least((CASE WHEN len(toks) > 0 THEN
+        |          CAST(len(list_filter(toks, x -> list_contains(
+        |            ['the','a','an','and','of','to','in','is','it','that'], x))) AS DOUBLE)
+        |            / len(toks) ELSE 0.0 END) * 5.0, 1.0), 6) AS quality,
+        |    len(list_filter(toks, x -> list_contains(['the','and','of','is','that'], x))) AS en,
+        |    len(list_filter(toks, x -> list_contains(['el','los','las','es','y'], x))) AS es,
+        |    len(list_filter(toks, x -> list_contains(['der','die','das','und','ist'], x))) AS de,
+        |    len(list_filter(toks, x -> list_contains(['le','les','est','et','dans'], x))) AS fr,
+        |    length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS zh
+        |  FROM t
+        |), v AS (
+        |  SELECT doc_id, source, lang, text,
+        |    NOT (len(toks) < 40 OR greatest(en, es, de, fr, zh) = 0
+        |         OR quality < 0.5) AS kept
+        |  FROM m
+        |), s AS (
+        |  SELECT *, md5(CAST(doc_id AS VARCHAR)) <
+        |    (CASE (coalesce(TRY_CAST(substr(source, 4) AS INTEGER), 0) % 4 + 1)
+        |       WHEN 1 THEN '4000' WHEN 2 THEN '8000'
+        |       WHEN 3 THEN 'c000' ELSE 'ffff' END) AS sampled
+        |  FROM v
+        |), c AS (
+        |  SELECT *, kept AND sampled AS cohort,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS ch
+        |  FROM s
+        |), k AS (
+        |  SELECT *, min(CASE WHEN cohort THEN doc_id END)
+        |    OVER (PARTITION BY ch) AS keep_id
+        |  FROM c
+        |)
+        |SELECT source, lang, count(*) AS n_raw,
+        |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+        |  CAST(sum(CASE WHEN cohort THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+        |  CAST(sum(CASE WHEN cohort AND doc_id = keep_id THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_unique
+        |FROM k GROUP BY 1, 2 ORDER BY source, lang""".stripMargin,
     "q_quality_filter" ->
       """WITH t AS (
         |  SELECT doc_id, text,

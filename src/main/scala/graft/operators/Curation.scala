@@ -272,6 +272,42 @@ object Curation {
         .select("doc_id"),
       Seq("doc_id"), "left_semi")
 
+  /** The corpus-intake funnel in ONE pass: quality gate → per-source
+    * deterministic sample → exact dedup, reported as per-(source,
+    * lang) stage counts — the monitoring view a data team watches as
+    * raw crawl becomes training corpus. All three stage flags are
+    * COLUMNS over a single scan (the gate is the same profile struct,
+    * the sample the same md5 threshold, dedup a content-hash window
+    * for the min-id keeper within the surviving cohort), so the plan
+    * is one content-hash window exchange plus one map-side-combined
+    * rollup — documents are never re-scanned per stage.
+    */
+  def intakeReport(docs: DataFrame, minTokens: Int = 40,
+                   minQuality: Double = 0.5,
+                   textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val thrArr = array(lit("4000"), lit("8000"), lit("c000"), lit("ffff"))
+    docs
+      .withColumn("__p", TextAnalysis.profile(col(textCol)))
+      .withColumn("__kept", // same rule order as qualityFilterVerdicts
+        col("__p.n_tokens") >= minTokens &&
+          TextAnalysis.langIdOfP(col("__p")) =!= "unknown" &&
+          TextAnalysis.qualityScoreOfP(col("__p")) >= minQuality)
+      .withColumn("__sampled",
+        Corpus.hashBucket(col("doc_id")) <
+          element_at(thrArr, sourceRateQuarters(col("source"))))
+      .withColumn("__cohort", col("__kept") && col("__sampled"))
+      .withColumn("__keep_id",
+        min(when(col("__cohort"), col("doc_id")))
+          .over(Window.partitionBy(Dedup.contentHash(col(textCol)))))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_raw"),
+        sum(when(col("__kept"), 1L).otherwise(0L)).as("n_quality"),
+        sum(when(col("__cohort"), 1L).otherwise(0L)).as("n_sampled"),
+        sum(when(col("__cohort") && col("doc_id") === col("__keep_id"), 1L)
+          .otherwise(0L)).as("n_unique"))
+  }
+
   /** Fixed-width histogram of per-document token counts — the corpus
     * length profile (sequence-length planning, truncation budgets).
     * One tiny aggregate: (bucket, lo_tokens, n_docs).
