@@ -279,15 +279,23 @@ object Similarity {
     */
   def knnGraph(vectors: DataFrame, k: Int, nBlocks: Int = 16): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    // the scored frame feeds both union branches; persisting it halves
+    // the dominant cost (triangle join + scoring would otherwise run
+    // twice: measured 4.0 s → 2.1 s at sf0.1) and the cached rows are
+    // pairs-sized (ids + sim), not vector-sized. Released after the
+    // first action via the shared listener (LshDedup caching contract).
     val scored = blockedPairsScored(vectors, nBlocks)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val directed = scored.unionByName(
       scored.select(col("vec_b").as("vec_a"), col("vec_a").as("vec_b"), col("sim")))
     val w = Window.partitionBy(col("vec_a")).orderBy(col("sim").desc, col("vec_b"))
-    directed
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("vec_a").as("vec_id"), col("rank"),
-        col("vec_b").as("neighbor_id"), col("sim"))
+    LshDedup.unpersistAfterFirstUse(
+      directed
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("vec_a").as("vec_id"), col("rank"),
+          col("vec_b").as("neighbor_id"), col("sim")),
+      scored)
   }
 
   /** LSH-bucketed near-duplicate pairs — same contract as
