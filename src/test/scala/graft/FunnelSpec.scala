@@ -48,6 +48,31 @@ class FunnelSpec extends SparkSpec {
     assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((4L, 1L, 1L)))
   }
 
+  test("stage timestamps are invariant under event order and partitioning") {
+    // the funnel reads event ORDER from ts, so shuffling the input
+    // rows (and the partition layout) must not change any stage
+    val events = Seq(
+      (1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, "click", ts("2024-01-01 10:05:00")),
+      (1L, "purchase", ts("2024-01-01 10:10:00")),
+      (2L, "click", ts("2024-01-02 09:00:00")),
+      (2L, "view", ts("2024-01-02 09:30:00")),
+      (2L, "click", ts("2024-01-02 09:45:00")),
+      (2L, "purchase", ts("2024-01-02 10:00:00")),
+      (3L, "view", ts("2024-01-03 08:00:00")))
+    def run(rows: Seq[(Long, String, java.sql.Timestamp)], parts: Int) =
+      Funnel.userStages(rows.toDF("user_id", "event_type", "ts").repartition(parts))
+        .collect()
+        .map(r => r.getLong(0) -> (r.getTimestamp(1), r.getTimestamp(2), r.getTimestamp(3)))
+        .toMap
+    val base = run(events, 1)
+    assert(base(2L)._2 === ts("2024-01-02 09:45:00")) // post-view click wins
+    for (seed <- Seq(7, 13); parts <- Seq(2, 5)) {
+      val shuffled = new scala.util.Random(seed).shuffle(events)
+      assert(run(shuffled, parts) === base, s"seed=$seed parts=$parts")
+    }
+  }
+
   test("a second qualifying click later in the stream still converts") {
     val events = Seq(
       (7L, "click", ts("2024-01-01 09:00:00")), // pre-view click: ignored
