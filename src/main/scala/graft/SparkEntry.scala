@@ -1060,6 +1060,17 @@ object SparkEntry {
     "q_token_hist" -> ((s, dir) =>
       graft.operators.Curation.tokenHistogram(Tables.documents(s, dir))
         .orderBy(col("bucket"))),
+    "q_line_dedup" -> ((s, dir) =>
+      // C4-style segment-level boilerplate removal: global segment
+      // document frequency, drop segments in > maxDf docs, reassemble
+      graft.operators.Curation.lineDedup(Tables.documents(s, dir),
+        segTokens = 4, maxDf = 8)
+        .orderBy(col("doc_id"))),
+    "q_mix_weights" -> ((s, dir) =>
+      // source-mix planner: largest token budget at the target mix
+      // with no source upsampled, per-source keep rates in micro units
+      graft.operators.Curation.mixWeights(Tables.documents(s, dir))
+        .orderBy(col("source"))),
     "q_chunk" -> ((s, dir) =>
       graft.operators.Corpus.chunk(Tables.documents(s, dir), chunkSize = 32, overlap = 8)
         .orderBy(col("doc_id"), col("chunk_id"))),
@@ -2115,6 +2126,57 @@ object SparkEntry {
         |)
         |SELECT bucket, bucket * 16 AS lo_tokens, count(*) AS n_docs
         |FROM t GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // segment chunking mirrors the q_chunk CTE at width 4 / stride 4
+    "q_line_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                x -> len(x) > 0) AS toks
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(0,
+        |      CAST(floor((greatest(len(toks), 1) - 1) / 4.0) AS INTEGER)),
+        |      i -> struct_pack(chunk_id := i,
+        |                       chunk := list_slice(toks, i * 4 + 1, i * 4 + 4))),
+        |      recursive := true)
+        |  FROM t WHERE len(toks) > 0
+        |), s AS (
+        |  SELECT doc_id, chunk_id, array_to_string(chunk, ' ') AS seg FROM c
+        |), f AS (
+        |  SELECT md5(seg) AS seg_md5, count(DISTINCT doc_id) AS seg_df
+        |  FROM s GROUP BY 1
+        |), j AS (
+        |  SELECT s.doc_id, s.chunk_id, s.seg, f.seg_df <= 8 AS kept
+        |  FROM s JOIN f ON md5(s.seg) = f.seg_md5
+        |)
+        |SELECT doc_id, count(*) AS n_seg,
+        |  CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+        |  md5(coalesce(
+        |    string_agg(seg, ' ' ORDER BY chunk_id) FILTER (WHERE kept), ''))
+        |    AS clean_md5
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_mix_weights" ->
+      """WITH t AS (
+        |  SELECT source, len(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> len(x) > 0)) AS n_tok
+        |  FROM documents
+        |), p AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |    CAST(coalesce(TRY_CAST(substr(source, 4) AS INTEGER), 0) % 4 + 1
+        |      AS BIGINT) AS target_q
+        |  FROM t GROUP BY source
+        |), g AS (
+        |  SELECT *, CAST(sum(target_q) OVER () AS BIGINT) AS sum_q FROM p
+        |), b AS (
+        |  SELECT *, min((n_tokens * sum_q) // target_q) OVER () AS budget FROM g
+        |)
+        |SELECT source, n_docs, n_tokens, target_q,
+        |  (budget * target_q) // sum_q AS planned_tokens,
+        |  (((budget * target_q) // sum_q) * 1000000) // n_tokens AS weight_micro
+        |FROM b ORDER BY source""".stripMargin,
     "q_chunk" ->
       """WITH t AS (
         |  SELECT doc_id,

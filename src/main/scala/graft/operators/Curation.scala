@@ -308,6 +308,96 @@ object Curation {
           .otherwise(0L)).as("n_unique"))
   }
 
+  /** Segment-level (C4/RefinedWeb "line"-level) dedup: drop the
+    * boilerplate segments that recur across many documents while
+    * keeping each document's unique content. Documents are split into
+    * fixed token windows ([[Corpus.chunk]] with zero overlap — the
+    * separator-free analog of newline splitting, swap in a real line
+    * split when the corpus has line structure), each segment's
+    * document frequency is counted corpus-wide, and segments seen in
+    * more than `maxDf` distinct documents are removed before the text
+    * is reassembled in order.
+    *
+    * Emits (doc_id, n_seg, n_dropped, clean_md5) — the hash of the
+    * reassembled text stands in for the text itself so the result
+    * stays comparison-sized; callers wanting the cleaned corpus keep
+    * the reassembled column instead of hashing it.
+    *
+    * Scale design: only 32-char segment digests shuffle (text never
+    * leaves its scan task until reassembly, which exchanges kept
+    * segments once on doc_id). The frequency side is one map-side-
+    * combined count over digests, then a digest-keyed join back —
+    * both sides arrive partitioned on seg_md5, so the join reuses the
+    * aggregation's exchange. The segment frame backs two plan
+    * branches (frequency + reassembly) and is recomputed under each;
+    * in a long pipeline persist or checkpoint it instead of paying
+    * the tokenization twice. A globally hot segment (df in the
+    * billions) costs one combiner-side count cell, never a
+    * materialized set — this is why df comes from a groupBy, not a
+    * collect_set window.
+    */
+  def lineDedup(docs: DataFrame, segTokens: Int = 4, maxDf: Int = 8,
+                textCol: String = "text"): DataFrame = {
+    require(segTokens > 0 && maxDf > 0)
+    val segs = Corpus.chunk(docs, segTokens, 0, textCol)
+      .select(col("doc_id"), col("chunk_id"),
+        col("chunk_text").as("seg"), md5(col("chunk_text")).as("seg_md5"))
+    val dfreq = segs.groupBy(col("seg_md5"))
+      .agg(countDistinct(col("doc_id")).as("seg_df"))
+    segs.join(dfreq, "seg_md5")
+      .withColumn("__kept", col("seg_df") <= maxDf)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_seg"),
+        sum(when(col("__kept"), 0L).otherwise(1L)).as("n_dropped"),
+        md5(array_join(
+          sort_array(collect_list(when(col("__kept"),
+            struct(col("chunk_id"), col("seg"))))).getField("seg"),
+          " ")).as("clean_md5"))
+  }
+
+  /** Mixing weights toward a target source mix — the "how much of
+    * each source do we keep" planner that turns raw per-source token
+    * counts into downsampling rates. Target shares come from the
+    * per-source quarters table ([[sourceRateQuarters]] — swap in a
+    * curated broadcast table in production); the budget is the
+    * LARGEST total token count that achieves the target mix without
+    * upsampling any source (the binding source is kept whole, every
+    * other source downsamples to its share).
+    *
+    * All arithmetic is 64-bit integer (truncating division on
+    * positive operands — engine-portable): budget
+    * B = min_s(n_tokens_s · Σq / q_s), planned_s = B·q_s div Σq,
+    * weight_micro_s = planned_s·10^6 div n_tokens_s. The integer
+    * intermediates stay under 2^63 while Σtokens·10^6 does (< ~9·10^12
+    * tokens); past that envelope rescale micro → milli or move the
+    * weight division to DOUBLE (the plan is unchanged).
+    *
+    * One map-side-combined aggregate over the corpus, then a 1-row
+    * broadcast of the global budget — nothing corpus-sized shuffles
+    * twice.
+    */
+  def mixWeights(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val perSrc = docs
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col(textCol)).cast("long")).as("n_tokens"),
+        first(sourceRateQuarters(col("source")).cast("long")).as("target_q"))
+    // the globals ride as empty-frame windows over the per-source
+    // frame — it is sources-sized (thousands at most), so the single
+    // window partition is trivially bounded and the corpus is
+    // aggregated exactly once
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    perSrc
+      .withColumn("__sum_q", sum(col("target_q")).over(w))
+      .withColumn("__budget",
+        min(expr("(n_tokens * __sum_q) div target_q")).over(w))
+      .withColumn("planned_tokens",
+        expr("(__budget * target_q) div __sum_q"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("target_q"),
+        col("planned_tokens"),
+        expr("(planned_tokens * 1000000) div n_tokens").as("weight_micro"))
+  }
+
   /** Fixed-width histogram of per-document token counts — the corpus
     * length profile (sequence-length planning, truncation budgets).
     * One tiny aggregate: (bucket, lo_tokens, n_docs).

@@ -667,3 +667,122 @@ object TokenFnvHashes {
     new GenericArrayData(out)
   }
 }
+
+/** Symmetric int8 scalar quantization of a float vector against
+  * per-dimension scales: q_d = clamp(floor(v_d · s_d), -127, 127) as
+  * a byte. The codebook (`scales` = 127 / max|v_d| over the corpus)
+  * is an index artifact computed once and broadcast; quantization
+  * itself is a pure scan-speed projection that shrinks each vector
+  * 4× before it travels anywhere. floor (not round) on purpose:
+  * floor's semantics are identical across engines, so the quantized
+  * vectors — and everything ranked from them — reproduce bit-exactly
+  * in the DuckDB oracle.
+  */
+case class QuantizeI8(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val out = QuantizeI8.quantize(
+      l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    if (out == null) null else new GenericArrayData(out)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val leftGen = left.genCode(ctx)
+    val rightGen = right.genCode(ctx)
+    val out = ctx.freshName("out")
+    val code =
+      code"""
+        |${leftGen.code}
+        |${rightGen.code}
+        |boolean ${ev.isNull} = true;
+        |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+        |if (!${leftGen.isNull} && !${rightGen.isNull}) {
+        |  byte[] $out = org.apache.spark.sql.graft.QuantizeI8.quantize(
+        |    ${leftGen.value}, ${rightGen.value});
+        |  if ($out != null) {
+        |    ${ev.isNull} = false;
+        |    ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+        |  }
+        |}
+       """.stripMargin
+    ev.copy(code = code)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object QuantizeI8 {
+  /** Shared by interpreted eval and generated code. Returns null on a
+    * vector/scales length mismatch (defensive, mirrors CosineSimF).
+    */
+  def quantize(vec: ArrayData, scales: ArrayData): Array[Byte] = {
+    val n = vec.numElements()
+    if (n != scales.numElements()) return null
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      val q = math.floor(vec.getFloat(i).toDouble * scales.getDouble(i))
+      out(i) = math.max(-127.0, math.min(127.0, q)).toByte
+      i += 1
+    }
+    out
+  }
+}
+
+/** Integer dot product of two int8-quantized vectors — the coarse
+  * scoring kernel of quantized ANN. Pure integer arithmetic inside
+  * whole-stage codegen; a 64-dim product is at most 64·127² ≈ 2^20,
+  * so the long accumulator is exact at any realistic dimension.
+  */
+case class Int8Dot(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(ByteType), ArrayType(ByteType))
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var dot = 0L
+    var i = 0
+    while (i < n) {
+      dot += a.getByte(i).toLong * b.getByte(i).toLong
+      i += 1
+    }
+    java.lang.Long.valueOf(dot)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val leftGen = left.genCode(ctx)
+    val rightGen = right.genCode(ctx)
+    val n = ctx.freshName("n")
+    val i = ctx.freshName("i")
+    val dot = ctx.freshName("dot")
+    val code =
+      code"""
+        |${leftGen.code}
+        |${rightGen.code}
+        |boolean ${ev.isNull} = true;
+        |long ${ev.value} = 0L;
+        |if (!${leftGen.isNull} && !${rightGen.isNull}) {
+        |  int $n = ${leftGen.value}.numElements();
+        |  if ($n == ${rightGen.value}.numElements()) {
+        |    long $dot = 0L;
+        |    for (int $i = 0; $i < $n; $i++) {
+        |      $dot += (long) ${leftGen.value}.getByte($i)
+        |            * (long) ${rightGen.value}.getByte($i);
+        |    }
+        |    ${ev.isNull} = false;
+        |    ${ev.value} = $dot;
+        |  }
+        |}
+       """.stripMargin
+    ev.copy(code = code)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

@@ -154,4 +154,64 @@ class CurationSpec extends SparkSpec {
       assert(r.getAs[Long]("lo_tokens") === r.getAs[Long]("bucket") * 16)
     }
   }
+
+  test("lineDedup drops exactly the high-df boilerplate segments") {
+    // 10 docs share the same 4-token header; each has a unique body
+    val boiler = "terms of use apply"
+    val d = (0L until 10L).map(i =>
+      (i, s"$boiler body_${i}_a body_${i}_b body_${i}_c body_${i}_d"))
+      .toDF("doc_id", "text")
+    val r = Curation.lineDedup(d, segTokens = 4, maxDf = 3)
+      .orderBy("doc_id").collect()
+    assert(r.length === 10)
+    // every doc: 2 segments, the boilerplate one dropped
+    r.zipWithIndex.foreach { case (row, i) =>
+      assert(row.getAs[Long]("n_seg") === 2L)
+      assert(row.getAs[Long]("n_dropped") === 1L)
+      val expect = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"body_${i}_a body_${i}_b body_${i}_c body_${i}_d"
+          .getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(row.getAs[String]("clean_md5") === expect)
+    }
+    // with a permissive threshold nothing is dropped
+    val keepAll = Curation.lineDedup(d, segTokens = 4, maxDf = 10)
+      .agg(sum("n_dropped")).head.getLong(0)
+    assert(keepAll === 0L)
+  }
+
+  test("lineDedup empty-survivor doc hashes the empty string") {
+    val d = (0L until 6L).map(i => (i, "all docs are the same here"))
+      .toDF("doc_id", "text")
+    val r = Curation.lineDedup(d, segTokens = 4, maxDf = 2).collect()
+    val emptyMd5 = "d41d8cd98f00b204e9800998ecf8427e"
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_dropped") === row.getAs[Long]("n_seg"))
+      assert(row.getAs[String]("clean_md5") === emptyMd5)
+    }
+  }
+
+  test("mixWeights: no upsampling, binding source kept whole, mix ratios hold") {
+    val w = Curation.mixWeights(docs).collect()
+    assert(w.nonEmpty)
+    w.foreach { r =>
+      val planned = r.getAs[Long]("planned_tokens")
+      val tokens = r.getAs[Long]("n_tokens")
+      assert(planned <= tokens)                       // never upsample
+      assert(r.getAs[Long]("weight_micro") <= 1000000L)
+      assert(planned >= 0L)
+    }
+    // the binding source: planned == its full token count (up to the
+    // integer-division floor of budget*q/sum_q, which can undershoot
+    // by at most sum_q tokens)
+    val sumQ = w.map(_.getAs[Long]("target_q")).sum
+    val slackMin = w.map(r =>
+      r.getAs[Long]("n_tokens") - r.getAs[Long]("planned_tokens")).min
+    assert(slackMin >= 0L && slackMin <= sumQ)
+    // planned ratios track target ratios: planned_s * q_t ~ planned_t * q_s
+    val rows = w.map(r => (r.getAs[Long]("target_q"), r.getAs[Long]("planned_tokens")))
+    for ((qa, pa) <- rows; (qb, pb) <- rows) {
+      // integer floors introduce at most sum_q per side
+      assert(math.abs(pa * qb - pb * qa) <= sumQ * math.max(qa, qb))
+    }
+  }
 }
