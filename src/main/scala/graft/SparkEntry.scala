@@ -852,6 +852,94 @@ object SparkEntry {
         .select(col("n_name"), col("s_suppkey"), col("s_name"), col("s_acctbal"))
         .orderBy(col("n_name"), col("s_suppkey"))
     }),
+    "q_small_qty" -> ((s, dir) => {
+      // TPC-H Q17 shape: revenue from lineitems whose quantity is
+      // below HALF the part's average — per-part aggregate joined back
+      // to the fact on the grouping key (the correlated-scalar-
+      // subquery shape, decorrelated). The threshold compare is
+      // cross-multiplied into pure BIGINT (2·qty·cnt < sum_qty):
+      // integer-exact in any engine, no avg rounding at the boundary.
+      // Both join inputs arrive partitioned on the part key (the
+      // aggregate's exchange is reused), and the p_size cohort filter
+      // pushes into the part scan.
+      val perPart = Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+          count(lit(1)).as("cnt"))
+      Tables.lineitem(s, dir)
+        .join(Tables.part(s, dir).filter(col("p_size") < 10),
+          col("l_partkey") === col("p_partkey"))
+        .join(perPart, "l_partkey")
+        .filter(col("l_quantity").cast("long") * col("cnt") * 2 < col("sum_qty"))
+        .agg(dsum(col("l_extendedprice")).as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+    "q_stock_reserve" -> ((s, dir) => {
+      // TPC-H Q20 shape: suppliers holding an "excess position" in any
+      // small part (per-(supplier, part) shipped quantity over a
+      // threshold), restricted to one nation. The nested aggregate
+      // runs FIRST and only its qualifying supplier keys reach the
+      // semi-join — the supplier table is never joined to the fact.
+      val excess = Tables.lineitem(s, dir)
+        .join(Tables.part(s, dir).filter(col("p_name").like("small%")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("sq"))
+        .filter(col("sq") > 50)
+        .select(col("l_suppkey"))
+      Tables.supplier(s, dir)
+        .join(excess, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .join(broadcast(Tables.nation(s, dir)
+          .filter(col("n_name") === "NATION_3")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_name"), col("s_acctbal"))
+        .orderBy(col("s_name"))
+    }),
+    "q_waiting_supplier" -> ((s, dir) => {
+      // TPC-H Q21 shape: suppliers who were the SOLE late shipper on
+      // multi-supplier orders (late = shipped >60 days after the
+      // order date). The classic EXISTS + NOT-EXISTS double self-join
+      // decorrelates into per-(order, supplier) late flags and one
+      // per-order rollup — the fact shuffles once on the order key,
+      // the join back is co-partitioned, and no fact×fact join exists.
+      val perSupp = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(when(col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 60 DAYS"), 1L).otherwise(0L))
+          .as("late"))
+      val perOrder = perSupp.groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_supp"), sum(col("late")).as("n_late"))
+      perSupp.filter(col("late") === 1L)
+        .join(perOrder.filter(col("n_supp") >= 2 && col("n_late") === 1L),
+          "l_orderkey")
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(25)
+    }),
+    "q_idle_customers" -> ((s, dir) => {
+      // TPC-H Q22 shape: above-average-balance customers in target
+      // segments who never ordered — scalar-subquery threshold
+      // (broadcast 1-row aggregate) + anti join. The balance compare
+      // is cross-multiplied in integer cents (cents·n > Σcents):
+      // bit-exact in any engine, no avg/decimal boundary risk.
+      val cust = Tables.customer(s, dir)
+        .filter(col("c_mktsegment").isin("AUTOMOBILE", "BUILDING"))
+        .withColumn("cents", floor(col("c_acctbal") * 100 + 0.5).cast("long"))
+      val pos = cust.filter(col("c_acctbal") > 0)
+        .agg(sum(col("cents")).as("sum_cents"), count(lit(1)).as("n_pos"))
+      cust.crossJoin(broadcast(pos))
+        .filter(col("cents") * col("n_pos") > col("sum_cents"))
+        .join(Tables.orders(s, dir).select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("total_bal"))
+        .orderBy(col("c_mktsegment"))
+    }),
     "q_concurrency" -> ((s, dir) => {
       // peak concurrent user sessions per day — sweep-line over
       // session boundaries, running sum partitioned by day + a tiny
@@ -1151,6 +1239,16 @@ object SparkEntry {
         .select(col("query_id"), col("rank"), col("vec_id"), col("sim_micro"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    "q_ann_int8" -> ((s, dir) => {
+      // quantized ANN: int8 coarse scoring (integer-exact, 4x less
+      // data in flight) then exact cosine re-rank of the candidates
+      val emb = Tables.embeddings(s, dir)
+      Similarity.annInt8(emb, emb.filter(col("vec_id") < 3),
+        topK = 10, coarseK = 50)
+        .withColumn("sim_micro", floor(col("sim") * 1e6).cast("long"))
+        .select(col("query_id"), col("rank"), col("vec_id"), col("sim_micro"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "q_dedup_cluster" -> ((s, dir) =>
       // edges from the exact join so the oracle (recursive-CTE CC over
       // the same exact edge set) is deterministic; CC itself is the
@@ -1433,6 +1531,78 @@ object SparkEntry {
         |  ON s_nationkey = nk AND s_acctbal = max_bal
         |JOIN nation ON s_nationkey = n_nationkey
         |ORDER BY n_name, s_suppkey""".stripMargin,
+    // Q17 shape: the threshold compare is cross-multiplied BIGINT
+    // (2·qty·cnt < sum_qty) — integer-exact in both engines
+    "q_small_qty" ->
+      """WITH pa AS (
+        |  SELECT l_partkey,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |    count(*) AS cnt
+        |  FROM lineitem GROUP BY 1
+        |)
+        |SELECT
+        |  CAST(CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))), 2)
+        |       AS DECIMAL(38,2)) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey AND p.p_size < 10
+        |JOIN pa ON pa.l_partkey = l.l_partkey
+        |WHERE CAST(l.l_quantity AS BIGINT) * cnt * 2 < sum_qty""".stripMargin,
+    "q_stock_reserve" ->
+      """WITH ex AS (
+        |  SELECT l_suppkey
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE p.p_name LIKE 'small%'
+        |  GROUP BY l_suppkey, l.l_partkey
+        |  HAVING sum(CAST(l_quantity AS BIGINT)) > 50
+        |)
+        |SELECT s_name, s_acctbal
+        |FROM supplier s
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  AND n.n_name = 'NATION_3'
+        |WHERE EXISTS (SELECT 1 FROM ex WHERE ex.l_suppkey = s.s_suppkey)
+        |ORDER BY s_name""".stripMargin,
+    "q_waiting_supplier" ->
+      """WITH ps AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    max(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        |        THEN 1 ELSE 0 END) AS late
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY 1, 2
+        |), st AS (
+        |  SELECT l_orderkey, count(*) AS n_supp,
+        |    CAST(sum(late) AS BIGINT) AS n_late
+        |  FROM ps GROUP BY 1
+        |)
+        |SELECT s_name, count(*) AS numwait
+        |FROM ps
+        |JOIN st USING (l_orderkey)
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE ps.late = 1 AND st.n_supp >= 2 AND st.n_late = 1
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 25""".stripMargin,
+    // Q22 shape: the balance threshold is cross-multiplied integer
+    // cents (cents·n > Σcents) — no avg/decimal boundary risk
+    "q_idle_customers" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, c_mktsegment, c_acctbal,
+        |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM customer
+        |  WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING')
+        |), pos AS (
+        |  SELECT CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |    count(*) AS n_pos
+        |  FROM cust WHERE c_acctbal > 0
+        |)
+        |SELECT c_mktsegment, count(*) AS n_cust,
+        |  CAST(CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,4))), 2)
+        |       AS DECIMAL(38,2)) AS DOUBLE) AS total_bal
+        |FROM cust, pos
+        |WHERE cents * n_pos > sum_cents
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = cust.c_custkey)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q_store_roundtrip" -> (txnCte + minuteCte + rollupCte("hour") + "\n" +
       """SELECT symbol, 'HOUR' AS timeframe,
         |  strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
@@ -2418,6 +2588,56 @@ object SparkEntry {
     "q_dedup_simhash" -> SketchOracles.simhashSql,
     "q_ann_lsh" -> SketchOracles.annLshSql,
     "q_ann_ivf" -> SketchOracles.annIvfSql,
+    // 1:1 replica of the quantized-ANN chain: per-dim max-abs scales,
+    // clamp(floor(v*s)) int8 vectors, integer coarse dot top-50,
+    // exact cosine re-rank top-10 (floor is engine-portable, integer
+    // coarse scores make the candidate cut deterministic)
+    "q_ann_int8" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+        |), dims AS (
+        |  SELECT i, max(abs(emb[i])) AS ma
+        |  FROM e, (SELECT unnest(generate_series(1,
+        |    (SELECT max(len(emb)) FROM e))) AS i) ix
+        |  GROUP BY i
+        |), sc AS (
+        |  SELECT list(CASE WHEN ma = 0 THEN 0.0 ELSE 127.0 / ma END
+        |              ORDER BY i) AS s
+        |  FROM dims
+        |), qv AS (
+        |  SELECT vec_id, list_transform(generate_series(1, len(emb)),
+        |    i -> CAST(greatest(-127, least(127, floor(emb[i] * s[i])))
+        |         AS BIGINT)) AS q
+        |  FROM e, sc
+        |), qq AS (
+        |  SELECT vec_id AS query_id, q AS qx FROM qv WHERE vec_id < 3
+        |), co AS (
+        |  SELECT qq.query_id, v.vec_id,
+        |    CAST(list_sum(list_transform(generate_series(1, len(v.q)),
+        |      i -> v.q[i] * qq.qx[i])) AS BIGINT) AS qdot
+        |  FROM qv v, qq
+        |), cr AS (
+        |  SELECT query_id, vec_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY qdot DESC, vec_id) AS crk
+        |  FROM co
+        |), cand AS (
+        |  SELECT query_id, vec_id FROM cr WHERE crk <= 50
+        |), re AS (
+        |  SELECT c.query_id, c.vec_id,
+        |    list_cosine_similarity(ev.emb, eq.emb) AS sim
+        |  FROM cand c
+        |  JOIN e ev ON ev.vec_id = c.vec_id
+        |  JOIN e eq ON eq.vec_id = c.query_id
+        |), r AS (
+        |  SELECT query_id, vec_id, sim,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY sim DESC, vec_id) AS rank
+        |  FROM re
+        |)
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id,
+        |  CAST(floor(sim * 1000000) AS BIGINT) AS sim_micro
+        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     // Shared DuckDB shingle-set pipeline: tokenization mirrors
     // TextAnalysis.tokens (split lower(trim) on \s+, drop empties),
     // 3-gram string shingles stand in for the Spark side's 64-bit

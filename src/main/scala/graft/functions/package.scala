@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.{CosineSimF, GraftShim, HyperplaneSig, MinHashBandHashes, MinHashSignature, PolyFingerprint64, ShingleHashes, SimHash64, TextProfile, TokenFnvHashes}
+import org.apache.spark.sql.graft.{CosineSimF, GraftShim, HyperplaneSig, Int8Dot, MinHashBandHashes, MinHashSignature, PolyFingerprint64, QuantizeI8, ShingleHashes, SimHash64, TextProfile, TokenFnvHashes}
 
 /** User-facing Column wrappers for graft's native Catalyst
   * expressions (see org.apache.spark.sql.graft.GraftExpressions).
@@ -63,6 +63,23 @@ package object functions {
     */
   def token_fnv_hashes(c: Column): Column =
     GraftShim.toColumn(TokenFnvHashes(GraftShim.toExpression(c)))
+
+  /** Symmetric int8 quantization of an array<float> vector against
+    * per-dimension array<double> scales: clamp(floor(v·s), ±127) as
+    * array<byte> (4× smaller in flight; codegen'd, engine-portable
+    * floor semantics).
+    */
+  def quantize_i8(vec: Column, scales: Column): Column =
+    GraftShim.toColumn(QuantizeI8(GraftShim.toExpression(vec),
+      GraftShim.toExpression(scales)))
+
+  /** Integer dot product of two int8-quantized array<byte> vectors —
+    * the coarse scoring kernel of quantized ANN (exact long
+    * arithmetic, codegen).
+    */
+  def int8_dot(a: Column, b: Column): Column =
+    GraftShim.toColumn(Int8Dot(GraftShim.toExpression(a),
+      GraftShim.toExpression(b)))
 
   /** Distributed bloom-filter build over an int64 key column — one
     * aggregate; the result value is the serialized filter bits (the

@@ -69,6 +69,10 @@ object GraftShim {
       es => MinHashSignature(arity("minhash_signature", 1, es).head, 64), "scala_udf")
     reg.createOrReplaceTempFunction("text_profile",
       es => TextProfile(arity("text_profile", 1, es).head), "scala_udf")
+    reg.createOrReplaceTempFunction("quantize_i8",
+      es => { arity("quantize_i8", 2, es); QuantizeI8(es.head, es(1)) }, "scala_udf")
+    reg.createOrReplaceTempFunction("int8_dot",
+      es => { arity("int8_dot", 2, es); Int8Dot(es.head, es(1)) }, "scala_udf")
   }
 }
 

@@ -94,6 +94,35 @@ class LshSpec extends SparkSpec {
     assert(ann.forall { case (q, _) => queries.filter($"vec_id" === q).count() == 1 })
   }
 
+  test("annInt8 with corpus-sized coarseK equals brute force exactly") {
+    // when nothing is cut at the coarse stage, the re-rank IS the
+    // brute-force ranking — int8 scoring may only affect the cut
+    val queries = emb.filter($"vec_id" < 5)
+    val n = emb.count().toInt
+    def keyed(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "rank", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val brute = keyed(Similarity.knnBrute(emb, queries, topK = 5))
+    val full = keyed(Similarity.annInt8(emb, queries, topK = 5, coarseK = n))
+    assert(full === brute)
+  }
+
+  test("annInt8 recall at modest coarseK; int8 codes stay in [-127, 127]") {
+    val queries = emb.filter($"vec_id" < 10)
+    val brute = Similarity.knnBrute(emb, queries, topK = 5)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.annInt8(emb, queries, topK = 5, coarseK = 50)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ann).size.toDouble / brute.size
+    assert(recall >= 0.8, s"int8 coarse recall $recall too low")
+    val codes = Similarity.quantizeInt8(emb, Similarity.dimScales(emb))
+      .select(explode($"qvec")).as[Byte].collect()
+    assert(codes.forall(b => b >= -127 && b <= 127))
+    assert(codes.exists(_ == 127) || codes.exists(_ == -127)) // scale binds
+  }
+
   test("lshNearDupPairs ⊆ cosineNearDupPairs with identical sims") {
     val exact = Similarity.cosineNearDupPairs(emb, 0.4)
       .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -168,4 +168,48 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("might_contain"), s"no bloom probe in:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
   }
+
+  test("q_ann_int8: coarse stage scores quantized bytes with partial top-k; " +
+    "candidates broadcast back to the float table") {
+    val p = plan("q_ann_int8")
+    assert(p.contains("int8dot") || p.contains("Int8Dot"),
+      s"no int8 kernel in:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"no partial top-k in:\n$p")
+    assert(p.contains("BroadcastExchange"), s"candidates not broadcast in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+  }
+
+  test("q_line_dedup: only digests shuffle — no text column in any exchange") {
+    val p = plan("q_line_dedup")
+    // the reassembly exchange carries (doc_id, chunk_id, seg, flag);
+    // the frequency/join exchanges must carry digests, never raw text
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toList
+    assert(exchanges.nonEmpty)
+    assert(exchanges.forall(!_.contains("text#")),
+      s"raw document text in an exchange:\n$p")
+  }
+
+  test("q_small_qty: per-part aggregate joined back without an extra exchange") {
+    val p = plan("q_small_qty")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // cohort filter pushes into the part scan
+    assert(p.contains("PushedFilters: [IsNotNull(p_size), LessThan(p_size,10)]") ||
+      p.contains("LessThan(p_size,10)"), s"p_size not pushed down in:\n$p")
+  }
+
+  test("q_waiting_supplier: decorrelated flags — no fact-by-fact self join") {
+    val p = plan("q_waiting_supplier")
+    // lineitem appears in ONE scan only (the flags frame feeds both
+    // the per-order stats and the join back via reuse)
+    val scans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("lineitem"))
+    assert(scans <= 2, s"fact scanned $scans times in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+  }
+
+  test("q_idle_customers: scalar threshold broadcast; anti join for NOT EXISTS") {
+    val p = plan("q_idle_customers")
+    assert(p.contains("LeftAnti"), s"no anti join in:\n$p")
+    assert(p.contains("BroadcastExchange"), s"threshold not broadcast in:\n$p")
+  }
 }
