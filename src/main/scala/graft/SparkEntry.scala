@@ -41,6 +41,19 @@ object SparkEntry {
   private def money(c: Column): Column =
     c.cast("decimal(38,2)").cast("double")
 
+  /** Exact Σ l_extendedprice·(1−l_discount) — the TPC-H revenue term
+    * as decimal products (order-independent, engine-identical).
+    */
+  private def revenueSum: Column =
+    money(sum(col("l_extendedprice").cast("decimal(18,4)") *
+      (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)"))))
+
+  /** The same revenue term for the DuckDB side (mirrors revenueSum). */
+  private val revenueSql: String =
+    """CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+      |    (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2)
+      |  AS DECIMAL(38,2)) AS DOUBLE)""".stripMargin
+
   /** Candle frame → driver-comparable output shape. */
   private def candleOut(c: DataFrame): DataFrame =
     c.select(
@@ -940,6 +953,183 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("total_bal"))
         .orderBy(col("c_mktsegment"))
     }),
+    "q_filter_agg" -> ((s, dir) =>
+      // TPC-H Q6 shape: pure predicate aggregation — every filter
+      // pushes into the parquet scan (PushedFilters), the agg is a
+      // one-row partial+final, nothing else shuffles. The floor of
+      // what a scan-bound query costs.
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(money(sum(col("l_extendedprice").cast("decimal(18,4)") *
+          col("l_discount").cast("decimal(18,4)"))).as("revenue"),
+          count(lit(1)).as("n_lines"))),
+    "q_returned_revenue" -> ((s, dir) => {
+      // TPC-H Q10 shape: revenue lost to returns per customer — the
+      // quarter filter prunes orders BEFORE the fact join, nation
+      // broadcasts, top-20 via TakeOrderedAndProject (no global sort)
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1997-07-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-10-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      Tables.lineitem(s, dir)
+        .filter(col("l_returnflag") === "R")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(revenueSum.as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+    "q_priority_class" -> ((s, dir) =>
+      // TPC-H Q12 shape (linestatus standing in for shipmode):
+      // conditional counts after the fact⋈orders join — one shuffle,
+      // the CASE aggregation is map-side partial
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_linestatus"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count"))
+        .orderBy(col("l_linestatus"))),
+    "q_custdist" -> ((s, dir) =>
+      // TPC-H Q13 shape: order-count distribution — LEFT OUTER join
+      // keeps zero-order customers, double aggregation (per-customer
+      // count, then count-of-counts; the second group is tiny)
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir)
+          .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+          .select(col("o_orderkey"), col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)),
+    "q_promo_share" -> ((s, dir) =>
+      // TPC-H Q14 shape: promo revenue share in a month. Both sums are
+      // 2dp-stabilized decimals; the share is a floor-to-micro-units
+      // integer over bit-identical doubles, so the division is
+      // engine-independent.
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1997-09-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
+        .join(broadcast(Tables.part(s, dir).select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          money(sum(when(col("p_type") === "PROMO",
+            col("l_extendedprice").cast("decimal(18,4)") *
+              (lit(1).cast("decimal(18,4)") -
+                col("l_discount").cast("decimal(18,4)"))))).as("promo_rev"),
+          revenueSum.as("total_rev"))
+        .withColumn("promo_micro",
+          floor(col("promo_rev") / col("total_rev") * 1e6).cast("long"))),
+    "q_top_supplier" -> ((s, dir) => {
+      // TPC-H Q15 shape: the top-revenue supplier of a quarter —
+      // per-supplier aggregate, 1-row max broadcast back, DECIMAL
+      // equality (exact within each engine; ties all surface)
+      val rev = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,4)") *
+          (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
+          .as("rev_d"))
+      val mx = rev.agg(max(col("rev_d")).as("max_rev"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("rev_d") === col("max_rev"))
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), money(col("rev_d")).as("total_rev"))
+        .orderBy(col("s_suppkey"))
+    }),
+    "q_disjunctive" -> ((s, dir) =>
+      // TPC-H Q19 shape: OR-of-AND predicate push — the join stays a
+      // single broadcast hash join with the disjunction evaluated as
+      // one codegen'd filter, not three plans unioned
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)
+          .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+          col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#15" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30)))
+        .agg(revenueSum.as("revenue"), count(lit(1)).as("n_lines"))),
+    "q_market_share" -> ((s, dir) => {
+      // TPC-H Q8 shape: one nation's share of in-region revenue per
+      // order year. Two independent dimension chains touch the same
+      // fact (customer-side region gate, supplier-side nation name)
+      // — nation broadcasts twice under aliases, the fact shuffles
+      // only for its two key joins.
+      val custIn = Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)
+          .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"))
+      val suppNat = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)
+          .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("sn_key"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"), year(col("o_orderdate")).as("o_year"))
+      Tables.lineitem(s, dir)
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(custIn, col("o_custkey") === col("c_custkey"), "left_semi")
+        .join(suppNat, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("o_year"))
+        .agg(
+          money(sum(when(col("supp_nation") === "NATION_3",
+            col("l_extendedprice").cast("decimal(18,4)") *
+              (lit(1).cast("decimal(18,4)") -
+                col("l_discount").cast("decimal(18,4)"))))).as("nation_rev"),
+          revenueSum.as("total_rev"))
+        .withColumn("share_micro",
+          floor(col("nation_rev") / col("total_rev") * 1e6).cast("long"))
+        .orderBy(col("o_year"))
+    }),
+    "q_supplier_profit" -> ((s, dir) =>
+      // TPC-H Q9 shape (retailprice-based cost proxy; no partsupp in
+      // the schema): profit per supplier nation per year over a
+      // part-name cohort. All terms are exact decimal products, so the
+      // sum is order-independent in both engines.
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)
+          .filter(col("p_name").like("%bolt%"))
+          .select(col("p_partkey"), col("p_retailprice"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, dir)
+          .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), col("o_year"))
+        .agg(money(sum(
+          col("l_extendedprice").cast("decimal(18,4)") *
+            (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")) -
+          col("p_retailprice").cast("decimal(18,4)") *
+            col("l_quantity").cast("decimal(18,4)") *
+            lit(0.05).cast("decimal(18,4)"))).as("profit"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("n_name"), col("o_year"))),
     "q_concurrency" -> ((s, dir) => {
       // peak concurrent user sessions per day — sweep-line over
       // session boundaries, running sum partitioned by day + a tiny
@@ -1603,6 +1793,132 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders o
         |                  WHERE o.o_custkey = cust.c_custkey)
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_filter_agg" ->
+      """SELECT
+        |  CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |      CAST(l_discount AS DECIMAL(18,4))), 2)
+        |    AS DECIMAL(38,2)) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q_returned_revenue" ->
+      (s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  $revenueSql AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |  AND o_orderdate >= TIMESTAMP '1997-07-01'
+        |  AND o_orderdate < TIMESTAMP '1997-10-01'
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""").stripMargin,
+    "q_priority_class" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "q_custdist" ->
+      """WITH cc AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer
+        |  LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |    AND o_orderpriority <> '4-NOT SPECIFIED'
+        |  GROUP BY c_custkey
+        |)
+        |SELECT c_count, count(*) AS custdist
+        |FROM cc GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q_promo_share" ->
+      (s"""WITH agg AS (
+        |  SELECT
+        |    CAST(CAST(round(sum(CASE WHEN p_type = 'PROMO'
+        |        THEN CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |          (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+        |        END), 2) AS DECIMAL(38,2)) AS DOUBLE) AS promo_rev,
+        |    $revenueSql AS total_rev
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+        |    AND l_shipdate < TIMESTAMP '1997-10-01'
+        |)
+        |SELECT promo_rev, total_rev,
+        |  CAST(floor(promo_rev / total_rev * 1e6) AS BIGINT) AS promo_micro
+        |FROM agg""").stripMargin,
+    "q_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |      (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
+        |      AS rev_d
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY l_suppkey
+        |)
+        |SELECT s_suppkey, s_name,
+        |  CAST(CAST(round(rev_d, 2) AS DECIMAL(38,2)) AS DOUBLE) AS total_rev
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rev_d = (SELECT max(rev_d) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q_disjunctive" ->
+      (s"""SELECT $revenueSql AS revenue, count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE
+        |  (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |    AND l_quantity BETWEEN 1 AND 11) OR
+        |  (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |    AND l_quantity BETWEEN 10 AND 20) OR
+        |  (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15
+        |    AND l_quantity BETWEEN 20 AND 30)""").stripMargin,
+    "q_market_share" ->
+      (s"""WITH yr AS (
+        |  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |    CAST(CAST(round(sum(CASE WHEN sn.n_name = 'NATION_3'
+        |        THEN CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |          (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+        |        END), 2) AS DECIMAL(38,2)) AS DOUBLE) AS nation_rev,
+        |    $revenueSql AS total_rev
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  WHERE EXISTS (
+        |    SELECT 1 FROM customer c
+        |    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        |    JOIN region r ON cn.n_regionkey = r.r_regionkey
+        |    WHERE c.c_custkey = o_custkey AND r.r_name = 'ASIA')
+        |  GROUP BY 1
+        |)
+        |SELECT o_year, nation_rev, total_rev,
+        |  CAST(floor(nation_rev / total_rev * 1e6) AS BIGINT) AS share_micro
+        |FROM yr ORDER BY o_year""").stripMargin,
+    "q_supplier_profit" ->
+      """SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |  CAST(CAST(round(sum(
+        |    CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |      (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) -
+        |    CAST(p_retailprice AS DECIMAL(18,4)) *
+        |      CAST(l_quantity AS DECIMAL(18,4)) *
+        |      CAST(0.05 AS DECIMAL(18,4))), 2)
+        |    AS DECIMAL(38,2)) AS DOUBLE) AS profit,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%bolt%'
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name, o_year
+        |ORDER BY n_name, o_year""".stripMargin,
     "q_store_roundtrip" -> (txnCte + minuteCte + rollupCte("hour") + "\n" +
       """SELECT symbol, 'HOUR' AS timeframe,
         |  strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,

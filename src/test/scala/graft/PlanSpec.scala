@@ -212,4 +212,50 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), s"no anti join in:\n$p")
     assert(p.contains("BroadcastExchange"), s"threshold not broadcast in:\n$p")
   }
+
+  test("q_filter_agg: every predicate reaches the scan; no hash exchange at all") {
+    val p = plan("q_filter_agg")
+    // the plan string truncates the PushedFilters list, so assert the
+    // prefix plus the quantity predicate in the post-scan filter
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), " +
+      "IsNotNull(l_quantity), GreaterThanOrEqual(l_shipda"),
+      s"predicates not pushed in:\n$p")
+    assert("l_quantity#\\d+ < 24\\.0".r.findFirstIn(p).isDefined,
+      s"quantity predicate missing in:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"unexpected hash exchange in a scan-bound aggregate:\n$p")
+  }
+
+  test("q_disjunctive: OR-of-AND stays one broadcast join, not a union of plans") {
+    val p = plan("q_disjunctive")
+    assert("BroadcastHashJoin".r.findAllIn(p).size === 1,
+      s"expected exactly one broadcast join in:\n$p")
+    assert(!p.contains("Union"), s"predicate split into a union in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+  }
+
+  test("q_returned_revenue: returnflag pushes to the fact scan; top-20 avoids a global sort") {
+    val p = plan("q_returned_revenue")
+    assert(p.contains("EqualTo(l_returnflag,R)"), s"returnflag not pushed in:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"global sort instead of top-k in:\n$p")
+  }
+
+  test("q_top_supplier: 1-row max broadcasts back over the per-supplier aggregate") {
+    val p = plan("q_top_supplier")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"max row not broadcast in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+  }
+
+  test("q_market_share: both dimension chains broadcast; fact shuffles only on its keys") {
+    val p = plan("q_market_share")
+    assert(p.contains("LeftSemi"), s"region gate is not a semi join in:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join shape in:\n$p")
+  }
+
+  test("q_custdist: left outer join preserves zero-order customers") {
+    val p = plan("q_custdist")
+    assert(p.contains("LeftOuter"), s"outer join lost in:\n$p")
+  }
 }
