@@ -221,6 +221,29 @@ object SparkEntry {
       s"""$minhashCtes
          |SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b""".stripMargin
 
+    /** Winnowing (value-set variant): positional shingle hashes →
+      * sliding-window min (signed-long order, matching Spark) →
+      * distinct selected values. Positions are 1-based here vs
+      * Spark's 0-based posexplode, hence pos >= w (not w-1).
+      */
+    val winnowSql: String =
+      s"""$tokenHashCte, shl AS (
+         |  SELECT doc_id, ${mixStages(shingleFold)} AS sh
+         |  FROM th WHERE len(tkh) >= 3
+         |), posed AS (
+         |  SELECT doc_id, u.p AS pos,
+         |    CAST(CASE WHEN u.h < $Bias THEN u.h ELSE u.h - $M END AS BIGINT) AS h
+         |  FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(sh)),
+         |          i -> {'p': i, 'h': sh[i]})) AS u
+         |        FROM shl WHERE len(sh) >= 4)
+         |), wmin AS (
+         |  SELECT doc_id, pos, min(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+         |  FROM posed
+         |)
+         |SELECT DISTINCT doc_id, fp FROM wmin WHERE pos >= 4
+         |ORDER BY doc_id, fp""".stripMargin
+
     /** Calibration: signature-agreement estimate (pure integer micro
       * units) next to exact shingle Jaccard, per candidate pair.
       */
@@ -1300,6 +1323,17 @@ object SparkEntry {
         .select(col("doc_id"),
           graft.operators.Corpus.splitLabel(col("doc_id"), 0.8).as("cohort"))
         .orderBy(col("doc_id"))),
+    "q_epoch_shuffle" -> ((s, dir) =>
+      // deterministic training-order shuffle: seed-salted hash rank,
+      // two-level (shard + per-shard window) so no global sort exists
+      graft.operators.Corpus.epochShuffle(Tables.documents(s, dir),
+        seed = 7L, nShards = 8)
+        .orderBy(col("shard"), col("pos"))),
+    "q_winnow" -> ((s, dir) =>
+      // winnowing fingerprints (MOSS selection rule, value-set
+      // variant): sliding-window min over positional shingle hashes
+      LshDedup.winnowFingerprints(Tables.documents(s, dir), n = 3, w = 4)
+        .orderBy(col("doc_id"), col("fp"))),
     "q_decontaminate" -> ((s, dir) =>
       // eval-set 5-gram leakage into the train cohort (broadcast eval
       // n-gram set; corpus never shuffles)
@@ -2411,6 +2445,21 @@ object SparkEntry {
         |  CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'cccd' THEN 'train'
         |       ELSE 'eval' END AS cohort
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_epoch_shuffle" ->
+      """WITH hx AS (
+        |  SELECT doc_id, md5('7:' || CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, h,
+        |    CAST(CAST('0x' || substr(h, 1, 8) AS UBIGINT) % 8 AS BIGINT) AS shard
+        |  FROM hx
+        |)
+        |SELECT shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+        |    AS BIGINT) AS pos,
+        |  doc_id, h
+        |FROM sh ORDER BY shard, pos""".stripMargin,
+    "q_winnow" -> SketchOracles.winnowSql,
     "q_decontaminate" ->
       """WITH tt AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),

@@ -25,6 +25,12 @@ package object functions {
   def shingle_hashes(c: Column, n: Int): Column =
     GraftShim.toColumn(ShingleHashes(GraftShim.toExpression(c), n))
 
+  /** Positional (non-deduplicated) shingle hashes — one hash per
+    * shingle start offset, in document order; the winnowing input.
+    */
+  def shingle_hashes_pos(c: Column, n: Int): Column =
+    GraftShim.toColumn(ShingleHashes(GraftShim.toExpression(c), n, dedup = false))
+
   /** Fused MinHash + LSH banding: `bands` band hashes from an
     * array<long> of shingle hashes.
     */

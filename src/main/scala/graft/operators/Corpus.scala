@@ -34,6 +34,28 @@ object Corpus {
     when(hashBucket(idCol) < lit(fractionThreshold(trainFraction)), "train")
       .otherwise("eval")
 
+  /** Deterministic epoch shuffle — the training-order assignment: a
+    * seed-salted hash gives every row a pseudo-random rank, split
+    * two-level so no global sort exists: the top 32 hash bits pick a
+    * shard (scales with the cluster), a per-shard window assigns the
+    * position. Changing the seed reshuffles; same seed + same corpus
+    * = bit-identical order on any engine or partitioning (md5, not
+    * rand(seed) — Spark's rand is partition-dependent).
+    * Emits (shard, pos, id, h).
+    */
+  def epochShuffle(docs: DataFrame, idCol: String = "doc_id",
+                   seed: Long = 0L, nShards: Int = 8): DataFrame = {
+    require(nShards > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("h"), col(idCol))
+    docs.select(col(idCol))
+      .withColumn("h", hashBucket(concat_ws(":", lit(seed), col(idCol))))
+      .withColumn("shard",
+        pmod(conv(substring(col("h"), 1, 8), 16, 10).cast("long"), lit(nShards)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("shard"), col("pos"), col(idCol), col("h"))
+  }
+
   /** Pack chunks into fixed-length training sequences — the
     * pretraining packer: chunks stream in deterministic (doc_id,
     * chunk_id) order within a bucket and a chunk belongs to the

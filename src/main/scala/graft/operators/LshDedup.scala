@@ -72,6 +72,38 @@ object LshDedup {
       shingle_hashes(token_fnv_hashes(lower(trim(col(textCol)))), n)
         .as("shingle_hashes"))
 
+  /** Winnowing document fingerprints (the MOSS selection rule,
+    * Schleimer/Wilkerson/Aiken SIGMOD'03): over the POSITIONAL
+    * n-gram hash sequence, every sliding window of `w` consecutive
+    * shingles contributes its minimum hash; the fingerprint set is
+    * the distinct selected values. Value-set variant: positions are
+    * dropped after selection (two docs sharing a fingerprint share a
+    * verbatim n-gram run; the guarantee that any shared substring of
+    * ≥ w+n−1 tokens yields a shared fingerprint is positional-free).
+    * Density is ~2/(w+1) of shingles, so the output is a bounded
+    * fraction of the corpus.
+    *
+    * Scale: the window partitions by doc (bounded by doc length), the
+    * final distinct is the only shuffle, and it ships (doc_id, hash)
+    * pairs only — the winnowed, not raw, volume.
+    */
+  def winnowFingerprints(docs: DataFrame, textCol: String = "text",
+                         n: Int = 3, w: Int = 4): DataFrame = {
+    require(n >= 1 && w >= 1)
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(-(w - 1), org.apache.spark.sql.expressions.Window.currentRow)
+    docs.select(col("doc_id"),
+      graft.functions.shingle_hashes_pos(
+        token_fnv_hashes(lower(trim(col(textCol)))), n).as("sh"))
+      .filter(size(col("sh")) >= w)
+      .select(col("doc_id"), posexplode(col("sh")).as(Seq("pos", "h")))
+      .withColumn("fp", min(col("h")).over(win))
+      .filter(col("pos") >= w - 1)
+      .select(col("doc_id"), col("fp"))
+      .distinct()
+  }
+
   /** MinHash signatures (k permutations) per doc. */
   def minhashSignatures(docs: DataFrame, k: Int = 64, n: Int = 3): DataFrame =
     shingleHashes(docs, n = n)

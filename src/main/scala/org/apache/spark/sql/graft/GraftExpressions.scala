@@ -188,17 +188,17 @@ object MinHashSignature {
   * formulation re-evaluates the whole upstream chain per reference
   * (observed 17× on the dedup bench).
   */
-case class ShingleHashes(child: Expression, n: Int)
+case class ShingleHashes(child: Expression, n: Int, dedup: Boolean = true)
     extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
-    new GenericArrayData(ShingleHashes.shingles(input.asInstanceOf[ArrayData], n))
+    new GenericArrayData(ShingleHashes.shingles(input.asInstanceOf[ArrayData], n, dedup))
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
       val out = ctx.freshName("out")
       s"""
-         |long[] $out = org.apache.spark.sql.graft.ShingleHashes.shingles($c, $n);
+         |long[] $out = org.apache.spark.sql.graft.ShingleHashes.shingles($c, $n, $dedup);
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin
     })
@@ -208,12 +208,14 @@ case class ShingleHashes(child: Expression, n: Int)
 
 object ShingleHashes {
   /** Rolling combine of n consecutive token hashes (order-sensitive),
-    * deduplicated. Shared by interpreted eval and generated code.
+    * deduplicated (dedup=true, the LSH form) or positional
+    * (dedup=false, one hash per shingle start — what winnowing's
+    * sliding window needs). Shared by interpreted eval and codegen.
     */
-  def shingles(arr: ArrayData, n: Int): Array[Long] = {
+  def shingles(arr: ArrayData, n: Int, dedup: Boolean): Array[Long] = {
     val m = arr.numElements()
     if (m < n) return Array.emptyLongArray
-    val seen = new java.util.HashSet[java.lang.Long]()
+    val seen = if (dedup) new java.util.HashSet[java.lang.Long]() else null
     val out = new Array[Long](m - n + 1)
     var cnt = 0
     var i = 0
@@ -225,11 +227,13 @@ object ShingleHashes {
         j += 1
       }
       h = MinHashSignature.mix(h)
-      if (seen.add(h)) { out(cnt) = h; cnt += 1 }
+      if (seen == null || seen.add(h)) { out(cnt) = h; cnt += 1 }
       i += 1
     }
     java.util.Arrays.copyOf(out, cnt)
   }
+
+  def shingles(arr: ArrayData, n: Int): Array[Long] = shingles(arr, n, dedup = true)
 }
 
 /** Fused MinHash-signature + LSH band hashes: array of `bands` hashes,

@@ -42,4 +42,26 @@ class CorpusSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(a === b)
   }
+
+  test("epochShuffle is a deterministic permutation: every doc once, " +
+    "contiguous positions per shard, seed changes the order") {
+    val n = docs.count()
+    val sh = Corpus.epochShuffle(docs, seed = 7L, nShards = 8)
+    assert(sh.count() === n)
+    assert(sh.select("doc_id").distinct().count() === n)
+    // positions are 1..count(shard) with no holes
+    val bad = sh.groupBy("shard")
+      .agg(min($"pos").as("lo"), max($"pos").as("hi"), count(lit(1)).as("cnt"))
+      .filter($"lo" =!= 1L || $"hi" =!= $"cnt")
+    assert(bad.count() === 0)
+    // stable under repartitioning (rand(seed) would fail this)
+    val a = sh.collect().map(_.toSeq).toSet
+    val b = Corpus.epochShuffle(docs.repartition(13), seed = 7L, nShards = 8)
+      .collect().map(_.toSeq).toSet
+    assert(a === b)
+    // a different seed produces a genuinely different order
+    val other = Corpus.epochShuffle(docs, seed = 8L, nShards = 8)
+      .collect().map(_.toSeq).toSet
+    assert(a !== other)
+  }
 }

@@ -46,6 +46,37 @@ class LshSpec extends SparkSpec {
     assert(newlyPersisted(before) === Set.empty[Int])
   }
 
+  test("winnowFingerprints == per-doc brute-force winnowing; shared runs share a fingerprint") {
+    import org.apache.spark.sql.graft.{ShingleHashes, TokenFnvHashes}
+    import org.apache.spark.unsafe.types.UTF8String
+    val n = 3; val w = 4
+    val sample = docs.filter($"doc_id" < 60)
+    // independent reference: same static kernels, driver-side sliding min
+    def brute(text: String): Set[Long] = {
+      val toks = TokenFnvHashes.hashes(
+        UTF8String.fromString(text.trim.toLowerCase))
+      val sh = ShingleHashes.shingles(toks, n, false)
+      if (sh.length < w) Set.empty
+      else (w - 1 until sh.length).map(i => sh.slice(i - w + 1, i + 1).min).toSet
+    }
+    val expect = sample.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> brute(r.getString(1))).toMap
+    val got = LshDedup.winnowFingerprints(sample, n = n, w = w).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    expect.filter(_._2.nonEmpty).foreach { case (id, fps) =>
+      assert(got.getOrElse(id, Set.empty) === fps, s"doc $id")
+    }
+    // guarantee: two docs sharing a token run of >= w+n-1 tokens share
+    // a fingerprint (the winnowing correctness property)
+    val shared = (1 to (w + n - 1)).map(i => s"shared$i").mkString(" ")
+    val pair = Seq(
+      (9001L, s"alpha beta gamma $shared delta epsilon"),
+      (9002L, s"one two $shared three four five six")).toDF("doc_id", "text")
+    val fps = LshDedup.winnowFingerprints(pair, n = n, w = w).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert((fps(9001L) intersect fps(9002L)).nonEmpty)
+  }
+
   test("simhash: identical docs get identical signature; near-dups close in hamming") {
     val twice = docs.limit(5).union(docs.limit(5))
     val sigs = LshDedup.simhashes(twice).groupBy("doc_id")
