@@ -1210,6 +1210,20 @@ object SparkEntry {
         HAVING MAX(o_totalprice) > 400000.0
         ORDER BY c_custkey""")
     }),
+    "q_rank_funcs" -> ((s, dir) => {
+      // the relative-rank window family (percent_rank / cume_dist /
+      // nth_value): ratios emitted in floor-to-micro-units so the
+      // integer rank arithmetic, not FP formatting, is what's compared
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("p_brand"))
+        .orderBy(col("p_retailprice"), col("p_partkey"))
+      Tables.part(s, dir)
+        .select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
+          floor(percent_rank().over(w) * 1e6).cast("long").as("pr_micro"),
+          floor(cume_dist().over(w) * 1e6).cast("long").as("cd_micro"),
+          nth_value(col("p_partkey"), 2).over(w).as("second_key"))
+        .orderBy(col("p_brand"), col("p_retailprice"), col("p_partkey"))
+    }),
     "q_window_funcs" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("l_returnflag"))
@@ -2286,6 +2300,16 @@ object SparkEntry {
         |GROUP BY c_custkey, c_mktsegment
         |HAVING MAX(o_totalprice) > 400000.0
         |ORDER BY c_custkey""".stripMargin,
+    "q_rank_funcs" ->
+      """SELECT p_brand, p_partkey, p_retailprice,
+        |  CAST(floor(percent_rank() OVER w * 1e6) AS BIGINT) AS pr_micro,
+        |  CAST(floor(cume_dist() OVER w * 1e6) AS BIGINT) AS cd_micro,
+        |  nth_value(p_partkey, 2) OVER (PARTITION BY p_brand
+        |    ORDER BY p_retailprice, p_partkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_key
+        |FROM part
+        |WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey)
+        |ORDER BY p_brand, p_retailprice, p_partkey""".stripMargin,
     "q_window_funcs" ->
       """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
         |  ntile(4) OVER w AS quartile,
