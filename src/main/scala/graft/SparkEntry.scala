@@ -935,9 +935,13 @@ object SparkEntry {
       // TPC-H Q21 shape: suppliers who were the SOLE late shipper on
       // multi-supplier orders (late = shipped >60 days after the
       // order date). The classic EXISTS + NOT-EXISTS double self-join
-      // decorrelates into per-(order, supplier) late flags and one
-      // per-order rollup — the fact shuffles once on the order key,
-      // the join back is co-partitioned, and no fact×fact join exists.
+      // decorrelates into per-(order, supplier) late flags; the
+      // per-order rollup rides as WINDOWS over the same flags frame
+      // (not an aggregate joined back), so the fact⋈orders join runs
+      // ONCE — the only extra exchange ships the flags-sized frame,
+      // and no fact×fact join exists.
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_orderkey"))
       val perSupp = Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
         .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate")),
@@ -946,11 +950,10 @@ object SparkEntry {
         .agg(max(when(col("l_shipdate") >
           col("o_orderdate") + expr("INTERVAL 60 DAYS"), 1L).otherwise(0L))
           .as("late"))
-      val perOrder = perSupp.groupBy(col("l_orderkey"))
-        .agg(count(lit(1)).as("n_supp"), sum(col("late")).as("n_late"))
-      perSupp.filter(col("late") === 1L)
-        .join(perOrder.filter(col("n_supp") >= 2 && col("n_late") === 1L),
-          "l_orderkey")
+      perSupp
+        .withColumn("n_supp", count(lit(1)).over(wOrd))
+        .withColumn("n_late", sum(col("late")).over(wOrd))
+        .filter(col("late") === 1L && col("n_supp") >= 2 && col("n_late") === 1L)
         .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("s_name"))
         .agg(count(lit(1)).as("numwait"))
@@ -1210,6 +1213,18 @@ object SparkEntry {
         HAVING MAX(o_totalprice) > 400000.0
         ORDER BY c_custkey""")
     }),
+    "q_multi_dist" -> ((s, dir) =>
+      // several DISTINCT aggregates in one pass — planned as ONE
+      // Expand (row replicated per distinct set) + two-level
+      // aggregate, not one scan per distinct column
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"),
+          countDistinct(col("l_orderkey")).as("n_ord"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("l_returnflag"))),
     "q_rank_funcs" -> ((s, dir) => {
       // the relative-rank window family (percent_rank / cume_dist /
       // nth_value): ratios emitted in floor-to-micro-units so the
@@ -2300,6 +2315,14 @@ object SparkEntry {
         |GROUP BY c_custkey, c_mktsegment
         |HAVING MAX(o_totalprice) > 400000.0
         |ORDER BY c_custkey""".stripMargin,
+    "q_multi_dist" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_part,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_ord,
+        |  count(*) AS n_lines
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "q_rank_funcs" ->
       """SELECT p_brand, p_partkey, p_retailprice,
         |  CAST(floor(percent_rank() OVER w * 1e6) AS BIGINT) AS pr_micro,

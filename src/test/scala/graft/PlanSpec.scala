@@ -197,13 +197,13 @@ class PlanSpec extends SparkSpec {
       p.contains("LessThan(p_size,10)"), s"p_size not pushed down in:\n$p")
   }
 
-  test("q_waiting_supplier: decorrelated flags — no fact-by-fact self join") {
+  test("q_waiting_supplier: decorrelated flags — one fact scan, no self join") {
     val p = plan("q_waiting_supplier")
-    // lineitem appears in ONE scan only (the flags frame feeds both
-    // the per-order stats and the join back via reuse)
+    // the per-order rollup is windows over the flags frame, so the
+    // fact⋈orders join (and each scan) executes exactly once
     val scans = p.linesIterator.count(l =>
       l.contains("FileScan parquet") && l.contains("lineitem"))
-    assert(scans <= 2, s"fact scanned $scans times in:\n$p")
+    assert(scans === 1, s"fact scanned $scans times in:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
   }
 
@@ -257,5 +257,14 @@ class PlanSpec extends SparkSpec {
   test("q_custdist: left outer join preserves zero-order customers") {
     val p = plan("q_custdist")
     assert(p.contains("LeftOuter"), s"outer join lost in:\n$p")
+  }
+
+  test("q_multi_dist: three DISTINCTs plan as ONE Expand pass, partial map-side") {
+    val p = plan("q_multi_dist")
+    assert("Expand \\[".r.findAllIn(p).size === 1, s"expected one Expand in:\n$p")
+    assert(p.contains("partial_count"), s"no map-side partials in:\n$p")
+    val scans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("lineitem"))
+    assert(scans === 1, s"fact scanned $scans times in:\n$p")
   }
 }
