@@ -12,11 +12,13 @@ object PlanDump {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val runFirst = sys.env.get("SPARK_GRAFT_FINAL").contains("1")
     args.foreach { name =>
       println(s"\n## $name\n")
-      println(SparkEntry.queries(name)(spark, sf)
-        .queryExecution.explainString(
-          org.apache.spark.sql.execution.SimpleMode))
+      val df = SparkEntry.queries(name)(spark, sf)
+      if (runFirst) df.write.format("noop").mode("overwrite").save()
+      println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode))
     }
     spark.stop()
   }

@@ -848,30 +848,34 @@ object SparkEntry {
     }),
     "q_value_share" -> ((s, dir) => {
       // TPC-H Q11 shape: groups whose aggregate clears a threshold on
-      // the GLOBAL aggregate (scalar-subquery threshold). The global
-      // sum/count reuse the per-group aggregate — one shuffle, two
-      // tiny scalar broadcasts back. The gate is relative to the MEAN
-      // (value > 1.5×mean) so it is scale-factor-invariant. The
-      // compare runs in DOUBLE: a decimal×count product would trip
-      // Spark's precision-cap scale adjustment (≠ DuckDB), while the
-      // closest group to the 1.5×mean boundary sits ≥2.8e-6 relative
-      // away at either SF — nine orders above double rounding, so the
-      // predicate is engine-independent; the OUTPUT value stays
-      // decimal-exact.
-      Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
-      s.sql("""
-        WITH pv AS (
-          SELECT l_partkey,
-            SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
-                CAST(l_quantity AS DECIMAL(18,4))) AS value
-          FROM v_lineitem GROUP BY l_partkey
-        )
-        SELECT l_partkey,
-          CAST(CAST(value AS DECIMAL(38,2)) AS DOUBLE) AS part_value
-        FROM pv
-        WHERE CAST(value AS DOUBLE) * 2 * (SELECT COUNT(*) FROM pv) >
-              CAST((SELECT SUM(value) FROM pv) AS DOUBLE) * 3
-        ORDER BY part_value DESC, l_partkey""")
+      // the GLOBAL aggregate. The naive scalar-subquery form (WITH pv
+      // ... WHERE value*2*(SELECT COUNT(*) FROM pv) > (SELECT
+      // SUM(value) FROM pv)*3) executes the FACT aggregate three
+      // times — measured on the final adaptive plan: 3 lineitem
+      // scans, zero ReusedExchange/ReusedSubquery, because each
+      // scalar subquery is planned separately. This form computes the
+      // global count+sum as ONE WINDOW pass over the group frame:
+      // one fact scan total (the q_corr_subquery query keeps the
+      // spark.sql subquery surface covered). Same ceiling note as
+      // q_top_supplier for extreme group cardinality. The gate is
+      // relative to the MEAN (value > 1.5×mean) so it is
+      // scale-factor-invariant. The compare runs in DOUBLE: a
+      // decimal×count product would trip Spark's precision-cap scale
+      // adjustment (≠ DuckDB), while the closest group to the
+      // 1.5×mean boundary sits ≥2.8e-6 relative away at either SF —
+      // nine orders above double rounding, so the predicate is
+      // engine-independent; the OUTPUT value stays decimal-exact.
+      val w = org.apache.spark.sql.expressions.Window.partitionBy()
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,4)") *
+          col("l_quantity").cast("decimal(18,4)")).as("value"))
+        .withColumn("n_groups", count(lit(1)).over(w))
+        .withColumn("total", sum(col("value")).over(w))
+        .filter(col("value").cast("double") * 2 * col("n_groups") >
+          col("total").cast("double") * 3)
+        .select(col("l_partkey"), money(col("value")).as("part_value"))
+        .orderBy(col("part_value").desc, col("l_partkey"))
     }),
     "q_argmax_join" -> ((s, dir) => {
       // TPC-H Q2 shape, decorrelated: each nation's max-balance
@@ -1061,8 +1065,17 @@ object SparkEntry {
           floor(col("promo_rev") / col("total_rev") * 1e6).cast("long"))),
     "q_top_supplier" -> ((s, dir) => {
       // TPC-H Q15 shape: the top-revenue supplier of a quarter —
-      // per-supplier aggregate, 1-row max broadcast back, DECIMAL
-      // equality (exact within each engine; ties all surface)
+      // per-supplier aggregate, then the global max as a WINDOW over
+      // the supplier-cardinality frame. Measured (PlanDump final
+      // plans): the max + broadcast-join-back form re-executes the
+      // whole fact aggregate (2 scans, no AQE exchange reuse — the
+      // subtrees canonicalize differently), while the window form
+      // scans once and moves only ~|suppliers| rows through one
+      // partition. That single partition is the documented ceiling:
+      // beyond ~1e8 groups, persist the aggregate and take max via a
+      // second (partial-aggregatable) agg, or use the bucket-carry
+      // pattern (q_concurrency). DECIMAL equality (exact within each
+      // engine; ties all surface).
       val rev = Tables.lineitem(s, dir)
         .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
@@ -1070,8 +1083,9 @@ object SparkEntry {
         .agg(sum(col("l_extendedprice").cast("decimal(18,4)") *
           (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
           .as("rev_d"))
-      val mx = rev.agg(max(col("rev_d")).as("max_rev"))
-      rev.crossJoin(broadcast(mx))
+      rev.withColumn("max_rev",
+        max(col("rev_d")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy()))
         .filter(col("rev_d") === col("max_rev"))
         .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
         .select(col("s_suppkey"), col("s_name"), money(col("rev_d")).as("total_rev"))

@@ -240,10 +240,11 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"global sort instead of top-k in:\n$p")
   }
 
-  test("q_top_supplier: 1-row max broadcasts back over the per-supplier aggregate") {
+  test("q_top_supplier: global max is a window over the supplier frame — one fact scan") {
     val p = plan("q_top_supplier")
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
-      s"max row not broadcast in:\n$p")
+    val scans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("lineitem"))
+    assert(scans === 1, s"fact aggregate executed $scans times in:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
   }
 
@@ -257,6 +258,14 @@ class PlanSpec extends SparkSpec {
   test("q_custdist: left outer join preserves zero-order customers") {
     val p = plan("q_custdist")
     assert(p.contains("LeftOuter"), s"outer join lost in:\n$p")
+  }
+
+  test("q_value_share: global threshold is a window, not re-executed scalar subqueries") {
+    val p = plan("q_value_share")
+    val scans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("lineitem"))
+    assert(scans === 1, s"fact aggregate executed $scans times in:\n$p")
+    assert(!p.contains("Subquery subquery"), s"scalar subqueries returned in:\n$p")
   }
 
   test("q_multi_dist: three DISTINCTs plan as ONE Expand pass, partial map-side") {
