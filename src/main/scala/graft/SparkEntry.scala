@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.CandleTimeFrame
-import graft.operators.{CandleQueries, Candles, Curation, Dedup, LshDedup, MarketAnalytics, Media, Similarity, TextAnalysis}
+import graft.operators.{CandleQueries, Candles, Curation, Dedup, LshDedup, MarketAnalytics, Media, Retention, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
@@ -550,6 +550,12 @@ object SparkEntry {
         .select(col("symbol"), fmtTs(col("window_start")).as("window_start"),
           col("close_filled"), col("is_gap"), col("volume"))
         .orderBy(col("symbol"), col("window_start"))),
+    "q_candle_hop" -> ((s, dir) =>
+      // sliding-window candles: 10-minute OHLCV advancing every 5 —
+      // native window(width, slide) assigns each txn to its 2 windows
+      // at the scan (bounded explode in codegen), then the same
+      // one-shuffle partial-aggregated OHLCV as the tumbling path
+      candleOut(Candles.hopCandles(Candles.transactions(s, dir), 600, 300))),
     "q_movers" -> ((s, dir) =>
       MarketAnalytics.topMovers(
         Candles.rollup(Candles.minuteCandles(Candles.transactions(s, dir)),
@@ -1188,6 +1194,23 @@ object SparkEntry {
       // fact self-joins)
       graft.operators.Funnel.report(Tables.events(s, dir))
         .orderBy(col("cohort_day"))),
+    "q_retention" -> ((s, dir) =>
+      // day-1 / day-7 cohort retention: one shuffle on user_id builds
+      // (cohort day, active-day set) per user — no fact self-join, no
+      // per-offset rescans
+      Retention.cohortRetention(Tables.events(s, dir), Seq(1, 7))
+        .select(col("cohort_day").cast("string").as("cohort_day"),
+          col("n_users"), col("d1"), col("d7"))
+        .orderBy(col("cohort_day"))),
+    "q_rolling_users" -> ((s, dir) =>
+      // exact 7-day rolling distinct users per day — the sliding
+      // COUNT(DISTINCT) inverted into bounded per-activity
+      // contributions (explode ×7 of the distinct user-day grid), so
+      // it is a plain partial-aggregated distinct count, not a
+      // fact×fact interval join
+      Retention.rollingDistinctUsers(Tables.events(s, dir), 7)
+        .select(col("day").cast("string").as("day"), col("active_users"))
+        .orderBy(col("day"))),
     "q_pivot" -> ((s, dir) =>
       Tables.events(s, dir)
         .groupBy(to_date(col("ts")).cast("string").as("day"))
@@ -1338,6 +1361,13 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token"))
         .limit(20)),
+    "q_cooccur" -> ((s, dir) =>
+      // collocation mining: document co-occurrence counts + integer
+      // lift (exp-PMI in micro units) for pairs of the top-50
+      // df-vocabulary — vocab broadcasts back, pairs are a bounded
+      // slice-explode per doc (no token×token or doc×doc join)
+      TextAnalysis.cooccurrence(Tables.documents(s, dir),
+        vocabSize = 50, topK = 50)),
     "q_bigrams" -> ((s, dir) =>
       // corpus-wide adjacent-pair frequencies (multiplicity counts) —
       // the merge-frequency step a BPE-style trainer iterates; one
@@ -1790,6 +1820,28 @@ object SparkEntry {
         |  count(*) AS n_view, count(tc) AS n_click, count(tp) AS n_purchase
         |FROM u WHERE tv IS NOT NULL
         |GROUP BY 1 ORDER BY cohort_day""".stripMargin,
+    "q_retention" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |), u AS (
+        |  SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY 1
+        |)
+        |SELECT CAST(u.cohort_day AS VARCHAR) AS cohort_day,
+        |  count(DISTINCT u.user_id) AS n_users,
+        |  count(DISTINCT CASE WHEN ud.day = u.cohort_day + 1
+        |                      THEN ud.user_id END) AS d1,
+        |  count(DISTINCT CASE WHEN ud.day = u.cohort_day + 7
+        |                      THEN ud.user_id END) AS d7
+        |FROM u JOIN ud ON u.user_id = ud.user_id
+        |GROUP BY u.cohort_day ORDER BY cohort_day""".stripMargin,
+    "q_rolling_users" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |), days AS (SELECT DISTINCT day FROM ud)
+        |SELECT CAST(d.day AS VARCHAR) AS day,
+        |  (SELECT count(DISTINCT u.user_id) FROM ud u
+        |   WHERE u.day BETWEEN d.day - 6 AND d.day) AS active_users
+        |FROM days d ORDER BY day""".stripMargin,
     "q_argmax_join" ->
       """SELECT n_name, s_suppkey, s_name, s_acctbal
         |FROM supplier
@@ -2092,6 +2144,22 @@ object SparkEntry {
         |  close IS NULL AS is_gap,
         |  CAST(coalesce(volume, 0) AS BIGINT) AS volume
         |FROM filled ORDER BY symbol, window_start""".stripMargin),
+    // hop windows align to the epoch (Spark window() default): each
+    // txn lands in the 2 windows starting at (slide-floor(ts) - k·300)
+    "q_candle_hop" -> (txnCte +
+      """, hop AS (
+        |  SELECT symbol, price, quantity, ts,
+        |    make_timestamp(((epoch_us(ts) // 1000000) // 300 - g.i) * 300 * 1000000) AS ws
+        |  FROM txn CROSS JOIN (SELECT 0 AS i UNION ALL SELECT 1) g
+        |)
+        |SELECT symbol, '600s/300s' AS timeframe,
+        |  strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  strftime(ws + INTERVAL 600 SECOND, '%Y-%m-%d %H:%M:%S') AS window_end,
+        |  arg_min(price, ts) AS open, max(price) AS high,
+        |  min(price) AS low, arg_max(price, ts) AS close,
+        |  CAST(sum(quantity) AS BIGINT) AS volume, count(*) AS n_txn
+        |FROM hop GROUP BY symbol, ws
+        |ORDER BY timeframe, symbol, window_start""".stripMargin),
     "q_movers" -> (txnCte + minuteCte + rollupCte("day") +
       """, r AS (
         |  SELECT symbol, ws, close,
@@ -2489,6 +2557,31 @@ object SparkEntry {
         |                x -> len(x) > 0)) AS token
         |  FROM documents
         |) GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+    "q_cooccur" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                  x -> len(x) > 0)) AS toks
+        |  FROM documents
+        |), dt AS (
+        |  SELECT doc_id, unnest(toks) AS token FROM tok
+        |), vocab AS (
+        |  SELECT token, count(*) AS df FROM dt GROUP BY token
+        |  ORDER BY df DESC, token LIMIT 50
+        |), dv AS (
+        |  SELECT doc_id, token FROM dt JOIN vocab USING (token)
+        |), pc AS (
+        |  SELECT a.token AS tok_a, b.token AS tok_b, count(*) AS c_ab
+        |  FROM dv a JOIN dv b ON a.doc_id = b.doc_id AND a.token < b.token
+        |  GROUP BY 1, 2
+        |), n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT tok_a, tok_b, c_ab, va.df AS df_a, vb.df AS df_b,
+        |  c_ab * n_docs * 1000000 // (va.df * vb.df) AS lift_micro
+        |FROM pc
+        |JOIN vocab va ON tok_a = va.token
+        |JOIN vocab vb ON tok_b = vb.token
+        |CROSS JOIN n
+        |ORDER BY c_ab DESC, tok_a, tok_b LIMIT 50""".stripMargin,
     "q_bigrams" ->
       """WITH t AS (
         |  SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'),

@@ -116,6 +116,37 @@ object Candles {
       .withColumn("window_end", col("window_start") + expr(s"INTERVAL $seconds SECOND"))
       .select(candleColumns: _*)
 
+  /** Sliding-window (hopping) candles: OHLCV over windows of
+    * `widthSeconds` that advance every `slideSeconds` — the smoothed
+    * chart view (e.g. a 10-minute candle refreshed every 5) that a
+    * tumbling cascade cannot produce. Built on Spark's native
+    * `window(ts, width, slide)`: each transaction is assigned to its
+    * width/slide overlapping windows at the SCAN (a bounded explode
+    * inside codegen), then the same one-shuffle partial-aggregated
+    * OHLCV as minuteCandles — rows shuffled = events × (width/slide),
+    * no self-join, no re-scan per offset.
+    */
+  def hopCandles(txns: DataFrame, widthSeconds: Long, slideSeconds: Long): DataFrame = {
+    require(widthSeconds % slideSeconds == 0,
+      "width must be a multiple of slide (calendar-aligned hop windows)")
+    txns
+      .groupBy(col("symbol"),
+        window(col("ts"), s"$widthSeconds seconds", s"$slideSeconds seconds"))
+      .agg(
+        min_by(col("price"), col("ts")).as("open"),
+        max(col("price")).as("high"),
+        min(col("price")).as("low"),
+        max_by(col("price"), col("ts")).as("close"),
+        sum(col("quantity")).cast("long").as("volume"),
+        count(lit(1)).as("n_txn"))
+      .withColumn("timeframe", lit(s"${widthSeconds}s/${slideSeconds}s"))
+      .select(col("symbol"), col("timeframe"),
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("volume"), col("n_txn"))
+  }
+
   /** Gap-fill a candle series: emit one row per interval slot between
     * each symbol's first and last candle, carrying the last close
     * forward into empty slots (volume 0) — charts need a continuous

@@ -163,6 +163,56 @@ object TextAnalysis {
     * decimal micro-units so the mean is integer-exact and
     * order-independent at any parallelism.
     */
+  /** Token co-occurrence (collocation) mining: for the top-`vocabSize`
+    * tokens by document frequency, count the documents where each
+    * token PAIR co-occurs and score it by lift
+    * (P(a,b) / (P(a)·P(b)), the exp-PMI) — emitted in floor-to-micro
+    * integer units (c_ab·n_docs·10⁶ div df_a·df_b: pure BIGINT
+    * arithmetic, engine-exact, no FP log).
+    *
+    * Scale design: the vocabulary is a top-k aggregate (tiny) that
+    * BROADCASTS back — each document's token set prunes to ≤vocabSize
+    * entries before any pair is formed, so pair generation is a
+    * bounded slice-explode over the sorted in-vocab set (codegen
+    * builtins, the bigramPairs technique — no lambda transform, no
+    * doc×doc or token×token join) and pair counts combine map-side.
+    * Rows shuffled = in-vocab pairs per doc ≤ vocabSize²/2, not
+    * corpus size × vocab.
+    */
+  def cooccurrence(docs: DataFrame, vocabSize: Int = 50, topK: Int = 50,
+                   textCol: String = "text"): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      array_distinct(tokens(col(textCol))).as("toks"))
+    val docTok = tok.select(col("doc_id"), explode(col("toks")).as("token"))
+    val vocab = docTok.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("token")).limit(vocabSize)
+    // per-doc sorted in-vocab token set → ordered pairs (a < b) via
+    // posexplode + slice (start is 1-based; keep elements after i)
+    val perDoc = docTok
+      .join(broadcast(vocab.select(col("token"))), "token")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("token"))).as("vt"))
+    val pairs = perDoc
+      .select(col("doc_id"), col("vt"),
+        posexplode(col("vt")).as(Seq("i", "tok_a")))
+      .select(col("doc_id"), col("tok_a"),
+        explode(slice(col("vt"), col("i") + lit(2), size(col("vt")))).as("tok_b"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    pairs
+      .groupBy(col("tok_a"), col("tok_b"))
+      .agg(count(lit(1)).as("c_ab"))
+      .join(broadcast(vocab.select(col("token").as("tok_a"), col("df").as("df_a"))), "tok_a")
+      .join(broadcast(vocab.select(col("token").as("tok_b"), col("df").as("df_b"))), "tok_b")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("lift_micro",
+        expr("c_ab * n_docs * 1000000 div (df_a * df_b)"))
+      .select(col("tok_a"), col("tok_b"), col("c_ab"),
+        col("df_a"), col("df_b"), col("lift_micro"))
+      .orderBy(col("c_ab").desc, col("tok_a"), col("tok_b"))
+      .limit(topK)
+  }
+
   def corpusMix(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn("__p", profile(col(textCol)))
       .groupBy(col("source"), col("lang"))

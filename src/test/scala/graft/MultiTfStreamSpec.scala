@@ -32,6 +32,26 @@ class MultiTfStreamSpec extends SparkSpec {
       .collect().toSeq
     assert(streamed === batch)
   }
+
+  test("streaming hop candles (sliding-window agg) equal batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val txn = Candles.transactions(spark, "/root/testdata/sf0.001")
+    val rows = txn.select($"symbol", $"price", $"quantity", $"ts")
+      .as[(String, Double, Int, Timestamp)].collect()
+    val input = MemoryStream[(String, Double, Int, Timestamp)]
+    val q = Candles
+      .hopCandles(input.toDF().toDF("symbol", "price", "quantity", "ts"), 600, 300)
+      .writeStream.format("memory").queryName("hop_sink")
+      .outputMode("complete").start()
+    try {
+      input.addData(rows.take(rows.length / 2): _*); q.processAllAvailable()
+      input.addData(rows.drop(rows.length / 2): _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("hop_sink").collect().map(_.toSeq).toSet
+    val want = Candles.hopCandles(txn, 600, 300).collect().map(_.toSeq).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
 }
 
 class LateDataSpec extends SparkSpec {
