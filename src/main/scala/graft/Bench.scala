@@ -11,6 +11,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // the default 100-entry generated-class cache evicts across a
+      // 119-query run, so late queries pay full codegen compile on
+      // BOTH timed runs (measured q_winnow: 4.3 s evicted vs 1.0 s
+      // warm) — size it to hold the whole suite
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
