@@ -187,23 +187,27 @@ object TextAnalysis {
     val vocab = docTok.groupBy(col("token"))
       .agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("token")).limit(vocabSize)
-    // per-doc sorted in-vocab token set → ordered pairs (a < b) via
-    // posexplode + slice (start is 1-based; keep elements after i)
+    // each token's df rides along from the single broadcast join into
+    // the collect_set struct — vocab feeds exactly ONE plan branch
+    // (Spark re-derives unshared subtrees per branch: the first cut
+    // joined df back per pair side and planned THREE vocab corpus
+    // scans). Structs sort by leading field, so pair order (a < b) is
+    // still the token order.
     val perDoc = docTok
-      .join(broadcast(vocab.select(col("token"))), "token")
+      .join(broadcast(vocab), "token")
       .groupBy(col("doc_id"))
-      .agg(sort_array(collect_set(col("token"))).as("vt"))
+      .agg(sort_array(collect_set(struct(col("token"), col("df")))).as("vt"))
+    // ordered pairs (a < b) via posexplode + slice (start is 1-based;
+    // keep elements strictly after i)
     val pairs = perDoc
-      .select(col("doc_id"), col("vt"),
-        posexplode(col("vt")).as(Seq("i", "tok_a")))
-      .select(col("doc_id"), col("tok_a"),
-        explode(slice(col("vt"), col("i") + lit(2), size(col("vt")))).as("tok_b"))
+      .select(col("vt"), posexplode(col("vt")).as(Seq("i", "a")))
+      .select(col("a"),
+        explode(slice(col("vt"), col("i") + lit(2), size(col("vt")))).as("b"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     pairs
-      .groupBy(col("tok_a"), col("tok_b"))
+      .groupBy(col("a.token").as("tok_a"), col("b.token").as("tok_b"),
+        col("a.df").as("df_a"), col("b.df").as("df_b"))
       .agg(count(lit(1)).as("c_ab"))
-      .join(broadcast(vocab.select(col("token").as("tok_a"), col("df").as("df_a"))), "tok_a")
-      .join(broadcast(vocab.select(col("token").as("tok_b"), col("df").as("df_b"))), "tok_b")
       .crossJoin(broadcast(nDocs))
       .withColumn("lift_micro",
         expr("c_ab * n_docs * 1000000 div (df_a * df_b)"))
