@@ -1383,13 +1383,25 @@ object SparkEntry {
         .orderBy(col("n").desc, col("bigram"))
         .limit(20)),
     "q_approx_distinct" -> ((s, dir) =>
-      // HLL++ sketch counts: the constant-memory distinct estimator for
-      // 100-TB cardinalities; deterministic for fixed input, no DuckDB
-      // oracle (different sketch) — bounds vs exact are spec-checked
+      // HLL++ sketch certification: the raw estimate has no DuckDB
+      // counterpart (different sketch), so the GATED output is the
+      // engine-independent claim — exact cardinalities plus a flag
+      // that the sketch landed within 5× its 2% rsd. The oracle
+      // asserts the flag is TRUE, making the error bound
+      // driver-verified on every run (raw-estimate properties stay in
+      // ApproxSpec; production callers use the sketch alone —
+      // the exact aggregate here exists to judge it).
       Tables.events(s, dir)
         .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
-          approx_count_distinct(col("props"), 0.02).as("approx_props"))
+        .agg(
+          countDistinct(col("user_id")).as("exact_users"),
+          (abs(approx_count_distinct(col("user_id"), 0.02) -
+            countDistinct(col("user_id"))) <=
+            countDistinct(col("user_id")) * 0.1).as("users_in_bound"),
+          countDistinct(col("props")).as("exact_props"),
+          (abs(approx_count_distinct(col("props"), 0.02) -
+            countDistinct(col("props"))) <=
+            countDistinct(col("props")) * 0.1).as("props_in_bound"))
         .orderBy(col("event_type"))),
     "q_split" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -3097,8 +3109,15 @@ object SparkEntry {
         |  ) AS h
         |  FROM documents
         |) ORDER BY doc_id""".stripMargin,
-    // q_approx_distinct: the HLL sketch has no DuckDB counterpart →
-    // rows-only check (error-bound properties covered by ApproxSpec).
+    // q_approx_distinct: the raw HLL estimate has no DuckDB
+    // counterpart (different sketch) — the gated claim is exact
+    // cardinalities + the in-bound flags, which the oracle pins TRUE
+    // (raw-estimate properties covered by ApproxSpec).
+    "q_approx_distinct" ->
+      """SELECT event_type,
+        |  count(DISTINCT user_id) AS exact_users, TRUE AS users_in_bound,
+        |  count(DISTINCT props) AS exact_props, TRUE AS props_in_bound
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // q_dedup_minhash / q_dedup_simhash / q_ann_lsh / q_ann_ivf: the
     // signature/index chains are reproduced exactly in DuckDB
     // (SketchOracles scaladocs).
