@@ -1211,6 +1211,14 @@ object SparkEntry {
       Retention.rollingDistinctUsers(Tables.events(s, dir), 7)
         .select(col("day").cast("string").as("day"), col("active_users"))
         .orderBy(col("day"))),
+    "q_cumulative_users" -> ((s, dir) =>
+      // users-to-date growth curve: cumulative COUNT(DISTINCT) as
+      // first-seen day + running sum over the day-cardinality frame
+      // (the global window holds one row per calendar day)
+      Retention.cumulativeUsers(Tables.events(s, dir))
+        .select(col("day").cast("string").as("day"),
+          col("new_users"), col("cum_users"))
+        .orderBy(col("day"))),
     "q_pivot" -> ((s, dir) =>
       Tables.events(s, dir)
         .groupBy(to_date(col("ts")).cast("string").as("day"))
@@ -1482,6 +1490,19 @@ object SparkEntry {
         .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("df"),
           col("tfidf_micro"))
         .orderBy(col("doc_id"), col("rk"))),
+    "q_dup_rate" -> ((s, dir) =>
+      // per-source duplication health: doc count vs distinct content
+      // hashes (only 16-byte digests shuffle into the distinct
+      // aggregate; text never leaves the scan) + integer-exact dup
+      // ratio in micro units — the corpus-monitoring counterpart of
+      // q_dedup_exact
+      Tables.documents(s, dir)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(Dedup.contentHash(col("text"))).as("n_unique"))
+        .withColumn("dup_micro",
+          expr("(n_docs - n_unique) * 1000000 div n_docs"))
+        .orderBy(col("source"))),
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(Tables.documents(s, dir))
         .orderBy(col("content_hash"))),
@@ -1846,6 +1867,17 @@ object SparkEntry {
         |                      THEN ud.user_id END) AS d7
         |FROM u JOIN ud ON u.user_id = ud.user_id
         |GROUP BY u.cohort_day ORDER BY cohort_day""".stripMargin,
+    "q_cumulative_users" ->
+      """WITH fs AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY 1
+        |), d AS (
+        |  SELECT day, count(*) AS new_users FROM fs GROUP BY 1
+        |)
+        |SELECT CAST(day AS VARCHAR) AS day, new_users,
+        |  CAST(sum(new_users) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_users
+        |FROM d ORDER BY day""".stripMargin,
     "q_rolling_users" ->
       """WITH ud AS (
         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
@@ -2947,6 +2979,13 @@ object SparkEntry {
         |  CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
         |  CAST(floor(tfidf * 1000000) AS BIGINT) AS tfidf_micro
         |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    "q_dup_rate" ->
+      """SELECT source, count(*) AS n_docs,
+        |  count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))
+        |    AS n_unique,
+        |  (count(*) - count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))))
+        |    * 1000000 // count(*) AS dup_micro
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash,
         |  min(doc_id) AS keep_doc_id, count(*) AS n_copies

@@ -42,6 +42,25 @@ object Retention {
       .agg(count(lit(1)).as("n_users"), offCols: _*)
   }
 
+  /** Cumulative distinct users to date (the growth curve): a
+    * cumulative COUNT(DISTINCT) re-expressed as first-seen day per
+    * user (one shuffle on user_id) + per-day new-user counts + a
+    * running sum — which runs over the DAY-cardinality frame, so the
+    * single-partition window holds one row per calendar day, never
+    * per user or per event.
+    */
+  def cumulativeUsers(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("day"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("new_users"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.withColumn("cum_users", sum(col("new_users")).over(w).cast("long"))
+  }
+
   /** Rolling distinct active users: for each active day, the exact
     * count of distinct users active in the trailing `windowDays`-day
     * window ending that day.

@@ -74,6 +74,29 @@ class RetentionSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("cumulativeUsers equals brute-force users-to-date per day") {
+    val ev = Tables.events(spark, sf)
+    val got = Retention.cumulativeUsers(ev)
+      .select($"day".cast("string"), $"new_users", $"cum_users")
+      .collect().map(_.toSeq).toSet
+
+    val ud = ev.select($"user_id", to_date($"ts").as("day")).distinct()
+    val days = ud.select($"day").distinct().as("d")
+    val cum = days.join(ud.as("u"), col("u.day") <= col("d.day"))
+      .groupBy(col("d.day")).agg(countDistinct(col("u.user_id")).as("cum_users"))
+    // brute-force new_users = cum - previous cum
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("day"))
+    val want = cum
+      .withColumn("new_users",
+        (col("cum_users") - coalesce(lag(col("cum_users"), 1).over(w), lit(0L))))
+      .filter(col("new_users") > 0) // cumulativeUsers emits first-seen days only
+      .select(col("day").cast("string"), $"new_users", $"cum_users")
+      .collect().map(_.toSeq).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("hopCandles: every txn lands in exactly width/slide windows") {
     val txn = Candles.transactions(spark, sf)
     val hop = Candles.hopCandles(txn, 600, 300)
