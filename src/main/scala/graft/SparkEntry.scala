@@ -568,6 +568,13 @@ object SparkEntry {
         Candles.rollup(Candles.minuteCandles(Candles.transactions(s, dir)),
           CandleTimeFrame.Day))
         .orderBy(col("sym_a"), col("sym_b"))),
+    "q_beta" -> ((s, dir) =>
+      // CAPM-style market beta per symbol vs the 'view' series as
+      // market proxy — decimal-exact moments, benchmark broadcast
+      MarketAnalytics.betaVsBenchmark(
+        Candles.rollup(Candles.minuteCandles(Candles.transactions(s, dir)),
+          CandleTimeFrame.Day), benchmark = "view")
+        .orderBy(col("symbol"))),
     "q_bollinger" -> ((s, dir) =>
       MarketAnalytics.bollinger(
         Candles.rollup(Candles.minuteCandles(Candles.transactions(s, dir)),
@@ -1315,6 +1322,28 @@ object SparkEntry {
         Tables.lineitem(s, dir), Seq("l_returnflag"), "l_extendedprice",
         Seq(0.5, 0.9), Seq("p50_price", "p90_price"))
         .orderBy(col("l_returnflag"))),
+    "q_approx_quantile" -> ((s, dir) => {
+      // sketch certification #2 (the q_approx_distinct pattern): the
+      // GK percentile sketch guarantees rank error ≤ 1/accuracy
+      // REGARDLESS of partition/merge order, so with accuracy=1000 the
+      // estimate must land between the exact p±0.01 quantiles. The
+      // gated output is the engine-independent claim: exact quantiles
+      // + in-bound flags the oracle pins TRUE.
+      val li = Tables.lineitem(s, dir)
+      val bounds = graft.operators.Percentiles.exact(
+        li, Seq("l_returnflag"), "l_extendedprice",
+        Seq(0.49, 0.5, 0.51, 0.94, 0.95, 0.96),
+        Seq("lo50", "exact_p50", "hi50", "lo95", "exact_p95", "hi95"))
+      val approx = li.groupBy(col("l_returnflag"))
+        .agg(
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("a50"),
+          percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000)).as("a95"))
+      bounds.join(broadcast(approx), "l_returnflag")
+        .select(col("l_returnflag"), col("exact_p50"), col("exact_p95"),
+          (col("a50") >= col("lo50") && col("a50") <= col("hi50")).as("p50_in_bound"),
+          (col("a95") >= col("lo95") && col("a95") <= col("hi95")).as("p95_in_bound"))
+        .orderBy(col("l_returnflag"))
+    }),
     "q_clip_outliers" -> ((s, dir) => {
       // robust-preprocessing shape: exact per-group p01/p99 (the
       // sort-based scalable quantile, not a buffering percentile agg)
@@ -2250,6 +2279,32 @@ object SparkEntry {
         |            (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
         |       END AS corr
         |FROM agg ORDER BY sym_a, sym_b""".stripMargin),
+    "q_beta" -> (txnCte + minuteCte + rollupCte("day") +
+      """, r AS (
+        |  SELECT symbol, ws, close,
+        |    lag(close, 1) OVER (PARTITION BY symbol ORDER BY ws) AS prev_close
+        |  FROM roll_c
+        |), ret AS (
+        |  SELECT symbol, ws,
+        |    CAST(close / prev_close - 1.0 AS DECIMAL(18,6)) AS ret
+        |  FROM r WHERE prev_close IS NOT NULL AND prev_close <> 0.0
+        |), m AS (
+        |  SELECT ws, CAST(ret AS DECIMAL(28,6)) AS rm FROM ret
+        |  WHERE symbol = 'view'
+        |), j AS (
+        |  SELECT a.symbol, CAST(a.ret AS DECIMAL(28,6)) AS rx, m.rm
+        |  FROM ret a JOIN m ON a.ws = m.ws WHERE a.symbol <> 'view'
+        |), agg AS (
+        |  SELECT symbol, count(*) AS n,
+        |    CAST(sum(rx) AS DOUBLE) AS sx, CAST(sum(rm) AS DOUBLE) AS sm,
+        |    CAST(CAST(round(sum(rx * rm), 6) AS DECIMAL(38,6)) AS DOUBLE) AS sxm,
+        |    CAST(CAST(round(sum(rm * rm), 6) AS DECIMAL(38,6)) AS DOUBLE) AS smm
+        |  FROM j GROUP BY 1
+        |)
+        |SELECT symbol, n,
+        |  CASE WHEN n * smm - sm * sm <> 0.0
+        |       THEN (n * sxm - sx * sm) / (n * smm - sm * sm) END AS beta
+        |FROM agg ORDER BY symbol""".stripMargin),
     "q_bollinger" -> (txnCte + minuteCte + rollupCte("day") + "\n" +
       """, b AS (
         |  SELECT symbol, ws, close,
@@ -2479,6 +2534,12 @@ object SparkEntry {
         |UNION ALL
         |SELECT o_custkey, 'only_1996' AS cohort FROM (SELECT o_custkey FROM b96 EXCEPT SELECT o_custkey FROM b97)
         |ORDER BY cohort, o_custkey""".stripMargin,
+    "q_approx_quantile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
+        |  round(quantile_cont(l_extendedprice, 0.95), 4) AS exact_p95,
+        |  TRUE AS p50_in_bound, TRUE AS p95_in_bound
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_percentile" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,

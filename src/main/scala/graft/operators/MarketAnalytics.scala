@@ -100,6 +100,42 @@ object MarketAnalytics {
       .select(col("sym_a"), col("sym_b"), col("n"), col("corr"))
   }
 
+  /** Market beta: OLS regression slope of each symbol's daily returns
+    * against a benchmark symbol's return series (CAPM beta with the
+    * benchmark as market proxy). Same decimal-exact moment machinery
+    * as [[returnCorrelation]] — returns quantized to decimal(18,6),
+    * all Σ terms exact and order-independent, so the emitted doubles
+    * are bit-reproducible at any parallelism. The benchmark series is
+    * one row per day (tiny) and broadcasts; the moment aggregation is
+    * map-side partial on the symbol key.
+    */
+  def betaVsBenchmark(dayCandles: DataFrame, benchmark: String): DataFrame = {
+    val bySym = Window.partitionBy(col("symbol")).orderBy(col("window_start"))
+    val r = dayCandles
+      .withColumn("prev_close", lag(col("close"), 1).over(bySym))
+      .filter(col("prev_close").isNotNull && col("prev_close") =!= 0.0)
+      .select(col("symbol"), col("window_start"),
+        (col("close") / col("prev_close") - 1.0).cast("decimal(18,6)").as("ret"))
+    val m = r.filter(col("symbol") === benchmark)
+      .select(col("window_start"), col("ret").as("rm"))
+    r.filter(col("symbol") =!= benchmark)
+      .join(broadcast(m), "window_start")
+      .groupBy(col("symbol"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("ret")).cast("double").as("sx"),
+        sum(col("rm")).cast("double").as("sm"),
+        // product sums rounded to 6dp (exact decimal) before the
+        // double cast — bit-identical cross-engine (returnCorrelation)
+        sum(col("ret") * col("rm")).cast("decimal(38,6)").cast("double").as("sxm"),
+        sum(col("rm") * col("rm")).cast("decimal(38,6)").cast("double").as("smm"))
+      .withColumn("beta",
+        when(col("n") * col("smm") - col("sm") * col("sm") =!= 0.0,
+          (col("n") * col("sxm") - col("sx") * col("sm")) /
+            (col("n") * col("smm") - col("sm") * col("sm"))))
+      .select(col("symbol"), col("n"), col("beta"))
+  }
+
   /** Bollinger bands over the candle series: trailing `n`-candle moving
     * average ± `k`·sample-stddev. Variance is computed from EXACT
     * decimal Σx and Σx² (close prices are 2dp ⇒ squares are exact at
