@@ -568,6 +568,15 @@ object SparkEntry {
         Candles.rollup(Candles.minuteCandles(Candles.transactions(s, dir)),
           CandleTimeFrame.Day))
         .orderBy(col("sym_a"), col("sym_b"))),
+    "q_drawdown" -> ((s, dir) =>
+      // worst peak-to-trough decline per symbol (running-max window +
+      // min_by trough day, earliest-day tiebreak)
+      MarketAnalytics.maxDrawdown(
+        Candles.rollup(Candles.minuteCandles(Candles.transactions(s, dir)),
+          CandleTimeFrame.Day))
+        .select(col("symbol"), col("max_drawdown"),
+          fmtTs(col("trough_day")).as("trough_day"))
+        .orderBy(col("symbol"))),
     "q_beta" -> ((s, dir) =>
       // CAPM-style market beta per symbol vs the 'view' series as
       // market proxy — decimal-exact moments, benchmark broadcast
@@ -2279,6 +2288,22 @@ object SparkEntry {
         |            (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
         |       END AS corr
         |FROM agg ORDER BY sym_a, sym_b""".stripMargin),
+    // trough day = earliest day attaining the min drawdown: DuckDB's
+    // arg_min has no composite-key overload, so the tiebreak is a
+    // join-back on the exact (bit-identical) min value
+    "q_drawdown" -> (txnCte + minuteCte + rollupCte("day") +
+      """, dd AS (
+        |  SELECT symbol, ws,
+        |    close / max(close) OVER (PARTITION BY symbol ORDER BY ws
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1.0 AS dd
+        |  FROM roll_c
+        |), mins AS (
+        |  SELECT symbol, min(dd) AS max_drawdown FROM dd GROUP BY 1
+        |)
+        |SELECT d.symbol, m.max_drawdown,
+        |  strftime(min(d.ws), '%Y-%m-%d %H:%M:%S') AS trough_day
+        |FROM dd d JOIN mins m ON d.symbol = m.symbol AND d.dd = m.max_drawdown
+        |GROUP BY d.symbol, m.max_drawdown ORDER BY d.symbol""".stripMargin),
     "q_beta" -> (txnCte + minuteCte + rollupCte("day") +
       """, r AS (
         |  SELECT symbol, ws, close,

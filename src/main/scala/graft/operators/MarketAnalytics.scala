@@ -136,6 +136,27 @@ object MarketAnalytics {
       .select(col("symbol"), col("n"), col("beta"))
   }
 
+  /** Maximum drawdown per symbol over the candle series: the worst
+    * peak-to-trough decline of close vs the running maximum. One
+    * per-symbol window (running max is rows-unbounded-preceding, no
+    * self-join), then an ordinary min_by aggregate for the trough day
+    * — ties broken toward the earliest day via the (drawdown, ws)
+    * struct ordering. close/runmax is a division of identical doubles
+    * in any engine, so the emitted drawdown is bit-reproducible.
+    */
+  def maxDrawdown(candles: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("symbol")).orderBy(col("window_start"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    candles
+      .withColumn("run_max", max(col("close")).over(w))
+      .withColumn("dd", col("close") / col("run_max") - 1.0)
+      .groupBy(col("symbol"))
+      .agg(
+        min(col("dd")).as("max_drawdown"),
+        min_by(col("window_start"), struct(col("dd"), col("window_start")))
+          .as("trough_day"))
+  }
+
   /** Bollinger bands over the candle series: trailing `n`-candle moving
     * average ± `k`·sample-stddev. Variance is computed from EXACT
     * decimal Σx and Σx² (close prices are 2dp ⇒ squares are exact at
