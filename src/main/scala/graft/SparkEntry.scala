@@ -1235,6 +1235,28 @@ object SparkEntry {
         .select(col("day").cast("string").as("day"),
           col("new_users"), col("cum_users"))
         .orderBy(col("day"))),
+    "q_latest_snapshot" -> ((s, dir) =>
+      // the lakehouse current-view primitive: latest record per key —
+      // one max_by aggregate (partial, map-side combined), NOT a
+      // row_number window (no per-key sort, no rank shuffle beyond
+      // the aggregate's own)
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(fmtTs(max(col("ts"))).as("last_ts"),
+          max_by(col("value"), col("ts")).as("last_value"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"), col("event_type"))),
+    "q_seasonality" -> ((s, dir) =>
+      // hour-of-day activity profile per event type: calendar
+      // extraction + one map-side-combined shuffle; the share is
+      // integer-exact micro units over a per-type window on the tiny
+      // (type × 24) aggregate
+      Tables.events(s, dir)
+        .groupBy(col("event_type"), hour(col("ts")).as("hh"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("share_micro",
+          expr("n * 1000000 div sum(n) over (partition by event_type)"))
+        .orderBy(col("event_type"), col("hh"))),
     "q_pivot" -> ((s, dir) =>
       Tables.events(s, dir)
         .groupBy(to_date(col("ts")).cast("string").as("day"))
@@ -2497,6 +2519,22 @@ object SparkEntry {
         |  CAST(count(CASE WHEN NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |    THEN 1 END) AS BIGINT) AS n_without_orders
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_latest_snapshot" ->
+      """SELECT user_id, event_type,
+        |  strftime(make_timestamp(epoch_ns(max(ts)) // 1000),
+        |           '%Y-%m-%d %H:%M:%S') AS last_ts,
+        |  arg_max(value, make_timestamp(epoch_ns(ts) // 1000)) AS last_value,
+        |  count(*) AS n_events
+        |FROM events GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin,
+    "q_seasonality" ->
+      """WITH h AS (
+        |  SELECT event_type, hour(ts) AS hh, count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT event_type, hh, n,
+        |  CAST(n * 1000000 // sum(n) OVER (PARTITION BY event_type) AS BIGINT)
+        |    AS share_micro
+        |FROM h ORDER BY event_type, hh""".stripMargin,
     "q_pivot" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day,
         |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
