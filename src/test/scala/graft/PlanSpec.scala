@@ -276,4 +276,34 @@ class PlanSpec extends SparkSpec {
       l.contains("FileScan parquet") && l.contains("lineitem"))
     assert(scans === 1, s"fact scanned $scans times in:\n$p")
   }
+
+  test("q_cooccur: vocab feeds one branch — exactly two corpus text scans, no plan-wide re-derivation") {
+    val p = plan("q_cooccur")
+    val textScans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("documents") &&
+        l.contains("text:string"))
+    assert(textScans === 2, s"expected 2 corpus text scans, got $textScans in:\n$p")
+  }
+
+  test("q_candle_hop: window assignment is an in-scan Expand, one hash exchange") {
+    val p = plan("q_candle_hop")
+    assert("Expand \\[".r.findAllIn(p).size === 1, s"expected one Expand in:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"expected exactly one hash exchange in:\n$p")
+    assert(p.contains("partial_min_by"), s"no partial aggregation in:\n$p")
+  }
+
+  test("q_beta: benchmark series broadcasts; the candle frame never sort-merge-joins") {
+    val p = plan("q_beta")
+    assert(p.contains("BroadcastHashJoin"), s"benchmark not broadcast in:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"sort-merge join appeared in:\n$p")
+  }
+
+  test("q_latest_snapshot: plain partial max_by aggregate — no window, no sort before the agg") {
+    val p = plan("q_latest_snapshot")
+    assert(p.contains("partial_max_by"), s"no partial max_by in:\n$p")
+    assert(!p.contains("Window"), s"window operator appeared in:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"expected exactly one hash exchange in:\n$p")
+  }
 }
