@@ -1235,6 +1235,20 @@ object SparkEntry {
         .select(col("day").cast("string").as("day"),
           col("new_users"), col("cum_users"))
         .orderBy(col("day"))),
+    "q_pagerank" -> ((s, dir) => {
+      // iterative graph analytics beyond connected components:
+      // integer-unit PageRank (bit-deterministic — FP PageRank is
+      // accumulation-order-dependent and could never hash-match) over
+      // the customer↔supplier order graph, 3 fixed iterations, one
+      // edge shuffle per iteration, top-50
+      val edges = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+      graft.operators.Graphs.integerPageRank(edges, iters = 3)
+        .orderBy(col("pr_int").desc, col("node")).limit(50)
+    }),
     "q_latest_snapshot" -> ((s, dir) =>
       // the lakehouse current-view primitive: latest record per key —
       // one max_by aggregate (partial, map-side combined), NOT a
@@ -2519,6 +2533,35 @@ object SparkEntry {
         |  CAST(count(CASE WHEN NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |    THEN 1 END) AS BIGINT) AS n_without_orders
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // integer PageRank unrolled to the same 3 iterations; floor
+    // division at every step makes each iterate bit-identical
+    "q_pagerank" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |), sym AS (
+        |  SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0
+        |), deg AS (
+        |  SELECT src AS node, count(*) AS deg FROM sym GROUP BY 1
+        |), nn AS (SELECT count(*) AS n FROM deg),
+        |pr0 AS (SELECT node, deg, 1000000000000 // n AS pr FROM deg, nn),
+        |it1 AS (SELECT s.dst AS node, sum(p.pr // p.deg) AS csum
+        |        FROM sym s JOIN pr0 p ON s.src = p.node GROUP BY 1),
+        |pr1 AS (SELECT d.node, d.deg,
+        |          (15 * 1000000000000) // (100 * nn.n) + (85 * i.csum) // 100 AS pr
+        |        FROM it1 i JOIN deg d ON i.node = d.node, nn),
+        |it2 AS (SELECT s.dst AS node, sum(p.pr // p.deg) AS csum
+        |        FROM sym s JOIN pr1 p ON s.src = p.node GROUP BY 1),
+        |pr2 AS (SELECT d.node, d.deg,
+        |          (15 * 1000000000000) // (100 * nn.n) + (85 * i.csum) // 100 AS pr
+        |        FROM it2 i JOIN deg d ON i.node = d.node, nn),
+        |it3 AS (SELECT s.dst AS node, sum(p.pr // p.deg) AS csum
+        |        FROM sym s JOIN pr2 p ON s.src = p.node GROUP BY 1),
+        |pr3 AS (SELECT d.node, d.deg,
+        |          (15 * 1000000000000) // (100 * nn.n) + (85 * i.csum) // 100 AS pr
+        |        FROM it3 i JOIN deg d ON i.node = d.node, nn)
+        |SELECT node, CAST(pr AS BIGINT) AS pr_int
+        |FROM pr3 ORDER BY pr_int DESC, node LIMIT 50""".stripMargin,
     "q_latest_snapshot" ->
       """SELECT user_id, event_type,
         |  strftime(make_timestamp(epoch_ns(max(ts)) // 1000),
