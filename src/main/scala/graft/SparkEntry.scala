@@ -1242,7 +1242,9 @@ object SparkEntry {
       // the customer↔supplier order graph, 3 fixed iterations, one
       // edge shuffle per iteration, top-50
       val edges = Tables.lineitem(s, dir)
-        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+        .join(Tables.orders(s, dir)
+          .filter(year(col("o_orderdate")) === 1996)
+          .select(col("o_orderkey"), col("o_custkey")),
           col("l_orderkey") === col("o_orderkey"))
         .select(concat(lit("c"), col("o_custkey")).as("src"),
           concat(lit("s"), col("l_suppkey")).as("dst"))
@@ -2539,6 +2541,7 @@ object SparkEntry {
       """WITH e0 AS (
         |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE year(o_orderdate) = 1996
         |), sym AS (
         |  SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0
         |), deg AS (

@@ -40,8 +40,12 @@ object Graphs {
     // re-deriving the upstream join per iteration (released after the
     // first action via the shared listener, LshDedup contract)
     val sym = symmetrized(edges).persist()
+    // deg feeds every iteration's reattachment join; without its own
+    // persist each iteration re-aggregates the edge list (an extra
+    // edge-cardinality exchange per round). Node-cardinality cache.
     val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .select(col("src").as("node"), col("deg"))
+      .persist()
     val nFrame = deg.agg(count(lit(1)).as("n"))
     var pr = deg.crossJoin(broadcast(nFrame))
       .select(col("node"), col("deg"), col("n"),
@@ -59,7 +63,8 @@ object Graphs {
           expr(s"(15 * ${RankScale}L) div (100 * n) + (85 * csum) div 100")
             .as("pr"))
     }
+    val result = pr.select(col("node"), col("pr").as("pr_int"))
     LshDedup.unpersistAfterFirstUse(
-      pr.select(col("node"), col("pr").as("pr_int")), sym)
+      LshDedup.unpersistAfterFirstUse(result, sym), deg)
   }
 }
