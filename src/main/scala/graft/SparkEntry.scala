@@ -577,6 +577,13 @@ object SparkEntry {
         .select(col("symbol"), col("max_drawdown"),
           fmtTs(col("trough_day")).as("trough_day"))
         .orderBy(col("symbol"))),
+    "q_spearman" -> ((s, dir) =>
+      // rank correlation of daily returns — fully BIGINT-exact
+      // (integer ranks, positive-only divisions)
+      MarketAnalytics.spearmanCorrelation(
+        Candles.rollup(Candles.minuteCandles(Candles.transactions(s, dir)),
+          CandleTimeFrame.Day))
+        .orderBy(col("sym_a"), col("sym_b"))),
     "q_beta" -> ((s, dir) =>
       // CAPM-style market beta per symbol vs the 'view' series as
       // market proxy — decimal-exact moments, benchmark broadcast
@@ -2342,6 +2349,29 @@ object SparkEntry {
         |  strftime(min(d.ws), '%Y-%m-%d %H:%M:%S') AS trough_day
         |FROM dd d JOIN mins m ON d.symbol = m.symbol AND d.dd = m.max_drawdown
         |GROUP BY d.symbol, m.max_drawdown ORDER BY d.symbol""".stripMargin),
+    "q_spearman" -> (txnCte + minuteCte + rollupCte("day") +
+      """, r AS (
+        |  SELECT symbol, ws, close,
+        |    lag(close, 1) OVER (PARTITION BY symbol ORDER BY ws) AS prev_close
+        |  FROM roll_c
+        |), ret AS (
+        |  SELECT symbol, ws,
+        |    CAST(close / prev_close - 1.0 AS DECIMAL(18,6)) AS ret
+        |  FROM r WHERE prev_close IS NOT NULL AND prev_close <> 0.0
+        |), rk AS (
+        |  SELECT symbol, ws,
+        |    row_number() OVER (PARTITION BY symbol ORDER BY ret, ws) AS rk
+        |  FROM ret
+        |), agg AS (
+        |  SELECT a.symbol AS sym_a, b.symbol AS sym_b, count(*) AS n,
+        |    sum((a.rk - b.rk) * (a.rk - b.rk)) AS d2
+        |  FROM rk a JOIN rk b ON a.ws = b.ws AND a.symbol < b.symbol
+        |  GROUP BY 1, 2
+        |)
+        |SELECT sym_a, sym_b, n,
+        |  CAST(1000000 - (6000000 * d2) // (n * (n * n - 1)) AS BIGINT)
+        |    AS spearman_micro
+        |FROM agg ORDER BY sym_a, sym_b""".stripMargin),
     "q_beta" -> (txnCte + minuteCte + rollupCte("day") +
       """, r AS (
         |  SELECT symbol, ws, close,

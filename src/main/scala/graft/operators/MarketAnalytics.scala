@@ -136,6 +136,40 @@ object MarketAnalytics {
       .select(col("symbol"), col("n"), col("beta"))
   }
 
+  /** Spearman rank correlation of daily returns for every symbol
+    * pair. Ranks are INTEGERS (row_number over (ret, day) — the day
+    * tiebreak makes equal returns well-defined), so Σd² is exact and
+    * the whole statistic runs in BIGINT arithmetic:
+    *   ρ_micro = 10⁶ − (6·10⁶·Σd²) div (n(n²−1))
+    * — the subtraction form keeps every integer division positive,
+    * where floor and truncate agree in any engine (a direct signed
+    * division would be floor-vs-truncate ambiguous cross-engine).
+    * One rank window per symbol + the same tiny pair join as
+    * [[returnCorrelation]]. Exact Spearman assumes both symbols cover
+    * the same days (true for a dense candle series); with ragged
+    * coverage the statistic degrades gracefully but is no longer the
+    * textbook ρ.
+    */
+  def spearmanCorrelation(dayCandles: DataFrame): DataFrame = {
+    val bySym = Window.partitionBy(col("symbol")).orderBy(col("window_start"))
+    val r = dayCandles
+      .withColumn("prev_close", lag(col("close"), 1).over(bySym))
+      .filter(col("prev_close").isNotNull && col("prev_close") =!= 0.0)
+      .select(col("symbol"), col("window_start"),
+        (col("close") / col("prev_close") - 1.0).cast("decimal(18,6)").as("ret"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("symbol")).orderBy(col("ret"), col("window_start"))))
+    val a = r.select(col("symbol").as("sym_a"), col("window_start"), col("rk").as("ra"))
+    val b = r.select(col("symbol").as("sym_b"), col("window_start"), col("rk").as("rb"))
+    a.join(b, "window_start").filter(col("sym_a") < col("sym_b"))
+      .groupBy(col("sym_a"), col("sym_b"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("ra") - col("rb")) * (col("ra") - col("rb"))).as("d2"))
+      .withColumn("spearman_micro",
+        expr("1000000 - (6000000 * d2) div (n * (n * n - 1))"))
+      .select(col("sym_a"), col("sym_b"), col("n"), col("spearman_micro"))
+  }
+
   /** Maximum drawdown per symbol over the candle series: the worst
     * peak-to-trough decline of close vs the running maximum. One
     * per-symbol window (running max is rows-unbounded-preceding, no

@@ -14,6 +14,27 @@ import graft.operators.{Candles, MarketAnalytics}
 class BetaSpec extends SparkSpec {
   import spark.implicits._
 
+  test("spearman: monotone pair = +1e6, antitone pair = -1e6, exactly") {
+    import graft.operators.MarketAnalytics
+    import java.sql.Timestamp
+    // closes built as cumulative products of explicit daily returns,
+    // so the rank order of returns is by construction: A and B share
+    // it (increasing), C reverses it
+    val days = (1 to 6).map(d => Timestamp.valueOf(f"2024-01-0$d 00:00:00"))
+    def closes(rets: Seq[Double]) =
+      rets.scanLeft(100.0)((c, r) => c * (1.0 + r))
+    def rows(sym: String, rets: Seq[Double]) =
+      days.zip(closes(rets)).map { case (ts, c) => (sym, ts, c) }
+    val df = (rows("A", Seq(0.01, 0.02, 0.03, 0.04, 0.05)) ++
+      rows("B", Seq(0.011, 0.021, 0.031, 0.041, 0.051)) ++
+      rows("C", Seq(0.05, 0.04, 0.03, 0.02, 0.01)))
+      .toDF("symbol", "window_start", "close")
+    val out = MarketAnalytics.spearmanCorrelation(df)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    assert(out(("A", "B")) === 1000000L, s"monotone pair: $out")
+    assert(out(("A", "C")) === -1000000L, s"antitone pair: $out")
+  }
+
   test("betaVsBenchmark matches covar_pop/var_pop slope on real data") {
     val day = Candles.rollup(
       Candles.minuteCandles(Candles.transactions(spark, "/root/testdata/sf0.001")),
