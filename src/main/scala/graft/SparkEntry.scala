@@ -1398,6 +1398,62 @@ object SparkEntry {
           (col("a95") >= col("lo95") && col("a95") <= col("hi95")).as("p95_in_bound"))
         .orderBy(col("l_returnflag"))
     }),
+    "q_mad" -> ((s, dir) => {
+      // robust dispersion: median absolute deviation per group — two
+      // exact-quantile passes (sort-based, spillable), the tiny
+      // median table broadcast back between them
+      val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
+      val med = graft.operators.Percentiles.exact(
+        ev, Seq("event_type"), "value", Seq(0.5), Seq("median"))
+      val dev = ev.join(broadcast(med), "event_type")
+        .select(col("event_type"), abs(col("value") - col("median")).as("adev"))
+      graft.operators.Percentiles.exact(
+          dev, Seq("event_type"), "adev", Seq(0.5), Seq("mad"))
+        .join(broadcast(med), "event_type")
+        .select(col("event_type"), col("median"), col("mad"))
+        .orderBy(col("event_type"))
+    }),
+    "q_ab_test" -> ((s, dir) => {
+      // experiment readout: users deterministically split A/B by md5
+      // parity (engine-portable, retry-stable), per-event-type cohort
+      // means from decimal-exact sums and Welch's t² from those exact
+      // moments — every double derives from identical inputs via
+      // IEEE-exact ops, so the statistic is bit-reproducible
+      val ev = Tables.events(s, dir)
+        .withColumn("cohort",
+          when(expr("substr(md5(cast(user_id as string)), 1, 1) < '8'"), "A")
+            .otherwise("B"))
+      ev.groupBy(col("event_type"), col("cohort"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).as("sx"),
+          sum((col("value").cast("decimal(18,4)") *
+            col("value").cast("decimal(18,4)"))).as("sxx"))
+        .groupBy(col("event_type"))
+        .agg(
+          max(when(col("cohort") === "A", col("n"))).as("n_a"),
+          max(when(col("cohort") === "B", col("n"))).as("n_b"),
+          money(max(when(col("cohort") === "A", col("sx")))).as("sx_a"),
+          money(max(when(col("cohort") === "B", col("sx")))).as("sx_b"),
+          // 4dp before the double cast: an 8dp integer form exceeds
+          // 2^53 and DuckDB's int128→double cast double-rounds there
+          // (the dsum convention, at quadratic scale)
+          max(when(col("cohort") === "A", col("sxx"))).cast("decimal(38,4)")
+            .cast("double").as("sxx_a"),
+          max(when(col("cohort") === "B", col("sxx"))).cast("decimal(38,4)")
+            .cast("double").as("sxx_b"))
+        .withColumn("mean_a", col("sx_a") / col("n_a"))
+        .withColumn("mean_b", col("sx_b") / col("n_b"))
+        .withColumn("var_a",
+          (col("sxx_a") - col("sx_a") * col("sx_a") / col("n_a")) / (col("n_a") - 1))
+        .withColumn("var_b",
+          (col("sxx_b") - col("sx_b") * col("sx_b") / col("n_b")) / (col("n_b") - 1))
+        .withColumn("t2",
+          (col("mean_a") - col("mean_b")) * (col("mean_a") - col("mean_b")) /
+            (col("var_a") / col("n_a") + col("var_b") / col("n_b")))
+        .select(col("event_type"), col("n_a"), col("n_b"),
+          col("mean_a"), col("mean_b"), col("t2"))
+        .orderBy(col("event_type"))
+    }),
     "q_clip_outliers" -> ((s, dir) => {
       // robust-preprocessing shape: exact per-group p01/p99 (the
       // sort-based scalable quantile, not a buffering percentile agg)
@@ -2673,6 +2729,48 @@ object SparkEntry {
         |UNION ALL
         |SELECT o_custkey, 'only_1996' AS cohort FROM (SELECT o_custkey FROM b96 EXCEPT SELECT o_custkey FROM b97)
         |ORDER BY cohort, o_custkey""".stripMargin,
+    "q_mad" ->
+      """WITH med AS (
+        |  SELECT event_type, round(quantile_cont(value, 0.5), 4) AS median
+        |  FROM events GROUP BY 1
+        |), dev AS (
+        |  SELECT e.event_type, abs(e.value - m.median) AS adev
+        |  FROM events e JOIN med m ON e.event_type = m.event_type
+        |)
+        |SELECT d.event_type, m.median,
+        |  round(quantile_cont(d.adev, 0.5), 4) AS mad
+        |FROM dev d JOIN med m ON d.event_type = m.event_type
+        |GROUP BY d.event_type, m.median ORDER BY d.event_type""".stripMargin,
+    "q_ab_test" ->
+      """WITH c AS (
+        |  SELECT event_type, value,
+        |    CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+        |         THEN 'A' ELSE 'B' END AS cohort
+        |  FROM events
+        |), agg AS (
+        |  SELECT event_type, cohort, count(*) AS n,
+        |    CAST(CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2)
+        |         AS DECIMAL(38,2)) AS DOUBLE) AS sx,
+        |    CAST(CAST(round(sum(CAST(value AS DECIMAL(18,4)) *
+        |                        CAST(value AS DECIMAL(18,4))), 4)
+        |         AS DECIMAL(38,4)) AS DOUBLE) AS sxx
+        |  FROM c GROUP BY 1, 2
+        |), wide AS (
+        |  SELECT event_type,
+        |    max(CASE WHEN cohort = 'A' THEN n END) AS n_a,
+        |    max(CASE WHEN cohort = 'B' THEN n END) AS n_b,
+        |    max(CASE WHEN cohort = 'A' THEN sx END) AS sx_a,
+        |    max(CASE WHEN cohort = 'B' THEN sx END) AS sx_b,
+        |    max(CASE WHEN cohort = 'A' THEN sxx END) AS sxx_a,
+        |    max(CASE WHEN cohort = 'B' THEN sxx END) AS sxx_b
+        |  FROM agg GROUP BY 1
+        |)
+        |SELECT event_type, n_a, n_b,
+        |  sx_a / n_a AS mean_a, sx_b / n_b AS mean_b,
+        |  (sx_a / n_a - sx_b / n_b) * (sx_a / n_a - sx_b / n_b) /
+        |  ((sxx_a - sx_a * sx_a / n_a) / (n_a - 1) / n_a +
+        |   (sxx_b - sx_b * sx_b / n_b) / (n_b - 1) / n_b) AS t2
+        |FROM wide ORDER BY event_type""".stripMargin,
     "q_approx_quantile" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
