@@ -1217,6 +1217,50 @@ object SparkEntry {
       // fact self-joins)
       graft.operators.Funnel.report(Tables.events(s, dir))
         .orderBy(col("cohort_day"))),
+    "q_top_paths" -> ((s, dir) => {
+      // session path mining: most common 3-step event sequences
+      // inside a session — per-session ordered type array (sorted
+      // struct collect, one shuffle), trigrams via posexplode +
+      // element_at (codegen builtins, the cooccur technique — no
+      // lambda transform on the exploded path)
+      val sess = MarketAnalytics.sessionize(
+        Tables.events(s, dir), "user_id", "ts", gapMinutes = 30)
+      val perSess = sess
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(sort_array(collect_list(struct(col("ts"), col("event_type"))))
+          .as("evs"))
+        .select(col("evs").getField("event_type").as("types"))
+      perSess
+        .select(col("types"), posexplode(col("types")).as(Seq("i", "t1")))
+        .filter(col("i") <= size(col("types")) - 3)
+        .select(concat_ws(">", col("t1"),
+          element_at(col("types"), col("i") + 2),
+          element_at(col("types"), col("i") + 3)).as("path"))
+        .groupBy(col("path"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path"))
+        .limit(20)
+    }),
+    "q_funnel_time" -> ((s, dir) => {
+      // time-to-convert: exact p50/p90 of the view→click and
+      // click→purchase latencies (integer seconds) over the staged
+      // funnel — Funnel's one-shuffle stage timestamps feed the
+      // sort-based exact quantile, one row per transition
+      val stages = graft.operators.Funnel.userStages(Tables.events(s, dir))
+      val d1 = stages.filter(col("t_click").isNotNull)
+        .select(lit("view_to_click").as("transition"),
+          (unix_timestamp(col("t_click")) - unix_timestamp(col("t_view"))).as("sec"))
+      val d2 = stages.filter(col("t_purchase").isNotNull)
+        .select(lit("click_to_purchase").as("transition"),
+          (unix_timestamp(col("t_purchase")) - unix_timestamp(col("t_click"))).as("sec"))
+      val deltas = d1.unionByName(d2)
+      graft.operators.Percentiles.exact(
+          deltas, Seq("transition"), "sec", Seq(0.5, 0.9), Seq("p50_sec", "p90_sec"))
+        .join(broadcast(deltas.groupBy(col("transition")).agg(count(lit(1)).as("n"))),
+          "transition")
+        .select(col("transition"), col("n"), col("p50_sec"), col("p90_sec"))
+        .orderBy(col("transition"))
+    }),
     "q_retention" -> ((s, dir) =>
       // day-1 / day-7 cohort retention: one shuffle on user_id builds
       // (cohort day, active-day set) per user — no fact self-join, no
@@ -1992,6 +2036,69 @@ object SparkEntry {
         |  count(*) AS n_view, count(tc) AS n_click, count(tp) AS n_purchase
         |FROM u WHERE tv IS NOT NULL
         |GROUP BY 1 ORDER BY cohort_day""".stripMargin,
+    // same session chain as q_concurrency (second-truncated gap
+    // compare = Spark's cast-to-long), event_type carried through
+    "q_top_paths" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type,
+        |    make_timestamp(epoch_ns(ts) // 1000) AS ts
+        |  FROM events
+        |), flagged AS (
+        |  SELECT user_id, event_type, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL THEN 1
+        |         WHEN epoch_us(ts) // 1000000 - epoch_us(lag(ts) OVER w) // 1000000 > 1800
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), sess AS (
+        |  SELECT user_id, event_type, ts,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM flagged
+        |), paths AS (
+        |  SELECT user_id, session_seq, list(event_type ORDER BY ts) AS types
+        |  FROM sess GROUP BY 1, 2
+        |), tri AS (
+        |  SELECT unnest(list_transform(generate_series(1, len(types) - 2),
+        |    i -> types[i] || '>' || types[i+1] || '>' || types[i+2])) AS path
+        |  FROM paths
+        |)
+        |SELECT path, count(*) AS n FROM tri
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin,
+    "q_funnel_time" ->
+      """WITH st AS (
+        |  SELECT user_id, ts, event_type,
+        |    min(CASE WHEN event_type = 'view' THEN ts END)
+        |      OVER (PARTITION BY user_id ORDER BY ts
+        |            RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1
+        |  FROM events
+        |), st2 AS (
+        |  SELECT *, CASE WHEN event_type = 'click' AND ts > cum1 THEN ts END AS s2
+        |  FROM st
+        |), st3 AS (
+        |  SELECT *, min(s2) OVER (PARTITION BY user_id ORDER BY ts
+        |            RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2
+        |  FROM st2
+        |), st4 AS (
+        |  SELECT *, CASE WHEN event_type = 'purchase' AND ts > cum2 THEN ts END AS s3
+        |  FROM st3
+        |), u AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS tv,
+        |    min(s2) AS tc, min(s3) AS tp
+        |  FROM st4 GROUP BY user_id
+        |), d AS (
+        |  SELECT 'view_to_click' AS transition,
+        |    epoch_us(tc) // 1000000 - epoch_us(tv) // 1000000 AS sec
+        |  FROM u WHERE tc IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'click_to_purchase',
+        |    epoch_us(tp) // 1000000 - epoch_us(tc) // 1000000
+        |  FROM u WHERE tp IS NOT NULL
+        |)
+        |SELECT transition, count(*) AS n,
+        |  round(quantile_cont(sec, 0.5), 4) AS p50_sec,
+        |  round(quantile_cont(sec, 0.9), 4) AS p90_sec
+        |FROM d GROUP BY 1 ORDER BY transition""".stripMargin,
     "q_retention" ->
       """WITH ud AS (
         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
