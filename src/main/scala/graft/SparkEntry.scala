@@ -1302,6 +1302,34 @@ object SparkEntry {
       graft.operators.Graphs.integerPageRank(edges, iters = 3)
         .orderBy(col("pr_int").desc, col("node")).limit(50)
     }),
+    "q_dq_report" -> ((s, dir) => {
+      // data-quality audit: constraint checks (referential integrity
+      // via anti-joins, key uniqueness via aggregate-filter, range
+      // and null checks as scan-side predicates) unioned into one
+      // (check, n_violations) report — each branch is a pushed-filter
+      // scan or broadcast/shuffle anti-join ending in a 1-row count
+      val li = Tables.lineitem(s, dir)
+      val ord = Tables.orders(s, dir)
+      val cust = Tables.customer(s, dir)
+      val ev = Tables.events(s, dir)
+      def check(name: String, c: DataFrame): DataFrame =
+        c.agg(count(lit(1)).as("n_violations"))
+          .select(lit(name).as("check"), col("n_violations"))
+      check("lineitem_orphan_orderkey",
+        li.join(ord, li("l_orderkey") === ord("o_orderkey"), "left_anti"))
+        .unionByName(check("orders_orphan_custkey",
+          ord.join(cust, ord("o_custkey") === cust("c_custkey"), "left_anti")))
+        .unionByName(check("orders_duplicate_pk",
+          ord.groupBy(col("o_orderkey")).agg(count(lit(1)).as("c"))
+            .filter(col("c") > 1)))
+        .unionByName(check("lineitem_nonpositive_price",
+          li.filter(col("l_extendedprice") <= 0)))
+        .unionByName(check("lineitem_discount_range",
+          li.filter(col("l_discount") < 0 || col("l_discount") > 1)))
+        .unionByName(check("events_null_user",
+          ev.filter(col("user_id").isNull)))
+        .orderBy(col("check"))
+    }),
     "q_latest_snapshot" -> ((s, dir) =>
       // the lakehouse current-view primitive: latest record per key —
       // one max_by aggregate (partial, map-side combined), NOT a
@@ -2758,6 +2786,26 @@ object SparkEntry {
         |        FROM it3 i JOIN deg d ON i.node = d.node, nn)
         |SELECT node, CAST(pr AS BIGINT) AS pr_int
         |FROM pr3 ORDER BY pr_int DESC, node LIMIT 50""".stripMargin,
+    "q_dq_report" ->
+      """SELECT 'lineitem_orphan_orderkey' AS "check", count(*) AS n_violations
+        |FROM lineitem WHERE NOT EXISTS
+        |  (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+        |UNION ALL
+        |SELECT 'orders_orphan_custkey', count(*)
+        |FROM orders WHERE NOT EXISTS
+        |  (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+        |UNION ALL
+        |SELECT 'orders_duplicate_pk', count(*) FROM
+        |  (SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1)
+        |UNION ALL
+        |SELECT 'lineitem_nonpositive_price', count(*)
+        |FROM lineitem WHERE l_extendedprice <= 0
+        |UNION ALL
+        |SELECT 'lineitem_discount_range', count(*)
+        |FROM lineitem WHERE l_discount < 0 OR l_discount > 1
+        |UNION ALL
+        |SELECT 'events_null_user', count(*) FROM events WHERE user_id IS NULL
+        |ORDER BY "check"""".stripMargin,
     "q_latest_snapshot" ->
       """SELECT user_id, event_type,
         |  strftime(make_timestamp(epoch_ns(max(ts)) // 1000),
