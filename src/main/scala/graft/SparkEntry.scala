@@ -577,6 +577,41 @@ object SparkEntry {
         .select(col("symbol"), col("max_drawdown"),
           fmtTs(col("trough_day")).as("trough_day"))
         .orderBy(col("symbol"))),
+    "q_lag_features" -> ((s, dir) => {
+      // feature-engineering materialization for model training: per
+      // (symbol, day) lagged returns, trailing-7 moving average and
+      // volatility — all windows share one (symbol, time) partitioning
+      // (single exchange), moments decimal-exact so every emitted
+      // double is bit-reproducible
+      import org.apache.spark.sql.expressions.Window
+      val bySym = Window.partitionBy(col("symbol")).orderBy(col("window_start"))
+      val trail7 = bySym.rowsBetween(-6, 0)
+      val day = Candles.rollup(
+        Candles.minuteCandles(Candles.transactions(s, dir)), CandleTimeFrame.Day)
+      day
+        .withColumn("prev_close", lag(col("close"), 1).over(bySym))
+        .withColumn("ret",
+          when(col("prev_close").isNotNull && col("prev_close") =!= 0.0,
+            (col("close") / col("prev_close") - 1.0).cast("decimal(18,6)")))
+        .withColumn("ret_lag1", lag(col("ret"), 1).over(bySym))
+        .withColumn("ma7",
+          sum(col("close").cast("decimal(18,2)")).over(trail7).cast("double") /
+            count(col("close")).over(trail7))
+        .withColumn("__n", count(col("ret")).over(trail7))
+        .withColumn("__sx", sum(col("ret")).over(trail7).cast("double"))
+        .withColumn("__sxx",
+          sum((col("ret") * col("ret")).cast("decimal(38,6)")).over(trail7)
+            .cast("double"))
+        .withColumn("vol7",
+          when(col("__n") > 1, sqrt(greatest(
+            (col("__sxx") - col("__sx") * col("__sx") / col("__n")) /
+              (col("__n") - 1), lit(0.0)))))
+        .select(col("symbol"), fmtTs(col("window_start")).as("day"),
+          col("ret").cast("double").as("ret"),
+          col("ret_lag1").cast("double").as("ret_lag1"),
+          col("ma7"), col("vol7"))
+        .orderBy(col("symbol"), col("day"))
+    }),
     "q_spearman" -> ((s, dir) =>
       // rank correlation of daily returns — fully BIGINT-exact
       // (integer ranks, positive-only divisions)
@@ -2540,6 +2575,36 @@ object SparkEntry {
         |  strftime(min(d.ws), '%Y-%m-%d %H:%M:%S') AS trough_day
         |FROM dd d JOIN mins m ON d.symbol = m.symbol AND d.dd = m.max_drawdown
         |GROUP BY d.symbol, m.max_drawdown ORDER BY d.symbol""".stripMargin),
+    "q_lag_features" -> (txnCte + minuteCte + rollupCte("day") +
+      """, r AS (
+        |  SELECT symbol, ws, close,
+        |    lag(close, 1) OVER (PARTITION BY symbol ORDER BY ws) AS prev_close
+        |  FROM roll_c
+        |), f AS (
+        |  SELECT symbol, ws, close,
+        |    CASE WHEN prev_close IS NOT NULL AND prev_close <> 0.0
+        |         THEN CAST(close / prev_close - 1.0 AS DECIMAL(18,6)) END AS ret
+        |  FROM r
+        |), g AS (
+        |  SELECT symbol, ws,
+        |    CAST(ret AS DOUBLE) AS ret,
+        |    CAST(lag(ret, 1) OVER w AS DOUBLE) AS ret_lag1,
+        |    CAST(sum(CAST(close AS DECIMAL(18,2))) OVER w7 AS DOUBLE)
+        |      / count(close) OVER w7 AS ma7,
+        |    count(ret) OVER w7 AS n,
+        |    CAST(sum(CAST(ret AS DECIMAL(28,6))) OVER w7 AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(round(CAST(ret AS DECIMAL(19,6)) * CAST(ret AS DECIMAL(19,6)), 6)
+        |                  AS DECIMAL(38,6))) OVER w7 AS DOUBLE) AS sxx
+        |  FROM f
+        |  WINDOW w AS (PARTITION BY symbol ORDER BY ws),
+        |         w7 AS (PARTITION BY symbol ORDER BY ws
+        |                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT symbol, strftime(ws, '%Y-%m-%d %H:%M:%S') AS day,
+        |  ret, ret_lag1, ma7,
+        |  CASE WHEN n > 1
+        |       THEN sqrt(greatest((sxx - sx * sx / n) / (n - 1), 0.0)) END AS vol7
+        |FROM g ORDER BY symbol, day""".stripMargin),
     "q_spearman" -> (txnCte + minuteCte + rollupCte("day") +
       """, r AS (
         |  SELECT symbol, ws, close,
