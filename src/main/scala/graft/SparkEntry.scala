@@ -1615,6 +1615,11 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token"))
         .limit(20)),
+    "q_bpe_train" -> ((s, dir) =>
+      // iterated BPE merge training: 3 rounds of corpus-wide top-pair
+      // + greedy leftmost sequence rewrite, entirely as windows over
+      // the (doc, pos) token table — no driver loop over data
+      graft.operators.Bpe.trainMerges(Tables.documents(s, dir), rounds = 3)),
     "q_cooccur" -> ((s, dir) =>
       // collocation mining: document co-occurrence counts + integer
       // lift (exp-PMI in micro units) for pairs of the top-50
@@ -1877,7 +1882,72 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("frame_idx"))),
   )
 
+  /** DuckDB replica of [[graft.operators.Bpe.trainMerges]]: the same
+    * `rounds` merge rounds unrolled as CTEs — identical window chain
+    * (adjacency lead, match islands via pos − running-match-count,
+    * odd-parity greedy rank, drop-after-merge, row_number relabel).
+    */
+  private def bpeOracleSql(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                 x -> len(x) > 0) AS tk
+        |  FROM documents
+        |), t0 AS (
+        |  SELECT doc_id, CAST(s['pos'] AS BIGINT) AS pos,
+        |         CAST(s['token'] AS VARCHAR) AS token
+        |  FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk)),
+        |          i -> struct_pack(pos := i - 1, token := tk[i]))) AS s
+        |        FROM tok)
+        |)""".stripMargin)
+    for (r <- 0 until rounds) {
+      sb.append(s""",
+        |p$r AS (
+        |  SELECT doc_id, pos, token,
+        |    lead(token, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS next
+        |  FROM t$r
+        |), top$r AS (
+        |  SELECT token AS pair_a, next AS pair_b, count(*) AS pair_n
+        |  FROM p$r WHERE next IS NOT NULL
+        |  GROUP BY 1, 2 ORDER BY pair_n DESC, pair_a, pair_b LIMIT 1
+        |), dr$r AS (
+        |  SELECT *,
+        |    coalesce(lag(do_merge, 1) OVER (PARTITION BY doc_id ORDER BY pos),
+        |             FALSE) AS drop_row
+        |  FROM (
+        |    SELECT *, (is_match AND irk % 2 = 1) AS do_merge FROM (
+        |      SELECT *, CASE WHEN is_match THEN row_number()
+        |          OVER (PARTITION BY doc_id, island ORDER BY pos) END AS irk
+        |      FROM (
+        |        SELECT *, CASE WHEN is_match THEN pos - mrn END AS island FROM (
+        |          SELECT *, sum(CASE WHEN is_match THEN 1 ELSE 0 END)
+        |              OVER (PARTITION BY doc_id ORDER BY pos
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mrn
+        |          FROM (
+        |            SELECT p.doc_id, p.pos, p.token, p.next, t.pair_a, t.pair_b,
+        |              (p.token = t.pair_a AND p.next = t.pair_b) AS is_match
+        |            FROM p$r p CROSS JOIN top$r t
+        |          )
+        |        )
+        |      )
+        |    )
+        |  )
+        |), t${r + 1} AS (
+        |  SELECT doc_id,
+        |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS pos,
+        |    CASE WHEN do_merge THEN pair_a || '+' || pair_b ELSE token END AS token
+        |  FROM dr$r WHERE NOT drop_row
+        |)""".stripMargin)
+    }
+    sb.append("\n" + (0 until rounds).map(r =>
+        s"SELECT ${r + 1} AS round, pair_a, pair_b, pair_n FROM top$r")
+      .mkString("", "\nUNION ALL\n", "\nORDER BY round"))
+    sb.toString
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_bpe_train" -> bpeOracleSql(3),
     "q_candle_minute" -> (txnCte + minuteCte + "\n" +
       candleSelect("minute_c", "MINUTE", "ws + INTERVAL 1 minute")),
     "q_stream_candles" -> (txnCte + minuteCte + "\n" +

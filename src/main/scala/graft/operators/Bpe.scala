@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** A true BPE-style merge trainer over tokenized documents — the
+  * iterated form of the q_bigrams merge-count step: each round finds
+  * the corpus-wide most frequent adjacent pair, then REWRITES every
+  * sequence with that pair merged (greedy leftmost, non-overlapping —
+  * standard BPE semantics) before the next round counts again.
+  *
+  * Entirely relational: sequences live as (doc_id, pos, token) rows;
+  * adjacency is lead() over (doc, pos); the greedy non-overlap rule
+  * for runs of an identical-token pair ("a a a" merges once, not
+  * twice) is the odd-parity rank inside each island of consecutive
+  * matches; position relabeling is a row_number. No driver-side loop
+  * over data (the per-round argmax is a 1-row broadcast), no lambda
+  * folds — every step is a window or join DuckDB replays verbatim,
+  * so the whole trainer sits under the cross-engine hash gate.
+  *
+  * Scale: per round = one pair-count shuffle (map-side combined) +
+  * windows over the (doc, pos) partitioning the table already has.
+  * Token rows only ever shrink.
+  */
+object Bpe {
+
+  /** Adjacent pair of the current sequence table (doc_id, pos, token).
+    */
+  private def withNext(t: DataFrame): DataFrame = {
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    t.withColumn("next", lead(col("token"), 1).over(byDoc))
+  }
+
+  /** One merge round: returns (rewritten table, 1-row merge record
+    * frame (pair_a, pair_b, pair_n)).
+    */
+  private def mergeRound(t: DataFrame): (DataFrame, DataFrame) = {
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val paired = withNext(t)
+    val top = paired
+      .filter(col("next").isNotNull)
+      .groupBy(col("token").as("pair_a"), col("next").as("pair_b"))
+      .agg(count(lit(1)).as("pair_n"))
+      .orderBy(col("pair_n").desc, col("pair_a"), col("pair_b"))
+      .limit(1)
+    val flagged = paired.crossJoin(broadcast(top))
+      .withColumn("is_match",
+        col("token") === col("pair_a") && col("next") === col("pair_b"))
+    // islands of consecutive matching positions (only same-token runs
+    // can produce them); greedy leftmost = odd rank within the island
+    val mByDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val matchSeq = Window.partitionBy(col("doc_id"), col("island")).orderBy(col("pos"))
+    val marked = flagged
+      .withColumn("mrn",
+        sum(when(col("is_match"), 1L).otherwise(0L)).over(mByDoc))
+      .withColumn("island", when(col("is_match"), col("pos") - col("mrn")))
+      .withColumn("irk",
+        when(col("is_match"), row_number().over(matchSeq)))
+      .withColumn("do_merge", col("is_match") && col("irk") % 2 === 1)
+    val prevMerged = lag(col("do_merge"), 1, false).over(mByDoc)
+    val rewritten = marked
+      .withColumn("drop_row", coalesce(prevMerged, lit(false)))
+      .filter(!col("drop_row"))
+      .select(col("doc_id"),
+        row_number().over(mByDoc).as("pos"),
+        when(col("do_merge"), concat(col("pair_a"), lit("+"), col("pair_b")))
+          .otherwise(col("token")).as("token"))
+    (rewritten, top)
+  }
+
+  /** Run `rounds` merge rounds over whitespace-tokenized `textCol`;
+    * returns one row per round: (round, pair_a, pair_b, pair_n).
+    */
+  def trainMerges(docs: DataFrame, rounds: Int = 3,
+                  textCol: String = "text"): DataFrame = {
+    require(rounds >= 1)
+    // each round's table feeds TWO branches (the pair count and the
+    // rewrite) and the next round builds on the rewrite — without a
+    // persist per round the unshared subtrees double every round
+    // (2^rounds base scans). Caches are token-row-sized and shrink;
+    // all released after the first action on the result.
+    var t = docs.select(col("doc_id"),
+        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "token")))
+      .persist()
+    val cached = scala.collection.mutable.ListBuffer(t)
+    var out: DataFrame = null
+    for (round <- 1 to rounds) {
+      val (next, top) = mergeRound(t)
+      val rec = top.select(lit(round).as("round"),
+        col("pair_a"), col("pair_b"), col("pair_n"))
+      out = if (out == null) rec else out.unionByName(rec)
+      if (round < rounds) { t = next.persist(); cached += t }
+    }
+    cached.foldLeft(out.orderBy(col("round")))(
+      (r, c) => LshDedup.unpersistAfterFirstUse(r, c))
+  }
+}
