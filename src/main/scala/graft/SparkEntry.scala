@@ -1276,6 +1276,46 @@ object SparkEntry {
         .orderBy(col("n").desc, col("path"))
         .limit(20)
     }),
+    "q_markov" -> ((s, dir) => {
+      // session transition matrix: P(next event type | current) with
+      // integer-exact probabilities — adjacency is one lead() over
+      // the session ordering the sessionize window already set up;
+      // row-normalization is a window over the tiny type×type grid
+      val sess = MarketAnalytics.sessionize(
+        Tables.events(s, dir), "user_id", "ts", gapMinutes = 30)
+      import org.apache.spark.sql.expressions.Window
+      val bySess = Window.partitionBy(col("user_id"), col("session_seq"))
+        .orderBy(col("ts"))
+      sess
+        .withColumn("next_type", lead(col("event_type"), 1).over(bySess))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p_micro",
+          expr("n * 1000000 div sum(n) over (partition by from_type)"))
+        .orderBy(col("from_type"), col("to_type"))
+    }),
+    "q_ltv_deciles" -> ((s, dir) => {
+      // user-value segmentation: users ranked into deciles by total
+      // purchase value (ntile over the user-grain aggregate — never
+      // over raw events), then a per-decile rollup; revenue sums
+      // decimal-exact
+      import org.apache.spark.sql.expressions.Window
+      val perUser = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(sum(col("value").cast("decimal(18,4)")).as("spend"),
+          count(lit(1)).as("n_purchases"))
+      perUser
+        .withColumn("decile",
+          ntile(10).over(Window.orderBy(col("spend").desc, col("user_id")))
+            .cast("long"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_users"),
+          money(sum(col("spend"))).as("total_spend"),
+          sum(col("n_purchases")).as("n_purchases"))
+        .orderBy(col("decile"))
+    }),
     "q_funnel_time" -> ((s, dir) => {
       // time-to-convert: exact p50/p90 of the view→click and
       // click→purchase latencies (integer seconds) over the staged
@@ -2169,6 +2209,49 @@ object SparkEntry {
         |  count(*) AS n_view, count(tc) AS n_click, count(tp) AS n_purchase
         |FROM u WHERE tv IS NOT NULL
         |GROUP BY 1 ORDER BY cohort_day""".stripMargin,
+    "q_markov" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type,
+        |    make_timestamp(epoch_ns(ts) // 1000) AS ts
+        |  FROM events
+        |), flagged AS (
+        |  SELECT user_id, event_type, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL THEN 1
+        |         WHEN epoch_us(ts) // 1000000 - epoch_us(lag(ts) OVER w) // 1000000 > 1800
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), sess AS (
+        |  SELECT user_id, event_type, ts,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM flagged
+        |), tr AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id, session_seq
+        |                              ORDER BY ts) AS to_type
+        |  FROM sess
+        |), c AS (
+        |  SELECT from_type, to_type, count(*) AS n
+        |  FROM tr WHERE to_type IS NOT NULL GROUP BY 1, 2
+        |)
+        |SELECT from_type, to_type, n,
+        |  CAST(n * 1000000 // sum(n) OVER (PARTITION BY from_type) AS BIGINT)
+        |    AS p_micro
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
+    "q_ltv_deciles" ->
+      """WITH pu AS (
+        |  SELECT user_id, sum(CAST(value AS DECIMAL(18,4))) AS spend,
+        |         count(*) AS n_purchases
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1
+        |), d AS (
+        |  SELECT *, ntile(10) OVER (ORDER BY spend DESC, user_id) AS decile
+        |  FROM pu
+        |)
+        |SELECT decile, count(*) AS n_users,
+        |  CAST(CAST(round(sum(spend), 2) AS DECIMAL(38,2)) AS DOUBLE)
+        |    AS total_spend,
+        |  CAST(sum(n_purchases) AS BIGINT) AS n_purchases
+        |FROM d GROUP BY 1 ORDER BY decile""".stripMargin,
     // same session chain as q_concurrency (second-truncated gap
     // compare = Spark's cast-to-long), event_type carried through
     "q_top_paths" ->
