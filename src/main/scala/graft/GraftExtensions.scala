@@ -21,7 +21,8 @@ import org.apache.spark.sql.graft.{CosineSimF, HyperplaneSig, MinHashBandHashes,
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     def info(name: String, usage: String) =
-      new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+      new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+        "", "", "", "", "", "", "scala_udf")
     // arity-checked at plan time: SQL callers passing extra arguments
     // (e.g. hoping to override the fixed k/bands) get a clear error,
     // not silent truncation

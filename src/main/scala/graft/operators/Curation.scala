@@ -109,7 +109,7 @@ object Curation {
     val bits = evalGrams
       .agg(graft.functions.bloom_agg(col("gram"), expectedEvalGrams, numBits)
         .as("bf"))
-      .head.getAs[Array[Byte]](0)
+      .head().getAs[Array[Byte]](0)
     val trainGrams = grams(labeled.filter(col("cohort") === "train"))
     if (bits == null) // no eval grams at all → nothing can be contaminated
       trainGrams.select(col("doc_id"), lit(0L).as("n_shared")).limit(0)

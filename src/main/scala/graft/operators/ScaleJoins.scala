@@ -23,7 +23,7 @@ object ScaleJoins {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  saltFactor: Int): DataFrame = {
     require(saltFactor > 0)
-    val bigCols = big.columns.map(col)
+    val bigCols = big.columns.toIndexedSeq.map(col)
     val salted = big.withColumn("__salt",
       pmod(xxhash64(bigCols: _*), lit(saltFactor)).cast("int"))
     val replicated = small.withColumn("__salt",
