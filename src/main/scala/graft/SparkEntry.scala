@@ -929,13 +929,15 @@ object SparkEntry {
       // 1.5×mean boundary sits ≥2.8e-6 relative away at either SF —
       // nine orders above double rounding, so the predicate is
       // engine-independent; the OUTPUT value stays decimal-exact.
-      val w = org.apache.spark.sql.expressions.Window.partitionBy()
-      Tables.lineitem(s, dir)
+      // The global count+sum ride Ranks.withGlobalAgg (persisted
+      // group frame, 1-row broadcast back): one fact scan, and no
+      // single-partition window over the part-grain frame.
+      val pv = Tables.lineitem(s, dir)
         .groupBy(col("l_partkey"))
         .agg(sum(col("l_extendedprice").cast("decimal(18,4)") *
           col("l_quantity").cast("decimal(18,4)")).as("value"))
-        .withColumn("n_groups", count(lit(1)).over(w))
-        .withColumn("total", sum(col("value")).over(w))
+      graft.operators.Ranks.withGlobalAgg(pv,
+          Seq(count(lit(1)).as("n_groups"), sum(col("value")).as("total")))
         .filter(col("value").cast("double") * 2 * col("n_groups") >
           col("total").cast("double") * 3)
         .select(col("l_partkey"), money(col("value")).as("part_value"))
@@ -1129,17 +1131,15 @@ object SparkEntry {
           floor(col("promo_rev") / col("total_rev") * 1e6).cast("long"))),
     "q_top_supplier" -> ((s, dir) => {
       // TPC-H Q15 shape: the top-revenue supplier of a quarter —
-      // per-supplier aggregate, then the global max as a WINDOW over
-      // the supplier-cardinality frame. Measured (PlanDump final
-      // plans): the max + broadcast-join-back form re-executes the
-      // whole fact aggregate (2 scans, no AQE exchange reuse — the
-      // subtrees canonicalize differently), while the window form
-      // scans once and moves only ~|suppliers| rows through one
-      // partition. That single partition is the documented ceiling:
-      // beyond ~1e8 groups, persist the aggregate and take max via a
-      // second (partial-aggregatable) agg, or use the bucket-carry
-      // pattern (q_concurrency). DECIMAL equality (exact within each
-      // engine; ties all surface).
+      // per-supplier aggregate, then the global max via
+      // Ranks.withGlobalAgg: the aggregate is PERSISTED while the
+      // 1-row max reduces over it (partial-aggregatable) and
+      // broadcast back, so the fact scans once, nothing re-executes
+      // (the naive max + join-back form without the persist scans the
+      // fact twice — no AQE exchange reuse, measured), and no
+      // supplier-grain frame ever funnels through a single window
+      // partition. DECIMAL equality (exact within each engine; ties
+      // all surface).
       val rev = Tables.lineitem(s, dir)
         .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
@@ -1147,9 +1147,7 @@ object SparkEntry {
         .agg(sum(col("l_extendedprice").cast("decimal(18,4)") *
           (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
           .as("rev_d"))
-      rev.withColumn("max_rev",
-        max(col("rev_d")).over(org.apache.spark.sql.expressions.Window
-          .partitionBy()))
+      graft.operators.Ranks.withGlobalAgg(rev, Seq(max(col("rev_d")).as("max_rev")))
         .filter(col("rev_d") === col("max_rev"))
         .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
         .select(col("s_suppkey"), col("s_name"), money(col("rev_d")).as("total_rev"))
@@ -1297,19 +1295,17 @@ object SparkEntry {
     }),
     "q_ltv_deciles" -> ((s, dir) => {
       // user-value segmentation: users ranked into deciles by total
-      // purchase value (ntile over the user-grain aggregate — never
-      // over raw events), then a per-decile rollup; revenue sums
-      // decimal-exact
-      import org.apache.spark.sql.expressions.Window
+      // purchase value, then a per-decile rollup; revenue sums
+      // decimal-exact. The decile is Ranks.ntileExact — bit-equal to
+      // ntile(10) over (order by spend desc, user_id) but with every
+      // window PARTITIONED (cutpoint-bucketed two-level rank), so the
+      // user-grain frame never funnels through one task at 100 TB.
       val perUser = Tables.events(s, dir)
         .filter(col("event_type") === "purchase")
         .groupBy(col("user_id"))
         .agg(sum(col("value").cast("decimal(18,4)")).as("spend"),
           count(lit(1)).as("n_purchases"))
-      perUser
-        .withColumn("decile",
-          ntile(10).over(Window.orderBy(col("spend").desc, col("user_id")))
-            .cast("long"))
+      graft.operators.Ranks.ntileExact(perUser, 10, "spend", "user_id", out = "decile")
         .groupBy(col("decile"))
         .agg(count(lit(1)).as("n_users"),
           money(sum(col("spend"))).as("total_spend"),

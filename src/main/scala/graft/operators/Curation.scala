@@ -382,15 +382,17 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"),
         sum(TextAnalysis.tokenCount(col(textCol)).cast("long")).as("n_tokens"),
         first(sourceRateQuarters(col("source")).cast("long")).as("target_q"))
-    // the globals ride as empty-frame windows over the per-source
-    // frame — it is sources-sized (thousands at most), so the single
-    // window partition is trivially bounded and the corpus is
-    // aggregated exactly once
-    val w = org.apache.spark.sql.expressions.Window.partitionBy()
-    perSrc
-      .withColumn("__sum_q", sum(col("target_q")).over(w))
-      .withColumn("__budget",
-        min(expr("(n_tokens * __sum_q) div target_q")).over(w))
+    // the two globals (quota sum, then the binding budget, which
+    // depends on the quota sum) ride Ranks.withGlobalAgg — two 1-row
+    // partial aggregates broadcast back over the persisted per-source
+    // frame. The corpus is aggregated exactly once and no window has
+    // an empty partition spec (the frame is sources-sized, so the
+    // old global window was bounded, but the lock banning
+    // empty-partition windows holds repo-wide).
+    val withSum = Ranks.withGlobalAgg(perSrc,
+      Seq(sum(col("target_q")).as("__sum_q")))
+    Ranks.withGlobalAgg(withSum,
+        Seq(min(expr("(n_tokens * __sum_q) div target_q")).as("__budget")))
       .withColumn("planned_tokens",
         expr("(__budget * target_q) div __sum_q"))
       .select(col("source"), col("n_docs"), col("n_tokens"), col("target_q"),

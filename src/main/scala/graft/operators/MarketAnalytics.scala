@@ -434,11 +434,12 @@ object MarketAnalytics {
       .unionByName(intervals.select(col(endCol).as("t"), lit(-1).as("d")))
       .withColumn("day", to_date(col("t")))
     val daily = deltas.groupBy(col("day")).agg(sum(col("d")).as("day_delta"))
-    val carry = daily
-      .withColumn("carry", coalesce(
-        sum(col("day_delta")).over(
-          Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
+    // strict prefix (concurrency carried INTO each day) with every
+    // window partitioned: intra-month running sum + month-carry
+    // theta-join (Ranks.prefixSum) — no single-partition global
+    // window over the day frame
+    val carry = Ranks.prefixSum(daily, "day", "day_delta",
+        date_trunc("month", col("day")), "carry", strict = true)
       .select(col("day"), col("carry"))
     val w = Window.partitionBy(col("day")).orderBy(col("t"), col("d"))
       .rowsBetween(Window.unboundedPreceding, 0)

@@ -50,15 +50,17 @@ object Retention {
     * per user or per event.
     */
   def cumulativeUsers(events: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val daily = events
       .groupBy(col("user_id"))
       .agg(min(to_date(col("ts"))).as("day"))
       .groupBy(col("day"))
       .agg(count(lit(1)).as("new_users"))
-    val w = Window.orderBy(col("day"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    daily.withColumn("cum_users", sum(col("new_users")).over(w).cast("long"))
+    // running total with every window partitioned: intra-month
+    // cumsum + month-carry theta-join (Ranks.prefixSum) — the day
+    // frame never rides a single-partition global window
+    Ranks.prefixSum(daily, "day", "new_users",
+        date_trunc("month", col("day")), "cum_users")
+      .withColumn("cum_users", col("cum_users").cast("long"))
   }
 
   /** Rolling distinct active users: for each active day, the exact

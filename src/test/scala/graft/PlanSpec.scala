@@ -7,6 +7,17 @@ class PlanSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
+  // physical tree walk that crosses AdaptiveSparkPlanExec boundaries
+  // (adaptive roots expose no children to collect) but NOT into
+  // cached plans — an InMemoryTableScan stays a leaf, so FileScans
+  // found here are genuinely uncached re-scans
+  private def physNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      p +: physNodes(a.inputPlan)
+    case _ => p +: p.children.flatMap(physNodes)
+  }
+
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
@@ -240,12 +251,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"global sort instead of top-k in:\n$p")
   }
 
-  test("q_top_supplier: global max is a window over the supplier frame — one fact scan") {
-    val p = plan("q_top_supplier")
-    val scans = p.linesIterator.count(l =>
-      l.contains("FileScan parquet") && l.contains("lineitem"))
-    assert(scans === 1, s"fact aggregate executed $scans times in:\n$p")
-    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+  test("q_top_supplier: ONE cached fact aggregate feeds both the 1-row max and the probe") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val phys = SparkEntry.queries("q_top_supplier")(spark, sf)
+      .queryExecution.executedPlan
+    val nodes = physNodes(phys)
+    val raw = nodes.collect {
+      case f: FileSourceScanExec if f.toString.contains("lineitem") => f
+    }
+    assert(raw.isEmpty, s"uncached fact scan in:\n$phys")
+    val caches = nodes.collect {
+      case c: InMemoryTableScanExec => c.relation.cacheBuilder
+    }.distinct
+    assert(caches.size === 1, s"expected one shared cache, got ${caches.size} in:\n$phys")
+    assert(!phys.toString.contains("CartesianProduct"), s"cartesian in:\n$phys")
   }
 
   test("q_market_share: both dimension chains broadcast; fact shuffles only on its keys") {
@@ -260,12 +280,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftOuter"), s"outer join lost in:\n$p")
   }
 
-  test("q_value_share: global threshold is a window, not re-executed scalar subqueries") {
-    val p = plan("q_value_share")
-    val scans = p.linesIterator.count(l =>
-      l.contains("FileScan parquet") && l.contains("lineitem"))
-    assert(scans === 1, s"fact aggregate executed $scans times in:\n$p")
-    assert(!p.contains("Subquery subquery"), s"scalar subqueries returned in:\n$p")
+  test("q_value_share: ONE cached fact aggregate, 1-row broadcast global — no scalar subqueries") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val phys = SparkEntry.queries("q_value_share")(spark, sf)
+      .queryExecution.executedPlan
+    val nodes = physNodes(phys)
+    val raw = nodes.collect {
+      case f: FileSourceScanExec if f.toString.contains("lineitem") => f
+    }
+    assert(raw.isEmpty, s"uncached fact scan in:\n$phys")
+    val caches = nodes.collect {
+      case c: InMemoryTableScanExec => c.relation.cacheBuilder
+    }.distinct
+    assert(caches.size === 1, s"expected one shared cache, got ${caches.size} in:\n$phys")
+    assert(!phys.toString.contains("Subquery subquery"),
+      s"scalar subqueries returned in:\n$phys")
   }
 
   test("q_multi_dist: three DISTINCTs plan as ONE Expand pass, partial map-side") {
@@ -305,5 +335,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), s"window operator appeared in:\n$p")
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
       s"expected exactly one hash exchange in:\n$p")
+  }
+
+  test("ALL queries: no Window node with an empty partition spec (single-partition sort ban)") {
+    // the one scale-killer pattern a correct sf0.1 run cannot see: an
+    // unpartitioned window funnels the WHOLE frame through one task.
+    // Every running total / rank / ntile in the repo must ride a
+    // partitioned window (Ranks.prefixSum / ntileExact / bucket-carry)
+    // — this lock guards every present and future query at once.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val hits = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.optimizedPlan.collect {
+          case w: LWindow if w.partitionSpec.isEmpty => w
+        }
+      if (hits.nonEmpty) Some(s"$name (${hits.size})") else None
+    }
+    assert(offenders.isEmpty,
+      s"empty-partition Window in: ${offenders.mkString(", ")}")
   }
 }
