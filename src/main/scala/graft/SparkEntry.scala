@@ -1282,8 +1282,10 @@ object SparkEntry {
       val sess = MarketAnalytics.sessionize(
         Tables.events(s, dir), "user_id", "ts", gapMinutes = 30)
       import org.apache.spark.sql.expressions.Window
+      // event_type tiebreak: same-timestamp events would otherwise
+      // order arbitrarily (engine-divergent transition counts)
       val bySess = Window.partitionBy(col("user_id"), col("session_seq"))
-        .orderBy(col("ts"))
+        .orderBy(col("ts"), col("event_type"))
       sess
         .withColumn("next_type", lead(col("event_type"), 1).over(bySess))
         .filter(col("next_type").isNotNull)
@@ -1409,7 +1411,10 @@ object SparkEntry {
       Tables.events(s, dir)
         .groupBy(col("user_id"), col("event_type"))
         .agg(fmtTs(max(col("ts"))).as("last_ts"),
-          max_by(col("value"), col("ts")).as("last_value"),
+          // (ts, value) ordering breaks same-timestamp ties
+          // deterministically — engine-independent even if the
+          // generator ever emits duplicate (key, ts) rows
+          max_by(col("value"), struct(col("ts"), col("value"))).as("last_value"),
           count(lit(1)).as("n_events"))
         .orderBy(col("user_id"), col("event_type"))),
     "q_seasonality" -> ((s, dir) =>
@@ -2224,7 +2229,7 @@ object SparkEntry {
         |), tr AS (
         |  SELECT event_type AS from_type,
         |    lead(event_type, 1) OVER (PARTITION BY user_id, session_seq
-        |                              ORDER BY ts) AS to_type
+        |                              ORDER BY ts, event_type) AS to_type
         |  FROM sess
         |), c AS (
         |  SELECT from_type, to_type, count(*) AS n
@@ -2267,7 +2272,8 @@ object SparkEntry {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
         |  FROM flagged
         |), paths AS (
-        |  SELECT user_id, session_seq, list(event_type ORDER BY ts) AS types
+        |  SELECT user_id, session_seq,
+        |    list(event_type ORDER BY ts, event_type) AS types
         |  FROM sess GROUP BY 1, 2
         |), tri AS (
         |  SELECT unnest(list_transform(generate_series(1, len(types) - 2),
@@ -2774,7 +2780,8 @@ object SparkEntry {
         |  GROUP BY 1, 2
         |)
         |SELECT sym_a, sym_b, n,
-        |  CAST(1000000 - (6000000 * d2) // (n * (n * n - 1)) AS BIGINT)
+        |  CAST(CASE WHEN n > 1
+        |    THEN 1000000 - (6000000 * d2) // (n * (n * n - 1)) END AS BIGINT)
         |    AS spearman_micro
         |FROM agg ORDER BY sym_a, sym_b""".stripMargin),
     "q_beta" -> (txnCte + minuteCte + rollupCte("day") +
@@ -3024,7 +3031,7 @@ object SparkEntry {
       """SELECT user_id, event_type,
         |  strftime(make_timestamp(epoch_ns(max(ts)) // 1000),
         |           '%Y-%m-%d %H:%M:%S') AS last_ts,
-        |  arg_max(value, make_timestamp(epoch_ns(ts) // 1000)) AS last_value,
+        |  list(value ORDER BY ts DESC, value DESC)[1] AS last_value,
         |  count(*) AS n_events
         |FROM events GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin,
     "q_seasonality" ->
@@ -3287,7 +3294,8 @@ object SparkEntry {
         |  GROUP BY 1, 2
         |), n AS (SELECT count(*) AS n_docs FROM documents)
         |SELECT tok_a, tok_b, c_ab, va.df AS df_a, vb.df AS df_b,
-        |  c_ab * n_docs * 1000000 // (va.df * vb.df) AS lift_micro
+        |  CAST(CAST(c_ab AS HUGEINT) * n_docs * 1000000
+        |       // (CAST(va.df AS HUGEINT) * vb.df) AS BIGINT) AS lift_micro
         |FROM pc
         |JOIN vocab va ON tok_a = va.token
         |JOIN vocab vb ON tok_b = vb.token

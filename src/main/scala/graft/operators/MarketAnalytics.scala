@@ -165,8 +165,13 @@ object MarketAnalytics {
       .groupBy(col("sym_a"), col("sym_b"))
       .agg(count(lit(1)).as("n"),
         sum((col("ra") - col("rb")) * (col("ra") - col("rb"))).as("d2"))
+      // n = 1 (a pair sharing exactly ONE return day) makes the
+      // denominator 0 — Spark's non-ANSI div NULLs, DuckDB differs;
+      // guard explicitly so the undefined statistic is NULL in every
+      // engine (textbook ρ needs n ≥ 2 anyway)
       .withColumn("spearman_micro",
-        expr("1000000 - (6000000 * d2) div (n * (n * n - 1))"))
+        expr("case when n > 1 then " +
+          "1000000 - (6000000 * d2) div (n * (n * n - 1)) end"))
       .select(col("sym_a"), col("sym_b"), col("n"), col("spearman_micro"))
   }
 

@@ -209,8 +209,13 @@ object TextAnalysis {
         col("a.df").as("df_a"), col("b.df").as("df_b"))
       .agg(count(lit(1)).as("c_ab"))
       .crossJoin(broadcast(nDocs))
+      // the numerator in DECIMAL(38,0): c_ab·n_docs·10^6 passes 2^63
+      // once the corpus passes ~3M docs (c_ab can approach n_docs for
+      // top-df pairs) — int64 would wrap silently in Spark and raise
+      // in DuckDB; the quotient itself stays ≤ 10^6·n_docs, long-safe
       .withColumn("lift_micro",
-        expr("c_ab * n_docs * 1000000 div (df_a * df_b)"))
+        expr("cast(c_ab as decimal(38,0)) * n_docs * 1000000 div " +
+          "(cast(df_a as decimal(38,0)) * df_b)"))
       .select(col("tok_a"), col("tok_b"), col("c_ab"),
         col("df_a"), col("df_b"), col("lift_micro"))
       .orderBy(col("c_ab").desc, col("tok_a"), col("tok_b"))
