@@ -1897,7 +1897,12 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
     "q_media_meta" -> ((s, dir) =>
-      Media.decodeFeatures(Media.packMedia(Tables.documents(s, dir)))
+      // REAL header decode: packMediaImages synthesizes genuine
+      // PNG/JPEG/GIF header bytes (deterministic dimensions), and
+      // decodeFeatures PARSES mime/width/height back out of the
+      // payload — the oracle recomputes the synthesis arithmetic, so
+      // a hash match proves the byte-level parse, not echoed metadata
+      Media.decodeFeatures(Media.packMediaImages(Tables.documents(s, dir)))
         .select(col("doc_id"), col("mime"), col("width"), col("height"),
           col("n_bytes"), col("mean_byte"))
         .orderBy(col("doc_id"))),
@@ -4041,17 +4046,29 @@ object SparkEntry {
         |  CAST(least(32, n - frame_idx * 32) AS INTEGER) AS frame_bytes
         |FROM f WHERE frame_idx % 4 = 0
         |ORDER BY doc_id, frame_idx""".stripMargin,
+    // header lengths are synthesis constants (PNG sig+IHDR+CRC = 33,
+    // JPEG SOI+SOF0 = 21, GIF sig+screen descriptor = 13); width/
+    // height recompute the synthesis arithmetic — the Spark side must
+    // PARSE the same numbers back out of the header bytes to match
     "q_media_meta" ->
-      """SELECT doc_id, 'image/fake' AS mime,
-        |  CAST(64 + (doc_id * 7919 + length(text)) % 512 AS INTEGER) AS width,
-        |  CAST(64 + (doc_id * 104729 + length(text)) % 512 AS INTEGER) AS height,
-        |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
-        |  CASE WHEN octet_length(encode(text)) > 0 THEN
-        |    CAST(list_sum(list_transform(generate_series(1, octet_length(encode(text))),
+      """WITH m AS (
+        |  SELECT doc_id, text,
+        |    CASE doc_id % 3 WHEN 0 THEN 'image/png'
+        |         WHEN 1 THEN 'image/jpeg' ELSE 'image/gif' END AS mime,
+        |    CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 21 ELSE 13 END AS hdr,
+        |    CAST(64 + (doc_id * 7919 + length(text)) % 512 AS INTEGER) AS width,
+        |    CAST(64 + (doc_id * 104729 + length(text)) % 512 AS INTEGER) AS height,
+        |    octet_length(encode(text)) AS body
+        |  FROM documents
+        |)
+        |SELECT doc_id, mime, width, height,
+        |  CAST(hdr + body AS INTEGER) AS n_bytes,
+        |  CASE WHEN body > 0 THEN
+        |    CAST(list_sum(list_transform(generate_series(1, body),
         |      i -> CAST('0x' || substr(hex(encode(text)), 2*i-1, 2) AS INTEGER))) AS DOUBLE)
-        |      / octet_length(encode(text))
+        |      / body
         |    ELSE 0.0 END AS mean_byte
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |FROM m ORDER BY doc_id""".stripMargin,
     // DuckDB's md5() takes VARCHAR (hashing its UTF-8 bytes), which is
     // exactly Spark's md5(encode(text, 'UTF-8')) over the payload
     "q_media_dedup" ->

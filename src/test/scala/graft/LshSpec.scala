@@ -238,18 +238,29 @@ class LshSpec extends SparkSpec {
     assert(got === brute)
   }
 
-  test("media: pack → batched decode round-trips metadata and byte stats") {
-    val media = Media.packMedia(docs.limit(20))
+  test("media: image-header synthesis → batched decode parses mime and dimensions back") {
+    val media = Media.packMediaImages(docs.limit(21))
     val feats = Media.decodeFeatures(media, batchSize = 7).collect()
-    assert(feats.length === 20)
+    assert(feats.length === 21)
     feats.foreach { r =>
-      assert(r.getAs[String]("mime") === "image/fake")
+      val id = r.getAs[Long]("doc_id")
+      val expMime = (id % 3) match {
+        case 0 => "image/png"
+        case 1 => "image/jpeg"
+        case _ => "image/gif"
+      }
+      assert(r.getAs[String]("mime") === expMime)
       assert(r.getAs[Int]("width") >= 64 && r.getAs[Int]("width") < 576)
+      assert(r.getAs[Int]("height") >= 64 && r.getAs[Int]("height") < 576)
       assert(r.getAs[Int]("n_bytes") > 0)
       val mb = r.getAs[Double]("mean_byte")
-      assert(mb > 32 && mb < 127) // ASCII text payload
+      assert(mb > 32 && mb < 127) // body = ASCII text payload
     }
-    val frames = Media.sampleFrames(media)
+    // headerless blobs degrade to octet-stream with whole-payload stats
+    val plain = Media.decodeFeatures(Media.packMedia(docs.limit(5))).collect()
+    assert(plain.forall(_.getAs[String]("mime") === "application/octet-stream"))
+    assert(plain.forall(_.getAs[Int]("width") === 0))
+    val frames = Media.sampleFrames(Media.packMedia(docs.limit(20)))
     assert(frames.count() > 0)
     assert(frames.filter(pmod($"frame_idx", lit(4)) =!= 0).count() === 0)
   }
