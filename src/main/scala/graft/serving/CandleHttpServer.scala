@@ -29,6 +29,20 @@ import graft.operators.{CandleStore, Candles}
   */
 object CandleHttpServer {
 
+  /** Hard cap on rows per range response: the collect below is
+    * serving-bounded only if something bounds it — without a cap, a
+    * multi-year minute-candle range materializes the full result on
+    * the gateway heap. Truncated responses carry an `X-Next-From`
+    * header (the first unreturned window_start, reusable verbatim as
+    * the next request's inclusive `from`).
+    */
+  val MaxRangeRows = 10000
+
+  private val windowStartRe = """"window_start":"([^"]+)"""".r
+
+  private[serving] def nextCursor(rowJson: String): Option[String] =
+    windowStartRe.findFirstMatchIn(rowJson).map(_.group(1))
+
   def start(spark: SparkSession, storePath: String, port: Int = 0): HttpServer = {
     val server = HttpServer.create(new InetSocketAddress(port), 0)
     server.createContext("/", new Handler(spark, storePath))
@@ -55,10 +69,22 @@ object CandleHttpServer {
               CandleStore.keys(spark, storePath).select("symbol").distinct()))
           case "candles" :: symbol :: tf :: Nil =>
             requireTf(tf)
-            respond(ex, 200, toJsonArray(candleRows(
+            val limit = params.getOrElse("limit", MaxRangeRows.toString).toInt
+            require(limit > 0 && limit <= MaxRangeRows,
+              s"limit must be in 1..$MaxRangeRows")
+            // fetch limit+1: the extra row both signals truncation and
+            // carries the next page's inclusive `from` cursor, so the
+            // gateway heap is bounded no matter how wide the range is
+            val page = candleRows(
               CandleStore.range(spark, storePath, symbol, tf,
                 params.getOrElse("from", "1970-01-01 00:00:00"),
-                params.getOrElse("to", "9999-01-01 00:00:00")))))
+                params.getOrElse("to", "9999-01-01 00:00:00")))
+              .limit(limit + 1).toJSON.collect()
+            if (page.length > limit)
+              nextCursor(page(limit)).foreach(
+                ex.getResponseHeaders.set("X-Next-From", _))
+            respond(ex, 200,
+              page.take(limit).mkString("[", ",", "]"))
           case "candles" :: symbol :: tf :: "recent" :: Nil =>
             requireTf(tf)
             val n = params.getOrElse("n", "25").toInt

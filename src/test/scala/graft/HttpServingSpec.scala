@@ -65,6 +65,46 @@ class HttpServingSpec extends SparkSpec {
       val noKey = new URI(s"$base/candles/AAPL/MINUTE/point").toURL
         .openConnection().asInstanceOf[java.net.HttpURLConnection]
       assert(noKey.getResponseCode === 400)
+
+      // range exceeding the cap: bounded pages + X-Next-From cursor
+      // chain reassembles exactly the unpaginated result
+      def page(from: String): (String, Option[String]) = {
+        val enc = java.net.URLEncoder.encode(from, "UTF-8")
+        val conn = new URI(s"$base/candles/AAPL/MINUTE?from=$enc&limit=1")
+          .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+        val body = Source.fromInputStream(conn.getInputStream, "UTF-8").mkString
+        (body, Option(conn.getHeaderField("X-Next-From")))
+      }
+      var from = "1970-01-01 00:00:00"
+      var pages = Vector.empty[String]
+      var done = false
+      var hops = 0
+      while (!done && hops < 100) {
+        val (body, next) = page(from)
+        pages :+= body
+        next match { case Some(c) => from = c case None => done = true }
+        hops += 1
+      }
+      assert(hops > 1, "range never truncated — cap untested")
+      val reassembled = spark.read.json(pages.toDS().as[String])
+      val full = graft.operators.CandleQueries.range(
+        candles, "AAPL", CandleTimeFrame.Minute,
+        "1970-01-01 00:00:00", "9999-01-01 00:00:00")
+      assert(reassembled.count() === full.count())
+      assert(reassembled.select("window_start").distinct().count() === full.count())
+
+      // a page under the cap carries no cursor
+      val lastPage = new URI(s"$base/candles/AAPL/MINUTE?limit=10000").toURL
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      assert(lastPage.getResponseCode === 200 &&
+        lastPage.getHeaderField("X-Next-From") == null)
+
+      // out-of-bounds limits → 400
+      for (bad <- Seq("0", "10001", "-3")) {
+        val c = new URI(s"$base/candles/AAPL/MINUTE?limit=$bad").toURL
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        assert(c.getResponseCode === 400, s"limit=$bad not rejected")
+      }
     } finally server.stop(0)
   }
 }
