@@ -221,6 +221,30 @@ object SparkEntry {
       s"""$minhashCtes
          |SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b""".stripMargin
 
+    /** Per-source skew-cap drop report over the same bucket frame
+      * (bx) as the candidate chain; threshold mirrors the wiring's
+      * maxBucket = 2. (The chain's ok/cand CTEs go unused here.)
+      */
+    val dedupHealthSql: String =
+      s"""$minhashCtes, sizes AS (
+         |  SELECT band, h, count(*) AS n_docs FROM bx GROUP BY 1, 2
+         |), droppedb AS (
+         |  SELECT band, h FROM sizes WHERE n_docs > 2
+         |), slot AS (
+         |  SELECT bx.doc_id, count(*) AS n_slots
+         |  FROM bx JOIN droppedb ON bx.band = droppedb.band AND bx.h = droppedb.h
+         |  GROUP BY 1
+         |), idx AS (SELECT DISTINCT doc_id FROM bx)
+         |SELECT d.source,
+         |  count(*) AS n_docs_indexed,
+         |  CAST(coalesce(sum(s.n_slots), 0) AS BIGINT) AS n_slots_dropped,
+         |  CAST(sum(CASE WHEN s.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_docs_affected
+         |FROM idx
+         |JOIN documents d USING (doc_id)
+         |LEFT JOIN slot s ON idx.doc_id = s.doc_id
+         |GROUP BY 1 ORDER BY source""".stripMargin
+
     /** Winnowing (value-set variant): positional shingle hashes →
       * sliding-window min (signed-long order, matching Spark) →
       * distinct selected values. Positions are 1-based here vs
@@ -1826,6 +1850,13 @@ object SparkEntry {
     "q_dedup_simhash" -> ((s, dir) =>
       LshDedup.simhashCandidates(Tables.documents(s, dir), maxHamming = 6)
         .orderBy(col("doc_a"), col("doc_b"))),
+    "q_dedup_health" -> ((s, dir) =>
+      // per-source skew-cap observability: maxBucket deliberately low
+      // here so the guard actually fires at test SF and the oracle
+      // certifies non-trivial drop numbers (production keeps the
+      // 1000-ish default and alerts on n_slots_dropped > 0)
+      LshDedup.dedupHealth(Tables.documents(s, dir), maxBucket = 2)
+        .orderBy(col("source"))),
     "q_ngram_jaccard" -> ((s, dir) =>
       // exact inverted-index set-similarity join (no LSH recall
       // caveat) — the ground-truth path; LSH-pruned mining is graded
@@ -3841,6 +3872,7 @@ object SparkEntry {
     // signature/index chains are reproduced exactly in DuckDB
     // (SketchOracles scaladocs).
     "q_dedup_minhash" -> SketchOracles.minhashSql,
+    "q_dedup_health" -> SketchOracles.dedupHealthSql,
     "q_minhash_est" -> SketchOracles.minhashEstSql,
     "q_dedup_simhash" -> SketchOracles.simhashSql,
     "q_ann_lsh" -> SketchOracles.annLshSql,

@@ -196,6 +196,45 @@ object LshDedup {
       .agg(count(lit(1)).as("n_buckets_dropped"),
         coalesce(sum(col("n_docs")), lit(0L)).as("n_doc_slots_dropped"))
 
+  /** Per-SOURCE dedup-health report over the skew-cap drops: how many
+    * docs entered the LSH index, how many (doc, band) slots landed in
+    * buckets the `maxBucket` guard discards, and how many distinct
+    * docs are affected. This is [[dropStats]] made attributable — a
+    * spam-heavy source under-dedups silently unless its own drop
+    * numbers are observable, and routing (affected docs → exact
+    * dedup) needs the per-source breakdown.
+    *
+    * Plan: the bucket frame is persisted (it feeds the size
+    * aggregate, the membership join and the index count), the dropped
+    * bucket list is broadcast (over-cap buckets are rare by
+    * definition — each one is a spam cluster), and the only
+    * corpus-sized shuffles are the bucket aggregate and the doc_id
+    * joins. Released after the first action (caching contract above).
+    */
+  def dedupHealth(docs: DataFrame, k: Int = 64, bands: Int = 16, n: Int = 3,
+                  maxBucket: Int = 1000): DataFrame = {
+    val buckets = shingleHashes(docs, n = n)
+      .filter(size(col("shingle_hashes")) > 0)
+      .select(col("doc_id"),
+        posexplode(minhash_band_hashes(col("shingle_hashes"), k, bands)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
+      .persist()
+    val dropped = buckets.groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > maxBucket)
+    val slots = buckets
+      .join(broadcast(dropped.select("band", "band_hash")), Seq("band", "band_hash"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_slots"))
+    val res = buckets.select(col("doc_id")).distinct()
+      .join(slots, Seq("doc_id"), "left")
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs_indexed"),
+        coalesce(sum(col("n_slots")), lit(0L)).as("n_slots_dropped"),
+        sum(when(col("n_slots").isNotNull, 1L).otherwise(0L)).as("n_docs_affected"))
+    unpersistAfterFirstUse(res, buckets)
+  }
+
   /** LSH candidates verified by exact n-gram Jaccard ≥ threshold.
     * Verification joins shingle sets back only for candidate pairs —
     * at corpus scale the candidate set is tiny relative to n².
