@@ -1927,6 +1927,21 @@ object SparkEntry {
         .select(col("query_id"), col("rank"), col("vec_id"), col("sim_micro"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    "q_ann_ivf_store" -> ((s, dir) => {
+      // the production IVF shape: build/persist the cell-partitioned
+      // index once, probe from the artifact (dynamic partition
+      // pruning skips unprobed cells at the FILE level). Same oracle
+      // as q_ann_ivf — the store roundtrip must be value-exact.
+      val emb = Tables.embeddings(s, dir)
+      val store = s"${System.getProperty("java.io.tmpdir")}/graft-ivf-" +
+        Integer.toHexString(dir.hashCode)
+      graft.operators.IvfStore.write(emb, store, nCells = 16)
+      graft.operators.IvfStore.search(s, store,
+        emb.filter(col("vec_id") < 3), topK = 10, nProbe = 4)
+        .withColumn("sim_micro", floor(col("sim") * 1e6).cast("long"))
+        .select(col("query_id"), col("rank"), col("vec_id"), col("sim_micro"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "q_media_meta" -> ((s, dir) =>
       // REAL header decode: packMediaImages synthesizes genuine
       // PNG/JPEG/GIF header bytes (deterministic dimensions), and
@@ -3877,6 +3892,8 @@ object SparkEntry {
     "q_dedup_simhash" -> SketchOracles.simhashSql,
     "q_ann_lsh" -> SketchOracles.annLshSql,
     "q_ann_ivf" -> SketchOracles.annIvfSql,
+    // store-backed probe must be value-exact vs the inline build
+    "q_ann_ivf_store" -> SketchOracles.annIvfSql,
     // 1:1 replica of the quantized-ANN chain: per-dim max-abs scales,
     // clamp(floor(v*s)) int8 vectors, integer coarse dot top-50,
     // exact cosine re-rank top-10 (floor is engine-portable, integer

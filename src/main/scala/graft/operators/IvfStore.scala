@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF index lifecycle: build once, probe many.
+  *
+  * [[Similarity.ivfIndex]] rebuilt inline per query is the prototype
+  * shape; production builds the index when the corpus changes and
+  * serves many probe queries from the artifact. The store is two
+  * parquet tables under one root:
+  *
+  *   {path}/centroids                 (cell_id, centroid)
+  *   {path}/index, partitioned by cell_id   (vec_id, embedding)
+  *
+  * Partitioning the index by cell_id is the point: a probe reads only
+  * its nProbe cells. [[search]] joins the index on cell_id against the
+  * broadcast probe list, so Spark's dynamic partition pruning skips
+  * every unprobed cell's files at runtime — scan cost is
+  * ~nProbe/nCells of the corpus per query batch, now enforced by the
+  * LAYOUT, not just the join selectivity.
+  *
+  * Freshness is observable, not assumed: [[staleness]] reports corpus
+  * vectors missing from the index and indexed vectors gone from the
+  * corpus (the backfill-style diff — compare, then rebuild when the
+  * drift budget is exceeded).
+  */
+object IvfStore {
+
+  /** Build and persist centroids + cell-partitioned index. */
+  def write(vectors: DataFrame, path: String, nCells: Int): Unit = {
+    val cents = Similarity.ivfCentroids(vectors, nCells)
+    cents.write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
+    val spark = vectors.sparkSession
+    Similarity.ivfAssign(vectors, spark.read.parquet(s"$path/centroids"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("cell_id")
+      .parquet(s"$path/index")
+  }
+
+  def centroids(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/centroids")
+
+  def index(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/index")
+
+  /** Probe the stored index — same contract (and same results) as
+    * the inline [[Similarity.ivfSearch]] over the same corpus.
+    */
+  def search(spark: SparkSession, path: String, queries: DataFrame,
+             topK: Int, nProbe: Int): DataFrame =
+    Similarity.ivfSearch(index(spark, path), centroids(spark, path),
+      queries, topK, nProbe)
+
+  /** One-row freshness report: corpus vs stored index by vec_id.
+    * n_missing = corpus vectors the index has never seen (stale
+    * reads will simply not return them); n_orphaned = indexed
+    * vectors no longer in the corpus (deleted docs still servable).
+    * Ids-only full outer join — embeddings never move.
+    */
+  def staleness(spark: SparkSession, path: String,
+                vectors: DataFrame): DataFrame = {
+    val c = vectors.select(col("vec_id").as("c_id"))
+    val i = index(spark, path).select(col("vec_id").as("i_id"))
+    c.join(i, col("c_id") === col("i_id"), "full_outer")
+      .agg(
+        sum(when(col("i_id").isNotNull && col("c_id").isNotNull, 1L)
+          .otherwise(0L)).as("n_indexed"),
+        sum(when(col("i_id").isNull, 1L).otherwise(0L)).as("n_missing"),
+        sum(when(col("c_id").isNull, 1L).otherwise(0L)).as("n_orphaned"))
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{IvfStore, Similarity}
+import graft.sources.Tables
+
+/** Persisted IVF index: probe-after-reload must equal the inline
+  * build, freshness drift must be observable, and the cell layout
+  * must actually prune.
+  */
+class IvfStoreSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val emb = Tables.embeddings(spark, sf)
+
+  test("store-backed probe equals the inline ivfSearch bit-for-bit") {
+    val store = Files.createTempDirectory("ivf-store").toString
+    IvfStore.write(emb, store, nCells = 16)
+    val queries = emb.filter(col("vec_id") < 5)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("query_id"), col("rank"), col("vec_id"),
+        floor(col("sim") * 1e6).cast("long").as("sm"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    val inline = key(Similarity.ivfSearch(
+      Similarity.ivfIndex(emb, nCells = 16),
+      Similarity.ivfCentroids(emb, nCells = 16), queries, topK = 10, nProbe = 4))
+    val stored = key(IvfStore.search(spark, store, queries, topK = 10, nProbe = 4))
+    assert(stored === inline && inline.nonEmpty)
+  }
+
+  test("staleness reports drift: fresh build is clean, corpus growth shows as missing") {
+    import spark.implicits._
+    val store = Files.createTempDirectory("ivf-fresh").toString
+    IvfStore.write(emb, store, nCells = 8)
+    val clean = IvfStore.staleness(spark, store, emb).collect()(0)
+    assert(clean.getAs[Long]("n_missing") === 0L)
+    assert(clean.getAs[Long]("n_orphaned") === 0L)
+    assert(clean.getAs[Long]("n_indexed") === emb.count())
+
+    val dim = emb.select(size(col("embedding"))).first().getInt(0)
+    val grown = emb.select(col("vec_id"), col("embedding")).unionByName(
+      Seq((9000001L, Array.fill(dim)(0.25f)), (9000002L, Array.fill(dim)(0.5f)))
+        .toDF("vec_id", "embedding"))
+    val drifted = IvfStore.staleness(spark, store, grown).collect()(0)
+    assert(drifted.getAs[Long]("n_missing") === 2L)
+    assert(drifted.getAs[Long]("n_orphaned") === 0L)
+  }
+
+  test("probes prune the cell-partitioned index files dynamically") {
+    val store = Files.createTempDirectory("ivf-dpp").toString
+    IvfStore.write(emb, store, nCells = 16)
+    val p = IvfStore.search(spark, store, emb.filter(col("vec_id") < 2),
+      topK = 5, nProbe = 2).queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning over the cell layout in:\n$p")
+  }
+}
