@@ -137,62 +137,88 @@ object Dedup {
     * minimum doc_id reachable from it as its cluster id, and one doc
     * per cluster survives.
     *
-    * Algorithm: iterative min-label propagation (the standard
-    * large-graph CC on Spark — alternating small-star/large-star
-    * collapses; here the simpler propagate-min, which converges in
-    * O(diameter) rounds and near-dup graphs have tiny diameters).
-    * Each round is one shuffle; iteration stops when no label changes.
+    * Algorithm: the large-star / small-star alternation (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", SoCC'14).
+    * Each pass rewrites the edge set toward star graphs rooted at
+    * component minima; the alternation provably converges in
+    * O(log² n) rounds (≈log n in practice) REGARDLESS of how labels
+    * are laid out along the topology. (The previous propagate-min +
+    * pointer-jump formulation was O(rounds) on adversarial id
+    * permutations — a scrambled-id path stalled it; the star
+    * transforms carry no such dependence, see DedupPipelineSpec's
+    * 1000-node scrambled path.) Every step is groupBy/join on the
+    * edge frame — two keyed shuffles per pass, no driver data.
+    *
+    * Lineage is cut per round (localCheckpoint); on a cluster with
+    * executor-loss concerns swap for reliable checkpoint() — same
+    * algorithm. Iteration stops at the exact fixpoint (edge set
+    * unchanged, verified by anti-join, not a hash signature) and a
+    * non-fixpoint exit fails loud: silent stop = wrong cluster ids =
+    * several representatives per cluster.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // lineage must be cut every round (localCheckpoint), not just
-    // cached: the pointer-jump references the round's frame twice, so
-    // an uncut logical plan doubles per iteration. On a cluster with
-    // executor loss concerns, swap for reliable checkpoint() + a
-    // checkpoint dir — same algorithm.
-    var labels = edges.groupBy(col("src").as("doc_id"))
-      .agg(least(min(col("dst")), first(col("src"))).as("label"))
+    // large-star: every node u links each LARGER neighbor to the min
+    // of its neighborhood (including u) — long chains fold onto small
+    // ids from both directions
+    def largeStar(e: DataFrame): DataFrame = {
+      val b = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val m = b.groupBy(col("src"))
+        .agg(least(min(col("dst")), first(col("src"))).as("m"))
+      b.join(m, "src")
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+    }
+    // small-star: every node links its SMALLER neighbors (and itself)
+    // to their minimum — stars flatten to point at the root
+    def smallStar(e: DataFrame): DataFrame = {
+      val o = e.select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      val m = o.groupBy(col("src")).agg(min(col("dst")).as("m"))
+      o.join(m, "src")
+        .select(col("dst").as("v"), col("m"))
+        .union(m.select(col("src").as("v"), col("m")))
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("src"), col("m").as("dst"))
+        .distinct()
+    }
+    var edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
       .localCheckpoint()
+    // capture the node set up front: nodes leave the edge frame as
+    // they become roots or get absorbed, but still need labels
+    val nodes = edges.select(col("src").as("doc_id"))
+      .union(edges.select(col("dst").as("doc_id")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // propagate: each node adopts the min label among itself and its
-      // neighbors (one hop per round on its own)
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
-        .groupBy(col("src").as("doc_id"))
-        .agg(min(col("label")).as("nlabel"))
-      val prop = labels.join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-      // pointer-jump: adopt the current label's own label. Every label
-      // value is itself a node (labels start as node ids and only ever
-      // take values from that set), so this halves chain distance each
-      // round — convergence in O(log diameter) rounds instead of
-      // O(diameter), which is what makes long near-dup chains safe.
-      val next = prop.as("a")
-        .join(prop.select(col("doc_id").as("label"), col("label").as("jump")),
-          Seq("label"), "left")
-        .select(col("doc_id"),
-          least(col("label"), coalesce(col("jump"), col("label"))).as("label"))
-        .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
-        .filter(col("label") =!= col("old")).limit(1).count()
-      labels.unpersist()
-      labels = next
-      converged = changed == 0
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      converged = next.count() == edges.count() &&
+        next.join(edges, Seq("src", "dst"), "left_anti").limit(1).count() == 0
+      edges.unpersist()
+      edges = next
       iter += 1
     }
-    edges.unpersist()
-    // a silent stop here would hand back wrong cluster ids (and dedup
-    // would then keep several representatives per cluster) — fail loud
-    if (!converged)
+    if (!converged) {
+      nodes.unpersist()
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds; " +
-          "raise maxIter (pointer-jumping needs ~log2(diameter) rounds)")
-    labels.withColumnRenamed("label", "cluster_id")
+          "star alternation needs ~log2 rounds — raise maxIter")
+    }
+    // fixpoint = stars: every edge is (child, root) with child > root;
+    // roots (and isolated nodes) label themselves
+    val lbl = edges.groupBy(col("src").as("doc_id"))
+      .agg(min(col("dst")).as("cluster_id"))
+    LshDedup.unpersistAfterFirstUse(
+      nodes.join(lbl, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id")),
+      nodes)
   }
 
   /** Drop every near-duplicate except the min-doc_id representative of

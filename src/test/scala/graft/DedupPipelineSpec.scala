@@ -28,6 +28,22 @@ class DedupPipelineSpec extends SparkSpec {
     assert(cc.values.forall(_ === 0L), s"non-converged labels: $cc")
   }
 
+  test("connectedComponents: 1000-node path with scrambled ids and the min mid-chain") {
+    // ids are a permutation of 0..999 laid out along the path, so the
+    // component minimum sits at an arbitrary interior position and
+    // labels must propagate BOTH directions across ~500 hops — the
+    // adversarial case for propagate-min. Pointer-jumping has to
+    // close it in ~log2(1000) ≈ 10 doubling rounds (budget 16).
+    val perm = (0L until 1000L).map(i => (i * 541L) % 1000L) // 541 coprime to 1000
+    val path = perm.sliding(2).map(p => (p(0), p(1))).toSeq
+      .toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(path, maxIter = 16).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.size === 1000)
+    assert(cc.values.forall(_ === 0L),
+      s"labels not all 0: ${cc.filter(_._2 != 0L).take(5)}")
+  }
+
   test("dropStats counts the buckets and doc-slots the LSH skew cap drops") {
     import graft.operators.LshDedup
     // spam corpus: 40 identical docs (every band bucket has 40 docs)
