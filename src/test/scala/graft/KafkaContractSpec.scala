@@ -129,4 +129,25 @@ class KafkaContractSpec extends SparkSpec {
     assert(out.select(col("key").cast("string")).as[String].collect().toSet
       === candles.select($"symbol").as[String].collect().toSet)
   }
+
+  test("kafkaSource fails fast (with guidance) when the connector jar is absent") {
+    assume(!CandleStream.kafkaConnectorAvailable,
+      "connector present in this environment — absence path not testable")
+    val e = intercept[IllegalArgumentException] {
+      CandleStream.kafkaSource(spark, "localhost:9092", "transactions")
+    }
+    assert(e.getMessage.contains("spark-sql-kafka"))
+  }
+
+  test("kafkaSource binds a real topic when the connector jar is present") {
+    // CANCELED in this offline sandbox (no connector jar, zero
+    // egress); on a classpath with spark-sql-kafka it proves the
+    // binding produces a streaming frame in the transaction shape
+    assume(CandleStream.kafkaConnectorAvailable,
+      "spark-sql-kafka not on the classpath (offline sandbox)")
+    val txns = CandleStream.kafkaSource(spark, "localhost:9092",
+      "transactions", startingOffsets = "earliest")
+    assert(txns.isStreaming)
+    assert(txns.schema.fieldNames.toSet === Set("symbol", "price", "quantity", "ts"))
+  }
 }
