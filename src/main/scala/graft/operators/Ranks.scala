@@ -101,10 +101,14 @@ object Ranks {
       percentile_approx(col(valueCol), array(fracs: _*), lit(10000))
         .as("__cuts"))
     // bucket id ascending along the DESC order: number of cutpoints
-    // strictly above this value (monotone, tie-consistent)
+    // strictly above this value (monotone, tie-consistent). Persisted
+    // as well: the ranked window, the bucket counts and the offsets
+    // all branch from here — without the cache each branch would
+    // re-run the cutpoint join + bucket lambda over the input
     val b = cached.crossJoin(broadcast(cuts))
       .withColumn("__bkt", size(filter(col("__cuts"), c => col(valueCol) < c)))
       .drop("__cuts")
+      .persist()
     val wLocal = Window.partitionBy(col("__bkt"))
       .orderBy(col(valueCol).desc, col(idCol))
     val ranked = b.withColumn("__lrn", row_number().over(wLocal).cast("long"))
@@ -129,6 +133,7 @@ object Ranks {
            |ELSE (__n % $k) + (__rn - (__n % $k) * (__n div $k + 1) - 1) div (__n div $k) + 1
            |END""".stripMargin).cast("long"))
       .drop("__bkt", "__lrn", "__off", "__n", "__rn")
-    LshDedup.unpersistAfterFirstUse(res, cached)
+    LshDedup.unpersistAfterFirstUse(
+      LshDedup.unpersistAfterFirstUse(res, cached), b)
   }
 }
