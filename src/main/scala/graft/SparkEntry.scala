@@ -1933,8 +1933,10 @@ object SparkEntry {
       // pruning skips unprobed cells at the FILE level). Same oracle
       // as q_ann_ivf — the store roundtrip must be value-exact.
       val emb = Tables.embeddings(s, dir)
+      // per-process, per-dir path: concurrent runs over the same data
+      // never race on one store, and distinct dirs never alias
       val store = s"${System.getProperty("java.io.tmpdir")}/graft-ivf-" +
-        Integer.toHexString(dir.hashCode)
+        s"${ProcessHandle.current().pid()}-" + dir.replaceAll("[^A-Za-z0-9.]", "_")
       graft.operators.IvfStore.write(emb, store, nCells = 16)
       graft.operators.IvfStore.search(s, store,
         emb.filter(col("vec_id") < 3), topK = 10, nProbe = 4)

@@ -189,36 +189,36 @@ object Dedup {
       .distinct()
       .localCheckpoint()
     // capture the node set up front: nodes leave the edge frame as
-    // they become roots or get absorbed, but still need labels
+    // they become roots or get absorbed, but still need labels. Read
+    // exactly once (the final join), so no cache — it recomputes from
+    // the initial checkpointed edge frame.
     val nodes = edges.select(col("src").as("doc_id"))
       .union(edges.select(col("dst").as("doc_id")))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var converged = false
     var iter = 0
+    // per-round localCheckpoint blocks are freed by the ContextCleaner
+    // once the previous round's Dataset becomes unreachable (an
+    // explicit unpersist() would be a no-op: checkpoint blocks are not
+    // CacheManager entries) — peak storage is ~2 rounds of edges
     while (!converged && iter < maxIter) {
       val next = smallStar(largeStar(edges)).localCheckpoint()
       converged = next.count() == edges.count() &&
         next.join(edges, Seq("src", "dst"), "left_anti").limit(1).count() == 0
-      edges.unpersist()
       edges = next
       iter += 1
     }
-    if (!converged) {
-      nodes.unpersist()
+    if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds; " +
           "star alternation needs ~log2 rounds — raise maxIter")
-    }
     // fixpoint = stars: every edge is (child, root) with child > root;
     // roots (and isolated nodes) label themselves
     val lbl = edges.groupBy(col("src").as("doc_id"))
       .agg(min(col("dst")).as("cluster_id"))
-    LshDedup.unpersistAfterFirstUse(
-      nodes.join(lbl, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id")),
-      nodes)
+    nodes.join(lbl, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
   }
 
   /** Drop every near-duplicate except the min-doc_id representative of

@@ -38,13 +38,21 @@ object LshDedup {
     val lm = result.sparkSession.listenerManager
     val marker = result.queryExecution.analyzed
     val listener: QueryExecutionListener = new QueryExecutionListener {
+      // bounded-leak guard: a query that is CONSTRUCTED but never run
+      // (plan inspection, PlanDump, the PlanSpec all-plans lock) would
+      // otherwise pin this listener + the lazy cache entry for the
+      // session lifetime. After enough unrelated actions pass without
+      // the marker, assume plan-only and release — worst case a query
+      // executed much later merely loses the shared-scan optimization,
+      // never correctness. (Callbacks arrive on one listener-bus
+      // thread, so the counter needs no synchronization.)
+      private var misses = 0
+      private def release(): Unit = { cached.unpersist(false); lm.unregister(this) }
       private def maybeRelease(qe: QueryExecution): Unit =
         // analyzed subtrees are reused by reference in derived plans,
         // so `eq` identifies "an action that ran through our result"
-        if ((qe.analyzed eq marker) || qe.analyzed.exists(_ eq marker)) {
-          cached.unpersist(false)
-          lm.unregister(this)
-        }
+        if ((qe.analyzed eq marker) || qe.analyzed.exists(_ eq marker)) release()
+        else { misses += 1; if (misses > 512) release() }
       override def onSuccess(funcName: String, qe: QueryExecution,
                              durationNs: Long): Unit = maybeRelease(qe)
       override def onFailure(funcName: String, qe: QueryExecution,
@@ -222,8 +230,12 @@ object LshDedup {
     val dropped = buckets.groupBy(col("band"), col("band_hash"))
       .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") > maxBucket)
+    // no broadcast hint: dropped is tiny under production caps
+    // (over-cap buckets are spam clusters) but can approach bucket
+    // scale when maxBucket is set low — let AQE pick the strategy
+    // from the measured size
     val slots = buckets
-      .join(broadcast(dropped.select("band", "band_hash")), Seq("band", "band_hash"))
+      .join(dropped.select("band", "band_hash"), Seq("band", "band_hash"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_slots"))
     val res = buckets.select(col("doc_id")).distinct()
       .join(slots, Seq("doc_id"), "left")

@@ -30,6 +30,20 @@ import org.apache.spark.sql.functions._
   */
 object Ranks {
 
+  /** Strict prefix sum over a TINY keyed frame (blocks, buckets) via
+    * a broadcast theta-join: O(rows²) compares on a frame that is
+    * bounded by construction. Shared by [[prefixSum]] (block carries)
+    * and [[ntileExact]] (bucket offsets) so the null/tiebreak
+    * semantics cannot drift between them. Output: (key, out), out
+    * NULL for the first key (no strict predecessors).
+    */
+  private def strictPrefixTiny(tiny: DataFrame, key: String, valCol: String,
+                               out: String): DataFrame =
+    tiny.as("a")
+      .join(broadcast(tiny.as("b")), col(s"b.$key") < col(s"a.$key"), "left")
+      .groupBy(col(s"a.$key"))
+      .agg(sum(col(s"b.$valCol")).as(out))
+
   /** Running total of `valCol` along `orderCol` with no global
     * window. `block` must be a coarsening of `orderCol`'s order
     * (e.g. month-of-day): rows compare consistently across blocks.
@@ -50,10 +64,7 @@ object Ranks {
     // block-grain strict prefix: tiny frame, broadcast theta-join —
     // O(blocks²) compares on a bounded frame beats one unbounded task
     val blocks = blocked.groupBy(col("__blk")).agg(sum(col(valCol)).as("__btot"))
-    val carry = blocks.as("a")
-      .join(broadcast(blocks.as("b")), col("b.__blk") < col("a.__blk"), "left")
-      .groupBy(col("a.__blk"))
-      .agg(sum(col("b.__btot")).as("__carry"))
+    val carry = strictPrefixTiny(blocks, "__blk", "__btot", "__carry")
     val res = blocked
       .withColumn("__intra", sum(col(valCol)).over(wIn))
       .join(broadcast(carry), "__blk")
@@ -101,22 +112,24 @@ object Ranks {
       percentile_approx(col(valueCol), array(fracs: _*), lit(10000))
         .as("__cuts"))
     // bucket id ascending along the DESC order: number of cutpoints
-    // strictly above this value (monotone, tie-consistent). Persisted
+    // strictly above this value (monotone, tie-consistent). NULL
+    // values sort last under DESC (Spark's default NULLS LAST), so
+    // they get the sentinel bucket AFTER every cutpoint bucket —
+    // bit-equal to the window form even on nullable inputs. Persisted
     // as well: the ranked window, the bucket counts and the offsets
     // all branch from here — without the cache each branch would
     // re-run the cutpoint join + bucket lambda over the input
     val b = cached.crossJoin(broadcast(cuts))
-      .withColumn("__bkt", size(filter(col("__cuts"), c => col(valueCol) < c)))
+      .withColumn("__bkt",
+        when(col(valueCol).isNull, lit(nBuckets))
+          .otherwise(size(filter(col("__cuts"), c => col(valueCol) < c))))
       .drop("__cuts")
       .persist()
     val wLocal = Window.partitionBy(col("__bkt"))
       .orderBy(col(valueCol).desc, col(idCol))
     val ranked = b.withColumn("__lrn", row_number().over(wLocal).cast("long"))
     val counts = b.groupBy(col("__bkt")).agg(count(lit(1)).as("__bcnt"))
-    val offsets = counts.as("a")
-      .join(broadcast(counts.as("b")), col("b.__bkt") < col("a.__bkt"), "left")
-      .groupBy(col("a.__bkt"))
-      .agg(sum(col("b.__bcnt")).as("__off"))
+    val offsets = strictPrefixTiny(counts, "__bkt", "__bcnt", "__off")
     val total = counts.agg(sum(col("__bcnt")).as("__n"))
     // exact SQL ntile: the first (n mod k) tiles hold ⌈n/k⌉ rows, the
     // rest ⌊n/k⌋ — pure integer arithmetic on the reconstructed

@@ -48,6 +48,18 @@ class RanksSpec extends SparkSpec {
     }
   }
 
+  test("ntileExact matches the window form on NULL values (nulls rank last)") {
+    val rows = (0 until 97).map { i =>
+      (s"u$i", if (i % 7 == 0) None else Some((i * 13 % 23).toDouble))
+    }.toDF("id", "v")
+    val expected = rows
+      .withColumn("t", ntile(5).over(Window.orderBy($"v".desc, $"id")).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(2))).toSet
+    val got = Ranks.ntileExact(rows, 5, "v", "id", out = "t")
+      .collect().map(r => (r.getString(0), r.getLong(2))).toSet
+    assert(got === expected)
+  }
+
   test("withGlobalAgg appends the one-row global and preserves row count") {
     val df = (1 to 100).map(i => (i, i.toLong)).toDF("id", "v")
     val out = Ranks.withGlobalAgg(df,
