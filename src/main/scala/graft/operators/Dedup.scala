@@ -183,18 +183,18 @@ object Dedup {
         .select(col("v").as("src"), col("m").as("dst"))
         .distinct()
     }
+    // capture the node set BEFORE the self-loop filter: a doc whose
+    // only pair is (d, d) is a singleton component and must still get
+    // a label row (itself), not vanish from the output
+    val nodes = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id")))
+      .distinct()
+      .localCheckpoint()
     var edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint()
-    // capture the node set up front: nodes leave the edge frame as
-    // they become roots or get absorbed, but still need labels. Read
-    // exactly once (the final join), so no cache — it recomputes from
-    // the initial checkpointed edge frame.
-    val nodes = edges.select(col("src").as("doc_id"))
-      .union(edges.select(col("dst").as("doc_id")))
-      .distinct()
     var converged = false
     var iter = 0
     // per-round localCheckpoint blocks are freed by the ContextCleaner

@@ -88,6 +88,10 @@ object CandleHttpServer {
           case "candles" :: symbol :: tf :: "recent" :: Nil =>
             requireTf(tf)
             val n = params.getOrElse("n", "25").toInt
+            // same gateway-heap bound as the range route's `limit`:
+            // recent materializes n rows per symbol before the filter
+            require(n > 0 && n <= MaxRangeRows,
+              s"n must be in 1..$MaxRangeRows")
             respond(ex, 200, toJsonArray(candleRows(
               CandleStore.recent(spark, storePath, tf, n)
                 .filter(org.apache.spark.sql.functions.col("symbol") === symbol))))

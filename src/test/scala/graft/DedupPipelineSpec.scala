@@ -18,6 +18,17 @@ class DedupPipelineSpec extends SparkSpec {
       5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 7L))
   }
 
+  test("connectedComponents labels docs appearing only in self-pairs") {
+    // (4,4) is a singleton component: the self-loop carries no edge,
+    // but the doc must still get a label row (itself) — callers feed
+    // raw pair lists that can include reflexive matches
+    val pairs = Seq((1L, 2L), (4L, 4L), (2L, 2L))
+      .toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 4L -> 4L))
+  }
+
   test("connectedComponents converges on a chain far longer than the round budget") {
     // a 60-node path: min-label alone needs 60 one-hop rounds, well
     // past maxIter — pointer-jumping must close it in ~log2(60) rounds

@@ -105,6 +105,14 @@ class HttpServingSpec extends SparkSpec {
           .openConnection().asInstanceOf[java.net.HttpURLConnection]
         assert(c.getResponseCode === 400, s"limit=$bad not rejected")
       }
+
+      // recent-N shares the same bound: an unbounded n would collect
+      // n × symbols rows onto the gateway heap
+      for (bad <- Seq("0", "100000000", "-1")) {
+        val c = new URI(s"$base/candles/AAPL/MINUTE/recent?n=$bad").toURL
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        assert(c.getResponseCode === 400, s"n=$bad not rejected")
+      }
     } finally server.stop(0)
   }
 }
