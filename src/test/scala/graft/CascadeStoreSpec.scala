@@ -56,4 +56,55 @@ class CascadeStoreSpec extends SparkSpec {
     assert(got.select("timeframe").distinct().as[String].collect().toSet
       === Set("MINUTE", "HOUR", "DAY", "MONTH"))
   }
+
+  test("mergeBatchIntoStore is idempotent: re-delivering a micro-batch leaves the store unchanged") {
+    // Structured Streaming's foreachBatch re-runs a batch after a sink
+    // failure; exactly-once for the candle store therefore reduces to
+    // the upsert being a no-op on retry (same batchId, same rows).
+    val dir = Files.createTempDirectory("idem-store").toString
+    val txns1 = Seq(
+      StockTransaction("AAPL", 10.0, 5, ts("2024-03-01 09:30:05")),
+      StockTransaction("AAPL", 12.0, 3, ts("2024-03-01 09:30:40")),
+      StockTransaction("MSFT", 99.0, 2, ts("2024-03-01 10:10:00"))).toDF()
+    val txns2 = Seq(
+      StockTransaction("AAPL", 11.0, 1, ts("2024-03-01 09:30:50")), // refines 09:30
+      StockTransaction("MSFT", 98.0, 6, ts("2024-03-01 11:00:00"))).toDF()
+
+    def snapshot(): Set[Seq[Any]] =
+      spark.read.parquet(dir).select(Candles.candleColumns: _*)
+        .collect().map(_.toSeq).toSet
+
+    CandleStream.mergeBatchIntoStore(Candles.minuteCandles(txns1), dir)
+    val afterFirst = snapshot()
+    // retry of batch 1 against a non-empty store
+    CandleStream.mergeBatchIntoStore(Candles.minuteCandles(txns1), dir)
+    assert(snapshot() === afterFirst)
+
+    // a refining batch, applied twice, also converges to one apply
+    val refined = Candles.minuteCandles(txns1.unionByName(txns2))
+      .join(Candles.minuteCandles(txns2).select("symbol", "window_start"),
+        Seq("symbol", "window_start"), "left_semi")
+    CandleStream.mergeBatchIntoStore(refined, dir)
+    val afterSecond = snapshot()
+    CandleStream.mergeBatchIntoStore(refined, dir)
+    assert(snapshot() === afterSecond)
+    assert(afterSecond === Candles.minuteCandles(txns1.unionByName(txns2))
+      .collect().map(_.toSeq).toSet)
+  }
+
+  test("cascadeMerge is idempotent: re-delivering a minute batch leaves all timeframes unchanged") {
+    val dir = Files.createTempDirectory("idem-cascade").toString
+    val txns = Seq(
+      StockTransaction("AAPL", 10.0, 5, ts("2024-03-01 09:30:05")),
+      StockTransaction("AAPL", 12.0, 3, ts("2024-03-01 10:15:00")),
+      StockTransaction("MSFT", 99.0, 2, ts("2024-03-01 10:10:00"))).toDF()
+    val minuteBatch = Candles.minuteCandles(txns)
+    CandleStream.cascadeMerge(minuteBatch, dir)
+    val once = spark.read.parquet(dir).select(Candles.candleColumns: _*)
+      .collect().map(_.toSeq).toSet
+    CandleStream.cascadeMerge(minuteBatch, dir)
+    val twice = spark.read.parquet(dir).select(Candles.candleColumns: _*)
+      .collect().map(_.toSeq).toSet
+    assert(twice === once)
+  }
 }
