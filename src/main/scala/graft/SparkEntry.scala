@@ -1934,9 +1934,15 @@ object SparkEntry {
       // as q_ann_ivf — the store roundtrip must be value-exact.
       val emb = Tables.embeddings(s, dir)
       // per-process, per-dir path: concurrent runs over the same data
-      // never race on one store, and distinct dirs never alias
+      // never race on one store, and distinct dirs never alias — the
+      // raw-dir hash keeps paths distinct even where the readable
+      // sanitization is lossy (/a/b vs /a_b). One invocation per
+      // (pid, dir) assumed: a concurrent same-pid overwrite of the
+      // same store would race an in-flight probe.
       val store = s"${System.getProperty("java.io.tmpdir")}/graft-ivf-" +
-        s"${ProcessHandle.current().pid()}-" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+        s"${ProcessHandle.current().pid()}-" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_") + "-" +
+        java.lang.Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir))
       graft.operators.IvfStore.write(emb, store, nCells = 16)
       graft.operators.IvfStore.search(s, store,
         emb.filter(col("vec_id") < 3), topK = 10, nProbe = 4)

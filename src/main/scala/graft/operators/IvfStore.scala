@@ -27,9 +27,16 @@ import org.apache.spark.sql.functions._
   */
 object IvfStore {
 
-  /** Build and persist centroids + cell-partitioned index. */
-  def write(vectors: DataFrame, path: String, nCells: Int): Unit = {
-    val cents = Similarity.ivfCentroids(vectors, nCells)
+  /** Build and persist centroids + cell-partitioned index.
+    * `lloydIters` > 0 refines the deterministic md5-sampled seed
+    * centroids with that many Lloyd (k-means) iterations
+    * ([[Similarity.ivfTrain]]) before assigning — better-balanced
+    * cells, so the same nProbe recovers more true neighbors; 0 keeps
+    * the raw sample (the oracle-reproducible build).
+    */
+  def write(vectors: DataFrame, path: String, nCells: Int,
+            lloydIters: Int = 0): Unit = {
+    val cents = Similarity.ivfTrain(vectors, nCells, lloydIters)
     cents.write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
     val spark = vectors.sparkSession
     Similarity.ivfAssign(vectors, spark.read.parquet(s"$path/centroids"))

@@ -58,4 +58,31 @@ class IvfStoreSpec extends SparkSpec {
     assert(p.toLowerCase.contains("dynamicpruning"),
       s"no dynamic partition pruning over the cell layout in:\n$p")
   }
+
+  test("Lloyd-refined build matches or beats the sampled-centroid build on recall") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val truth = Similarity.knnBrute(emb, queries, topK = 10)
+      .select("query_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    def recall(store: String): Double = {
+      val got = IvfStore.search(spark, store, queries, topK = 10, nProbe = 4)
+        .select("query_id", "vec_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(truth).size.toDouble / truth.size
+    }
+
+    val sampledStore = Files.createTempDirectory("ivf-sampled").toString
+    IvfStore.write(emb, sampledStore, nCells = 16)
+    val refinedStore = Files.createTempDirectory("ivf-refined").toString
+    IvfStore.write(emb, refinedStore, nCells = 16, lloydIters = 2)
+
+    val (rSampled, rRefined) = (recall(sampledStore), recall(refinedStore))
+    // deterministic on this corpus (md5-sampled seeds, exact Lloyd):
+    // refinement re-balances cells, so the same nProbe must recover at
+    // least as many true neighbors
+    assert(rRefined >= rSampled,
+      s"Lloyd refinement degraded recall: sampled=$rSampled refined=$rRefined")
+    assert(rRefined > 0.5, s"refined recall implausibly low: $rRefined")
+  }
 }
