@@ -1980,6 +1980,18 @@ object SparkEntry {
         .select(col("doc_id"), col("frame_idx"),
           octet_length(col("frame")).as("frame_bytes"))
         .orderBy(col("doc_id"), col("frame_idx"))),
+    "q_media_av" -> ((s, dir) =>
+      // REAL container decode: packMediaAv synthesizes genuine
+      // WAV/RIFF and MP4/ISO-BMFF byte layouts (deterministic stream
+      // parameters), and decodeAvFeatures PARSES sample-rate/channels/
+      // dims/duration/track-count back out of the chunk & box walks —
+      // the oracle recomputes the synthesis arithmetic, so a hash
+      // match proves the byte-level parse, not echoed metadata
+      Media.decodeAvFeatures(Media.packMediaAv(Tables.documents(s, dir)))
+        .select(col("doc_id"), col("mime"), col("sample_rate"),
+          col("channels"), col("width"), col("height"),
+          col("duration_ms"), col("n_tracks"), col("n_bytes"))
+        .orderBy(col("doc_id"))),
   )
 
   /** DuckDB replica of [[graft.operators.Bpe.trainMerges]]: the same
@@ -4133,5 +4145,35 @@ object SparkEntry {
         |  count(*) AS n_copies,
         |  CAST(min(octet_length(encode(text))) AS INTEGER) AS n_bytes
         |FROM documents GROUP BY 1 ORDER BY payload_md5""".stripMargin,
+    // header lengths are synthesis constants (WAV RIFF+fmt+data = 44;
+    // MP4 ftyp 16 + moov 8+108+100·traks + mdat header 8); stream
+    // parameters recompute the synthesis arithmetic — the Spark side
+    // must PARSE the same numbers back out of the container bytes.
+    // WAV duration = data bytes · 1000 / byte-rate (floor division);
+    // MP4 timescale is 1000, so mvhd duration units are already ms
+    "q_media_av" ->
+      """WITH m AS (
+        |  SELECT doc_id, doc_id % 2 AS kind,
+        |    CAST(8000 + 100 * ((doc_id * 7919 + length(text)) % 441) AS INTEGER) AS sr,
+        |    CAST(1 + (doc_id * 31 + length(text)) % 2 AS INTEGER) AS ch,
+        |    CAST(64 + (doc_id * 7919 + length(text)) % 512 AS INTEGER) AS w,
+        |    CAST(64 + (doc_id * 104729 + length(text)) % 512 AS INTEGER) AS h,
+        |    CAST(1000 + (doc_id * 104729 + length(text)) % 60000 AS BIGINT) AS dur,
+        |    CAST(1 + (doc_id * 13 + length(text)) % 2 AS INTEGER) AS ntrk,
+        |    octet_length(encode(text)) AS body
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CASE kind WHEN 0 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
+        |  CAST(CASE kind WHEN 0 THEN sr ELSE 0 END AS INTEGER) AS sample_rate,
+        |  CAST(CASE kind WHEN 0 THEN ch ELSE 0 END AS INTEGER) AS channels,
+        |  CAST(CASE kind WHEN 0 THEN 0 ELSE w END AS INTEGER) AS width,
+        |  CAST(CASE kind WHEN 0 THEN 0 ELSE h END AS INTEGER) AS height,
+        |  CAST(CASE kind WHEN 0 THEN (body * 1000) // (sr * ch * 2)
+        |       ELSE dur END AS BIGINT) AS duration_ms,
+        |  CAST(CASE kind WHEN 0 THEN 1 ELSE ntrk END AS INTEGER) AS n_tracks,
+        |  CAST(CASE kind WHEN 0 THEN 44 + body
+        |       ELSE 140 + 100 * ntrk + body END AS INTEGER) AS n_bytes
+        |FROM m ORDER BY doc_id""".stripMargin,
   )
 }

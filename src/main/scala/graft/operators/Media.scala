@@ -36,6 +36,12 @@ object Media {
   private def le16hex(x: Column): Column =
     concat(lpad(hex(pmod(x, lit(256))), 2, "0"),
       lpad(hex(floor(x / 256).cast("int")), 2, "0"))
+  private def le32hex(x: Column): Column =
+    concat(
+      lpad(hex(pmod(x, lit(256))), 2, "0"),
+      lpad(hex(pmod(floor(x / 256).cast("long"), lit(256))), 2, "0"),
+      lpad(hex(pmod(floor(x / 65536).cast("long"), lit(256))), 2, "0"),
+      lpad(hex(pmod(floor(x / 16777216).cast("long"), lit(256))), 2, "0"))
 
   /** Synthesize a media table from documents: payload = a REAL image
     * header (PNG / JPEG / GIF round-robin by doc_id, with genuine
@@ -77,6 +83,77 @@ object Media {
     */
   def packMedia(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+
+  // identity transform matrix of an ISO BMFF mvhd/tkhd (36 bytes)
+  private val bmffMatrixHex =
+    "000100000000000000000000000000000001000000000000000000000000000040000000"
+
+  /** Synthesize an audio/video table from documents: payload = a REAL
+    * container header (WAV/RIFF for even doc_ids, ISO BMFF / MP4 for
+    * odd — genuine byte layouts: the RIFF chunk walk and the moov box
+    * walk both parse with external tools) followed by the UTF-8 text
+    * bytes standing in for the sample/mdat stream. Sample-rate,
+    * channel count, dimensions, duration and track count are derived
+    * deterministically so the oracle recomputes them — the gate then
+    * proves [[decodeAvFeatures]] PARSES them back out of the bytes.
+    * All native expressions (hex/lpad/unhex/concat): scan speed, no
+    * UDF.
+    */
+  def packMediaAv(docs: DataFrame): DataFrame = {
+    val txtLen = length(col("text"))
+    val body = octet_length(encode(col("text"), "UTF-8"))
+    val sr = (lit(8000) + lit(100) * pmod(col("doc_id") * 7919 + txtLen, lit(441))).cast("int")
+    val ch = (lit(1) + pmod(col("doc_id") * 31 + txtLen, lit(2))).cast("int")
+    val w = (lit(64) + pmod(col("doc_id") * 7919 + txtLen, lit(512))).cast("int")
+    val h = (lit(64) + pmod(col("doc_id") * 104729 + txtLen, lit(512))).cast("int")
+    // movie timescale is 1000, so mvhd duration units ARE milliseconds
+    val dur = (lit(1000) + pmod(col("doc_id") * 104729 + txtLen, lit(60000))).cast("int")
+    val nTrk = (lit(1) + pmod(col("doc_id") * 13 + txtLen, lit(2))).cast("int")
+
+    // WAV: RIFF header, canonical 16-byte PCM fmt chunk, data chunk
+    val wavHex = concat(
+      lit("52494646"), le32hex(body + 36), lit("57415645"),
+      lit("666D7420"), lit("10000000"), lit("0100"),
+      le16hex(ch), le32hex(sr), le32hex(sr * ch * 2),
+      le16hex(ch * 2), lit("1000"),
+      lit("64617461"), le32hex(body))
+
+    // MP4: ftyp, moov(mvhd + 1-2 trak(tkhd)), mdat
+    def trakHex(trackId: Int): Column = concat(
+      lit("000000647472616B"),   // trak box, size 100
+      lit("0000005C746B6864"),   // tkhd box, size 92
+      lit("00000007"),           // version 0, flags: enabled|in-movie
+      lit("0000000000000000"),   // ctime, mtime
+      lit(f"$trackId%08X"),
+      lit("00000000"),           // reserved
+      be32hex(dur),
+      lit("0000000000000000"),   // reserved
+      lit("0000000000000000"),   // layer, alt_group, volume, reserved
+      lit(bmffMatrixHex),
+      be16hex(w), lit("0000"),   // width,  16.16 fixed
+      be16hex(h), lit("0000"))   // height, 16.16 fixed
+    val mvhdHex = concat(
+      lit("0000006C6D766864"),   // mvhd box, size 108
+      lit("00000000"),           // version, flags
+      lit("0000000000000000"),   // ctime, mtime
+      lit("000003E8"),           // timescale 1000
+      be32hex(dur),
+      lit("00010000"), lit("0100"), lit("0000"), // rate, volume, reserved
+      lit("0000000000000000"),   // reserved
+      lit(bmffMatrixHex),
+      lit("0" * 48),             // pre_defined
+      lit("00000003"))           // next_track_id
+    val mp4Hex = concat(
+      lit("000000106674797069736F6D00000000"),       // ftyp isom
+      be32hex(lit(116) + lit(100) * nTrk), lit("6D6F6F76"), // moov
+      mvhdHex,
+      trakHex(1),
+      when(nTrk === 2, trakHex(2)).otherwise(lit("")),
+      be32hex(body + 8), lit("6D646174"))            // mdat
+    val hdrHex = when(pmod(col("doc_id"), lit(2)) === 0, wavHex).otherwise(mp4Hex)
+    docs.select(col("doc_id"),
+      concat(unhex(hdrHex), encode(col("text"), "UTF-8")).as("payload"))
+  }
 
   /** Batched decode/feature-extract. Batches of `batchSize` rows are
     * processed together (amortizing decoder setup the way a Pandas UDF
@@ -125,12 +202,16 @@ object Media {
         if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) i += 2 // standalone
         else {
           val len = be16(p, i + 2)
+          // a declared length below 2 (or past the payload) is corrupt
+          // for EVERY segment, SOF included — checked before the SOF
+          // branch so a bogus SOF length can't yield a wrong header
+          // length that silently skews the body statistics
+          if (len < 2 || i + 2 + len > p.length) return None
           val isSof = (m >= 0xc0 && m <= 0xcf) && m != 0xc4 && m != 0xc8 && m != 0xcc
           if (isSof) {
             if (i + 8 >= p.length) return None
             return Some(("image/jpeg", be16(p, i + 7), be16(p, i + 5), i + 2 + len))
           }
-          if (len < 2) return None
           i += 2 + len
         }
       }
@@ -158,6 +239,118 @@ object Media {
       val mean = if (body == 0) 0.0 else sum.toDouble / body
       MediaFeatures(r.doc_id, mime, w, h, n, mean)
     }
+
+  /** Extracted A/V features: container-parsed stream parameters.
+    * Audio rows carry sample_rate/channels (0×0 dims); video rows
+    * carry width/height/n_tracks (0 Hz). duration_ms comes from the
+    * container's own clock (WAV: data bytes / byte-rate; MP4: mvhd
+    * duration / timescale).
+    */
+  final case class MediaAvFeatures(
+      doc_id: Long, mime: String, sample_rate: Int, channels: Int,
+      width: Int, height: Int, duration_ms: Long, n_tracks: Int,
+      n_bytes: Int)
+
+  private def le32(p: Array[Byte], i: Int): Long =
+    (p(i) & 0xffL) | ((p(i + 1) & 0xffL) << 8) |
+      ((p(i + 2) & 0xffL) << 16) | ((p(i + 3) & 0xffL) << 24)
+  private def tag(p: Array[Byte], i: Int): String =
+    new String(p, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Parse an audio/video container header from raw bytes:
+    * (mime, sampleRate, channels, width, height, durationMs, nTracks).
+    * Pure JVM — WAV/RIFF via the chunk walk (canonical PCM fmt chunk +
+    * data chunk), MP4/ISO BMFF via the box walk (moov → mvhd timescale/
+    * duration, trak → tkhd 16.16 fixed dimensions). None when the
+    * bytes are not a recognized container (truncated walks, bogus
+    * chunk/box sizes and non-PCM formats all reject rather than
+    * guessing).
+    */
+  private[graft] def parseAvHeader(p: Array[Byte])
+      : Option[(String, Int, Int, Int, Int, Long, Int)] = {
+    if (p.length >= 44 && tag(p, 0) == "RIFF" && tag(p, 8) == "WAVE") {
+      var i = 12
+      var sampleRate = 0; var channels = 0; var byteRate = 0L
+      var dataLen = -1L
+      while (i + 8 <= p.length && (sampleRate == 0 || dataLen < 0)) {
+        val id = tag(p, i)
+        val sz = le32(p, i + 4)
+        if (sz < 0 || i + 8 + sz > p.length) return None
+        if (id == "fmt ") {
+          if (sz < 16 || le16(p, i + 8) != 1) return None // PCM only
+          channels = le16(p, i + 10)
+          sampleRate = le32(p, i + 12).toInt
+          byteRate = le32(p, i + 16)
+          if (channels == 0 || sampleRate == 0 || byteRate == 0) return None
+        } else if (id == "data") dataLen = sz
+        i += 8 + sz.toInt + (sz.toInt & 1) // RIFF chunks are 2-aligned
+      }
+      if (sampleRate == 0 || dataLen < 0) None
+      else Some(("audio/wav", sampleRate, channels, 0, 0,
+        dataLen * 1000L / byteRate, 1))
+    } else if (p.length >= 16 && tag(p, 4) == "ftyp") {
+      var i = 0
+      while (i + 8 <= p.length) {
+        val sz = be32(p, i)
+        if (sz < 8 || i + sz > p.length) return None
+        if (tag(p, i + 4) == "moov") {
+          var timescale = 0L; var duration = 0L
+          var nTracks = 0; var w = 0; var h = 0
+          var j = i + 8
+          while (j + 8 <= i + sz) {
+            val csz = be32(p, j)
+            if (csz < 8 || j + csz > i + sz) return None
+            tag(p, j + 4) match {
+              case "mvhd" =>
+                if (p(j + 8) != 0 || csz < 32) return None // v0 layout only
+                timescale = be32(p, j + 20) & 0xffffffffL
+                duration = be32(p, j + 24) & 0xffffffffL
+              case "trak" =>
+                nTracks += 1
+                var k = j + 8
+                while (k + 8 <= j + csz) {
+                  val bsz = be32(p, k)
+                  if (bsz < 8 || k + bsz > j + csz) return None
+                  if (tag(p, k + 4) == "tkhd" && w == 0) {
+                    if (p(k + 8) != 0 || bsz < 92) return None
+                    w = be32(p, k + 84) >>> 16 // 16.16 fixed
+                    h = be32(p, k + 88) >>> 16
+                  }
+                  k += bsz
+                }
+              case _ => ()
+            }
+            j += csz
+          }
+          if (timescale == 0 || nTracks == 0) return None
+          return Some(("video/mp4", 0, 0, w, h,
+            duration * 1000L / timescale, nTracks))
+        }
+        i += sz
+      }
+      None
+    } else None
+  }
+
+  /** Batched A/V feature extraction — same degradation contract as
+    * [[decodeFeatures]]: unrecognized payloads become
+    * application/octet-stream with zeroed stream parameters, never a
+    * failed ingest.
+    */
+  def decodeAvFeatures(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[MediaBlob]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap(_.map { r =>
+          val (mime, sr, ch, w, h, dur, trk) = parseAvHeader(r.payload)
+            .getOrElse(("application/octet-stream", 0, 0, 0, 0, 0L, 0))
+          MediaAvFeatures(r.doc_id, mime, sr, ch, w, h, dur, trk,
+            r.payload.length)
+        })
+      }
+      .toDF()
+  }
 
   /** "Video frame" sampling: split the payload into fixed-size chunks
     * and keep every `stride`-th — the partition-parallel shape of
