@@ -131,23 +131,29 @@ object LshDedup {
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
   }
 
+  /** The LSH band table of a corpus: (doc_id, band, band_hash), one
+    * row per doc·band. The fused shingle→signature→band expression
+    * keeps the whole per-doc pipeline in ONE projection column, so
+    * the planner's projection collapse cannot duplicate the upstream
+    * chain (GraftExpressions scaladoc) — banding is per-row work, no
+    * shuffle. This frame is also the persistence unit for
+    * incremental near-dup maintenance ([[BandStore]]).
+    */
+  def bandTable(docs: DataFrame, k: Int = 64, bands: Int = 16,
+                n: Int = 3): DataFrame =
+    shingleHashes(docs, n = n)
+      .filter(size(col("shingle_hashes")) > 0)
+      .select(col("doc_id"),
+        posexplode(minhash_band_hashes(col("shingle_hashes"), k, bands)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
+
   /** Candidate near-dup pairs from MinHash LSH (doc_a < doc_b,
     * distinct across bands). One shuffle on the band bucket, one
     * in-bucket self-join, one distinct.
     */
   def minhashCandidates(docs: DataFrame, k: Int = 64, bands: Int = 16,
-                        n: Int = 3, maxBucket: Int = 1000): DataFrame = {
-    // fused shingle→signature→band expression: the whole per-doc
-    // pipeline is ONE projection column, so the planner's projection
-    // collapse cannot duplicate the upstream chain (GraftExpressions
-    // scaladoc) — candidate generation is per-row work + one shuffle
-    val buckets = shingleHashes(docs, n = n)
-      .filter(size(col("shingle_hashes")) > 0)
-      .select(col("doc_id"),
-        posexplode(minhash_band_hashes(col("shingle_hashes"), k, bands)))
-      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
-    candidatePairs(buckets, maxBucket)
-  }
+                        n: Int = 3, maxBucket: Int = 1000): DataFrame =
+    candidatePairs(bandTable(docs, k, bands, n), maxBucket)
 
   /** (band, band_hash, doc_id) buckets → distinct candidate pairs.
     * ONE shuffle: groupBy bucket, gather ids, emit in-bucket pair
@@ -194,13 +200,7 @@ object LshDedup {
     */
   def dropStats(docs: DataFrame, k: Int = 64, bands: Int = 16, n: Int = 3,
                 maxBucket: Int = 1000): DataFrame =
-    droppedBuckets(
-      shingleHashes(docs, n = n)
-        .filter(size(col("shingle_hashes")) > 0)
-        .select(col("doc_id"),
-          posexplode(minhash_band_hashes(col("shingle_hashes"), k, bands)))
-        .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash")),
-      maxBucket)
+    droppedBuckets(bandTable(docs, k, bands, n), maxBucket)
       .agg(count(lit(1)).as("n_buckets_dropped"),
         coalesce(sum(col("n_docs")), lit(0L)).as("n_doc_slots_dropped"))
 
@@ -221,12 +221,7 @@ object LshDedup {
     */
   def dedupHealth(docs: DataFrame, k: Int = 64, bands: Int = 16, n: Int = 3,
                   maxBucket: Int = 1000): DataFrame = {
-    val buckets = shingleHashes(docs, n = n)
-      .filter(size(col("shingle_hashes")) > 0)
-      .select(col("doc_id"),
-        posexplode(minhash_band_hashes(col("shingle_hashes"), k, bands)))
-      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
-      .persist()
+    val buckets = bandTable(docs, k, bands, n).persist()
     val dropped = buckets.groupBy(col("band"), col("band_hash"))
       .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") > maxBucket)

@@ -25,6 +25,33 @@ class LshSpec extends SparkSpec {
     assert(missed.count() === 0)
   }
 
+  test("BandStore incremental candidates == full recompute restricted to batch pairs") {
+    import graft.operators.{BandStore, Corpus}
+    val dir = java.nio.file.Files.createTempDirectory("band-store").toString
+    val corpus = docs.filter(Corpus.splitLabel($"doc_id", 0.8) === "train")
+    val batch = docs.filter(Corpus.splitLabel($"doc_id", 0.8) === "eval")
+    BandStore.write(corpus, dir)
+
+    def key(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val incr = key(BandStore.incrementalCandidates(spark, dir, batch))
+
+    val batchIds = batch.select("doc_id").collect().map(_.getLong(0)).toSet
+    val full = key(LshDedup.minhashCandidates(docs))
+      .filter { case (a, b) => batchIds(a) || batchIds(b) }
+    assert(incr === full && incr.nonEmpty)
+
+    // folding the accepted batch in makes the store equal a from-
+    // scratch band table over the whole corpus
+    BandStore.append(batch, dir)
+    def bandKey(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "band", "band_hash").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(bandKey(BandStore.bandTable(spark, dir)) ===
+      bandKey(LshDedup.bandTable(docs)))
+  }
+
   test("jaccardVerified only keeps pairs above threshold and is symmetric-free") {
     val v = LshDedup.jaccardVerified(docs, threshold = 0.5).collect()
     assert(v.nonEmpty)
