@@ -221,6 +221,18 @@ object SparkEntry {
       s"""$minhashCtes
          |SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b""".stripMargin
 
+    /** Incremental maintenance gate: the same full candidate chain,
+      * restricted to pairs touching the eval cohort (md5 >= 'cccd' =
+      * Corpus.splitLabel eval at 0.8) — what BandStore's batch probe
+      * must reproduce without re-banding the corpus.
+      */
+    val minhashIncrSql: String =
+      s"""$minhashCtes
+         |SELECT doc_a, doc_b FROM cand
+         |WHERE md5(CAST(doc_a AS VARCHAR)) >= 'cccd'
+         |   OR md5(CAST(doc_b AS VARCHAR)) >= 'cccd'
+         |ORDER BY doc_a, doc_b""".stripMargin
+
     /** Per-source skew-cap drop report over the same bucket frame
       * (bx) as the candidate chain; threshold mirrors the wiring's
       * maxBucket = 2. (The chain's ok/cand CTEs go unused here.)
@@ -829,15 +841,30 @@ object SparkEntry {
     }),
     "q_grouping_sets" -> ((s, dir) => {
       // explicit GROUPING SETS (the general form ROLLUP/CUBE sugar):
-      // (flag, status), (flag), (status) — one pass, expand + partial agg
+      // (flag, status), (flag), (status). Spark plans GROUPING SETS as
+      // Expand (one copy of every input row per set) BELOW the partial
+      // aggregate, so the naive form pays the 3× row multiplier on the
+      // whole fact scan (measured: the r32 scaling outlier in round 4).
+      // All three sets are decomposable from the finest one, so
+      // pre-aggregate to (flag, status) first — the Expand then runs
+      // over the ~8-row base, not the fact table, and the scan-side
+      // partial agg is an ordinary 8-group hash agg. Sums stay
+      // unrounded DECIMAL until the final per-set round, so results
+      // are bit-identical to the direct form (and the oracle's).
       Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
       s.sql("""
+        WITH base AS (
+          SELECT l_returnflag, l_linestatus,
+                 sum(CAST(l_quantity AS DECIMAL(18,4))) AS s,
+                 count(*) AS cnt
+          FROM v_lineitem
+          GROUP BY l_returnflag, l_linestatus
+        )
         SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
                coalesce(l_linestatus, 'ALL') AS linestatus,
-               CAST(CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2)
-                 AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
-               count(*) AS n
-        FROM v_lineitem
+               CAST(CAST(round(sum(s), 2) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
+               sum(cnt) AS n
+        FROM base
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
                                 (l_returnflag), (l_linestatus))
         ORDER BY returnflag, linestatus""")
@@ -1842,6 +1869,26 @@ object SparkEntry {
     "q_dedup_minhash" -> ((s, dir) =>
       LshDedup.minhashCandidates(Tables.documents(s, dir))
         .orderBy(col("doc_a"), col("doc_b"))),
+    "q_dedup_minhash_incr" -> ((s, dir) => {
+      // incremental near-dup maintenance: the train cohort's band
+      // table is a persisted artifact (BandStore); the eval cohort
+      // arrives as a new batch, is banded ALONE, and probes the store
+      // — the corpus is never re-shingled. The oracle is the full
+      // minhash recompute restricted to pairs with an eval side:
+      // bucket membership is identical either way, so the candidate
+      // sets must match exactly.
+      val docs = Tables.documents(s, dir)
+      val corpus = docs.filter(
+        graft.operators.Corpus.splitLabel(col("doc_id"), 0.8) === "train")
+      val batch = docs.filter(
+        graft.operators.Corpus.splitLabel(col("doc_id"), 0.8) === "eval")
+      val store = s"${System.getProperty("java.io.tmpdir")}/graft-bands-" +
+        s"${ProcessHandle.current().pid()}-" +
+        java.lang.Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir))
+      graft.operators.BandStore.write(corpus, store)
+      graft.operators.BandStore.incrementalCandidates(s, store, batch)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
     "q_minhash_est" -> ((s, dir) =>
       // estimator calibration: signature-agreement Jaccard estimate
       // vs exact shingle Jaccard for every LSH candidate pair
@@ -3907,6 +3954,7 @@ object SparkEntry {
     // signature/index chains are reproduced exactly in DuckDB
     // (SketchOracles scaladocs).
     "q_dedup_minhash" -> SketchOracles.minhashSql,
+    "q_dedup_minhash_incr" -> SketchOracles.minhashIncrSql,
     "q_dedup_health" -> SketchOracles.dedupHealthSql,
     "q_minhash_est" -> SketchOracles.minhashEstSql,
     "q_dedup_simhash" -> SketchOracles.simhashSql,

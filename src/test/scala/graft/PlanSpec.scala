@@ -59,6 +59,31 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_max"), s"no partial argmax aggregation in:\n$p")
   }
 
+  test("q_grouping_sets: the Expand runs over the pre-aggregated base, not the fact scan") {
+    // Spark plans GROUPING SETS as Expand BELOW the partial aggregate,
+    // so the naive form triples the scanned row volume (round-4's r32
+    // outlier). The rewrite pre-aggregates to the finest set first; the
+    // load-bearing shape is an aggregate BETWEEN the scan and the
+    // Expand — i.e. Expand's subtree contains a HashAggregate.
+    val exec = SparkEntry.queries("q_grouping_sets")(spark, sf)
+      .queryExecution.executedPlan
+    val expands = physNodes(exec).collect {
+      case e: org.apache.spark.sql.execution.ExpandExec => e }
+    assert(expands.nonEmpty, s"no Expand in:\n$exec")
+    assert(expands.forall(e => physNodes(e.child).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.aggregate.HashAggregateExec])),
+      s"Expand sits directly on the fact scan (no pre-aggregation) in:\n$exec")
+  }
+
+  test("q_dedup_minhash_incr: stored bands semi-join to touched buckets; batch ids broadcast") {
+    val p = plan("q_dedup_minhash_incr")
+    // the store probe must be a broadcast semi join (touched bucket
+    // keys), never a corpus-wide sort-merge
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"no broadcast semi join against the band store in:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"sort-merge join in:\n$p")
+  }
+
   test("q_knn_brute: query side is broadcast, vectors never shuffle for scoring") {
     val p = plan("q_knn_brute")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
