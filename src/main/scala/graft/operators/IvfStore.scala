@@ -48,6 +48,22 @@ object IvfStore {
   def centroids(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/centroids")
 
+  /** Fold a new vector batch into the stored index: assign against
+    * the EXISTING centroids and append to the cell-partitioned
+    * layout — the daily-ingest path between staleness-triggered
+    * rebuilds ([[staleness]] decides when assignment drift has earned
+    * a re-train). Probes after an append equal an inline ivfSearch
+    * over (corpus ∪ batch) with the same centroid set; only the
+    * batch is ever assigned.
+    */
+  def append(batch: DataFrame, path: String): Unit = {
+    val spark = batch.sparkSession
+    Similarity.ivfAssign(batch, centroids(spark, path))
+      .write.mode(SaveMode.Append)
+      .partitionBy("cell_id")
+      .parquet(s"$path/index")
+  }
+
   def index(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/index")
 

@@ -96,6 +96,41 @@ class CheckpointRecoverySpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("full cascade restarted from checkpoint converges to the batch multi-timeframe answer") {
+    val src = Files.createTempDirectory("cascade-recover-src").toString
+    val store = Files.createTempDirectory("cascade-recover-store").toString
+    val chk = Files.createTempDirectory("cascade-recover-chk").toString
+
+    val rows = sortedTxns
+    val (pre, post) = rows.splitAt(rows.length / 2)
+
+    def startQuery() = CandleStream.cascadeToStore(
+      CandleStream.candles(
+        spark.readStream
+          .schema(asDf(pre.toSeq).schema)
+          .parquet(src),
+        CandleTimeFrame.Minute),
+      store, chk)
+
+    writeFiles(pre, src)
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    writeFiles(post, src)
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+
+    // the restarted run must process exactly the unconsumed files
+    // (checkpoint file log) and re-roll every affected month: all four
+    // timeframes equal the batch aggregation over everything
+    val got = spark.read.parquet(store)
+      .select(Candles.candleColumns: _*)
+      .collect().map(_.toSeq).toSet
+    val want = Candles.multiTimeframe(asDf(rows.toSeq))
+      .select(Candles.candleColumns: _*)
+      .collect().map(_.toSeq).toSet
+    assert(got === want)
+  }
+
   test("transformWithState (RocksDB) restarted from checkpoint resumes per-key state") {
     val src = Files.createTempDirectory("tws-recover-src").toString
     val out = Files.createTempDirectory("tws-recover-out").toString

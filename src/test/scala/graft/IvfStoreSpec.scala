@@ -59,6 +59,35 @@ class IvfStoreSpec extends SparkSpec {
       s"no dynamic partition pruning over the cell layout in:\n$p")
   }
 
+  test("append folds a batch in: probe equals inline search over corpus ∪ batch, staleness clears") {
+    import spark.implicits._
+    val store = Files.createTempDirectory("ivf-append").toString
+    val corpus = emb.filter(col("vec_id") >= 100)
+    val batch = emb.filter(col("vec_id") < 100)
+    IvfStore.write(corpus, store, nCells = 8)
+    assert(IvfStore.staleness(spark, store, emb).collect()(0)
+      .getAs[Long]("n_missing") === batch.count())
+
+    IvfStore.append(batch, store)
+    val after = IvfStore.staleness(spark, store, emb).collect()(0)
+    assert(after.getAs[Long]("n_missing") === 0L)
+    assert(after.getAs[Long]("n_indexed") === emb.count())
+
+    // value-exact vs the inline path over the union with the SAME
+    // (corpus-derived) centroids — appends never re-train
+    val queries = emb.filter(col("vec_id") < 5)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("query_id"), col("rank"), col("vec_id"),
+        floor(col("sim") * 1e6).cast("long").as("sm"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    val cents = Similarity.ivfCentroids(corpus, nCells = 8)
+    val inline = key(Similarity.ivfSearch(
+      Similarity.ivfAssign(emb, cents), cents, queries, topK = 10, nProbe = 3))
+    val stored = key(IvfStore.search(spark, store, queries, topK = 10, nProbe = 3))
+    assert(stored === inline && stored.nonEmpty)
+  }
+
   test("Lloyd-refined build matches or beats the sampled-centroid build on recall") {
     val queries = emb.filter(col("vec_id") < 20)
     val truth = Similarity.knnBrute(emb, queries, topK = 10)
