@@ -1869,6 +1869,20 @@ object SparkEntry {
     "q_dedup_minhash" -> ((s, dir) =>
       LshDedup.minhashCandidates(Tables.documents(s, dir))
         .orderBy(col("doc_a"), col("doc_b"))),
+    "q_stream_neardup" -> ((s, dir) => {
+      // the SAME LSH candidate semantics through Structured Streaming:
+      // stateless banding front + one keyed bucket-state lookup per
+      // doc (StreamingLsh scaladoc). No bucket overflows its cap on
+      // this corpus, so the streamed pairs (distinct'd, like batch)
+      // equal the batch chain — and share its DuckDB oracle.
+      import graft.streaming.{CandleStream, StreamingLsh}
+      s.catalog.dropTempView("q_stream_neardup_sink")
+      CandleStream.runBoundedToMemoryAppend(s,
+        StreamingLsh.candidatePairs(Tables.documentsStream(s, dir)).toDF(),
+        "q_stream_neardup_sink")
+        .distinct()
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
     "q_dedup_minhash_incr" -> ((s, dir) => {
       // incremental near-dup maintenance: the train cohort's band
       // table is a persisted artifact (BandStore); the eval cohort
@@ -3954,6 +3968,10 @@ object SparkEntry {
     // signature/index chains are reproduced exactly in DuckDB
     // (SketchOracles scaladocs).
     "q_dedup_minhash" -> SketchOracles.minhashSql,
+    // the streaming path must reproduce the batch candidate chain
+    // exactly (no bucket overflows at this corpus), so it shares its
+    // full-recompute oracle
+    "q_stream_neardup" -> SketchOracles.minhashSql,
     "q_dedup_minhash_incr" -> SketchOracles.minhashIncrSql,
     "q_dedup_health" -> SketchOracles.dedupHealthSql,
     "q_minhash_est" -> SketchOracles.minhashEstSql,

@@ -45,6 +45,19 @@ object Tables {
     * must be supplied for streams; ts arrives as raw nanos (see
     * events() above) and gets the identical ns→µs truncation.
     */
+  /** The documents table as a file-source stream (ingest-shaped:
+    * corpus batches arriving as files).
+    */
+  def documentsStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+  }
+
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -301,4 +301,21 @@ object CandleStream {
     finally q.stop()
     spark.table(name)
   }
+
+  /** Append-mode sibling of [[runBoundedToMemory]] for operators that
+    * emit rows incrementally (flatMapGroupsWithState append output,
+    * projection streams): the memory sink accumulates every appended
+    * row across micro-batches.
+    */
+  def runBoundedToMemoryAppend(spark: SparkSession, stream: DataFrame,
+                               name: String): DataFrame = {
+    val q = stream.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+  }
 }
