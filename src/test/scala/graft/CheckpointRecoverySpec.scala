@@ -131,6 +131,49 @@ class CheckpointRecoverySpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("flatMapGroupsWithState (StreamingLsh) restarted from checkpoint resumes bucket state") {
+    import graft.streaming.StreamingLsh
+    val src = Files.createTempDirectory("lsh-recover-src").toString
+    val out = Files.createTempDirectory("lsh-recover-out").toString
+    val chk = Files.createTempDirectory("lsh-recover-chk").toString
+
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val (pre, post) = docs.splitAt(docs.length / 2)
+    def write(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(src)
+
+    def startQuery() = StreamingLsh.candidatePairs(
+      spark.readStream
+        .schema(pre.toDF("doc_id", "text").schema)
+        .parquet(src))
+      .toDF()
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", chk)
+      .outputMode("append").start()
+
+    write(pre)
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    write(post)
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+
+    // pairs between a pre-crash doc and a post-restart doc exist ONLY
+    // if the restarted query restored the bucket member lists
+    val got = spark.read.parquet(out).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = graft.operators.LshDedup.minhashCandidates(
+      docs.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want)
+    val preIds = pre.map(_._1).toSet
+    val postIds = post.map(_._1).toSet
+    assert(got.exists { case (a, b) =>
+      (preIds(a) && postIds(b)) || (postIds(a) && preIds(b)) },
+      "no pair spans the crash; bucket-state restore is untested")
+  }
+
   test("transformWithState (RocksDB) restarted from checkpoint resumes per-key state") {
     val src = Files.createTempDirectory("tws-recover-src").toString
     val out = Files.createTempDirectory("tws-recover-out").toString
