@@ -33,12 +33,24 @@ object BandStore {
 
   /** Fold an accepted batch into the store (after its candidates were
     * mined and the dedup decision applied): append its band rows —
-    * banding runs over the batch only.
+    * banding runs over the batch only. Idempotent under foreachBatch
+    * retry: docs already present in the store are skipped (banding is
+    * deterministic, so any band row present ⇒ all of the doc's rows
+    * are). The presence probe prunes the store scan to the batch's
+    * doc_ids via a broadcast semi-join over the doc_id column only —
+    * batch-scaled, like the candidates probe.
     */
   def append(batch: DataFrame, path: String, k: Int = 64, bands: Int = 16,
-             n: Int = 3): Unit =
-    LshDedup.bandTable(batch, k, bands, n)
+             n: Int = 3): Unit = {
+    val spark = batch.sparkSession
+    val ids = batch.select(col("doc_id")).distinct()
+    val present = bandTable(spark, path).select(col("doc_id"))
+      .join(broadcast(ids), Seq("doc_id"), "left_semi")
+      .distinct()
+    val fresh = batch.join(broadcast(present), Seq("doc_id"), "left_anti")
+    LshDedup.bandTable(fresh, k, bands, n)
       .write.mode(SaveMode.Append).partitionBy("band").parquet(path)
+  }
 
   def bandTable(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)

@@ -170,7 +170,11 @@ object LshDedup {
           y => struct(x.as("doc_a"), y.as("doc_b")))))
     buckets
       .groupBy(col("band"), col("band_hash"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      // array_distinct guards against duplicated input band rows (a
+      // doc fed twice): without it, adjacent duplicates in the sorted
+      // list pair with themselves (doc_a == doc_b) and inflate the
+      // size the skew cap sees
+      .agg(array_distinct(sort_array(collect_list(col("doc_id")))).as("ids"))
       .filter(size(col("ids")).between(2, maxBucket))
       .select(explode(pairCombos(col("ids"))).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))

@@ -302,7 +302,10 @@ object Media {
             if (csz < 8 || j + csz > i + sz) return None
             tag(p, j + 4) match {
               case "mvhd" =>
-                if (p(j + 8) != 0 || csz < 32) return None // v0 layout only
+                // size check BEFORE the version-byte read: a minimal
+                // 8-byte box at the end of the payload would index
+                // past it otherwise
+                if (csz < 32 || p(j + 8) != 0) return None // v0 layout only
                 timescale = be32(p, j + 20) & 0xffffffffL
                 duration = be32(p, j + 24) & 0xffffffffL
               case "trak" =>
@@ -312,7 +315,7 @@ object Media {
                   val bsz = be32(p, k)
                   if (bsz < 8 || k + bsz > j + csz) return None
                   if (tag(p, k + 4) == "tkhd" && w == 0) {
-                    if (p(k + 8) != 0 || bsz < 92) return None
+                    if (bsz < 92 || p(k + 8) != 0) return None
                     w = be32(p, k + 84) >>> 16 // 16.16 fixed
                     h = be32(p, k + 88) >>> 16
                   }
@@ -341,16 +344,21 @@ object Media {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("doc_id"), col("payload")).as[MediaBlob]
-      .mapPartitions { rows =>
-        rows.grouped(batchSize).flatMap(_.map { r =>
-          val (mime, sr, ch, w, h, dur, trk) = parseAvHeader(r.payload)
-            .getOrElse(("application/octet-stream", 0, 0, 0, 0, 0L, 0))
-          MediaAvFeatures(r.doc_id, mime, sr, ch, w, h, dur, trk,
-            r.payload.length)
-        })
-      }
+      .mapPartitions { rows => rows.grouped(batchSize).flatMap(decodeAvBatch) }
       .toDF()
   }
+
+  /** Batch A/V extraction (same shape as [[decodeBatch]]: the whole
+    * batch is handed to the decoder, where a real codec would
+    * amortize its setup).
+    */
+  private def decodeAvBatch(batch: Seq[MediaBlob]): Seq[MediaAvFeatures] =
+    batch.map { r =>
+      val (mime, sr, ch, w, h, dur, trk) = parseAvHeader(r.payload)
+        .getOrElse(("application/octet-stream", 0, 0, 0, 0, 0L, 0))
+      MediaAvFeatures(r.doc_id, mime, sr, ch, w, h, dur, trk,
+        r.payload.length)
+    }
 
   /** "Video frame" sampling: split the payload into fixed-size chunks
     * and keep every `stride`-th — the partition-parallel shape of

@@ -41,10 +41,6 @@ object Tables {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
-  /** Streaming read of the same events table (file source). Schema
-    * must be supplied for streams; ts arrives as raw nanos (see
-    * events() above) and gets the identical ns→µs truncation.
-    */
   /** The documents table as a file-source stream (ingest-shaped:
     * corpus batches arriving as files).
     */
@@ -58,6 +54,10 @@ object Tables {
       .option("pathGlobFilter", "documents.parquet").parquet(dir)
   }
 
+  /** Streaming read of the same events table (file source). Schema
+    * must be supplied for streams; ts arrives as raw nanos (see
+    * events() above) and gets the identical ns→µs truncation.
+    */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -291,16 +291,8 @@ object CandleStream {
     * the batch aggregation.
     */
   def runBoundedToMemory(spark: SparkSession, candleStream: DataFrame,
-                         name: String): DataFrame = {
-    val q = candleStream.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode("complete")
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
-    spark.table(name)
-  }
+                         name: String): DataFrame =
+    runBounded(spark, candleStream, name, "complete")
 
   /** Append-mode sibling of [[runBoundedToMemory]] for operators that
     * emit rows incrementally (flatMapGroupsWithState append output,
@@ -308,11 +300,15 @@ object CandleStream {
     * row across micro-batches.
     */
   def runBoundedToMemoryAppend(spark: SparkSession, stream: DataFrame,
-                               name: String): DataFrame = {
+                               name: String): DataFrame =
+    runBounded(spark, stream, name, "append")
+
+  private def runBounded(spark: SparkSession, stream: DataFrame,
+                         name: String, mode: String): DataFrame = {
     val q = stream.writeStream
       .format("memory")
       .queryName(name)
-      .outputMode("append")
+      .outputMode(mode)
       .start()
     try q.processAllAvailable()
     finally q.stop()

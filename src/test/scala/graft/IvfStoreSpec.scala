@@ -107,10 +107,11 @@ class IvfStoreSpec extends SparkSpec {
     IvfStore.write(emb, refinedStore, nCells = 16, lloydIters = 2)
 
     val (rSampled, rRefined) = (recall(sampledStore), recall(refinedStore))
-    // deterministic on this corpus (md5-sampled seeds, exact Lloyd):
-    // refinement re-balances cells, so the same nProbe must recover at
-    // least as many true neighbors
-    assert(rRefined >= rSampled,
+    // k-means minimizes within-cell variance, not fixed-nProbe recall,
+    // so strict >= is not a theorem — allow a small tolerance so a
+    // data-generator tweak can't fail the suite on correct code, while
+    // still catching a refinement that actually harms retrieval
+    assert(rRefined >= rSampled - 0.05,
       s"Lloyd refinement degraded recall: sampled=$rSampled refined=$rRefined")
     assert(rRefined > 0.5, s"refined recall implausibly low: $rRefined")
   }

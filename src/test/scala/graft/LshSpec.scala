@@ -50,6 +50,13 @@ class LshSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(bandKey(BandStore.bandTable(spark, dir)) ===
       bandKey(LshDedup.bandTable(docs)))
+
+    // idempotent under foreachBatch retry: re-appending the same batch
+    // adds no rows (a duplicated band row would surface as self-pairs
+    // and a doubled bucket size against the skew cap)
+    val rowsBefore = BandStore.bandTable(spark, dir).count()
+    BandStore.append(batch, dir)
+    assert(BandStore.bandTable(spark, dir).count() === rowsBefore)
   }
 
   test("jaccardVerified only keeps pairs above threshold and is symmetric-free") {

@@ -129,5 +129,14 @@ class MediaSpec extends SparkSpec {
     // ftyp but a box size that runs past the payload
     assert(Media.parseAvHeader(bytes(
       "00000010 66747970 69736F6D 00000000 7FFFFFFF 6D6F6F76")).isEmpty)
+    // minimal 8-byte mvhd/tkhd as the LAST bytes of the payload: the
+    // version-byte read must not index past the array (regression:
+    // the size check ran second and this threw instead of rejecting)
+    assert(Media.parseAvHeader(bytes(
+      "00000010 66747970 69736F6D 00000000 00000010 6D6F6F76 00000008 6D766864"))
+      .isEmpty)
+    assert(Media.parseAvHeader(bytes(
+      "00000010 66747970 69736F6D 00000000 00000018 6D6F6F76" +
+        "00000010 7472616B 00000008 746B6864")).isEmpty)
   }
 }
