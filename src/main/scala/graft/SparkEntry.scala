@@ -221,6 +221,42 @@ object SparkEntry {
       s"""$minhashCtes
          |SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b""".stripMargin
 
+    /** Exact-Jaccard pairs → reachability closure → min-label
+      * clusters, over the full corpus. Shared by q_dedup_cluster and
+      * q_dedup_cluster_incr: the incremental assignment-merge must
+      * reproduce the full recompute exactly.
+      */
+    val clusterCcSql: String =
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |    t -> len(t) > 0) AS tk
+        |  FROM documents
+        |), shset AS (
+        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(tk) - 2),
+        |    i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS sh
+        |  FROM toks WHERE len(tk) >= 3
+        |), ex AS (SELECT doc_id, unnest(sh) AS s FROM shset),
+        |sizes AS (SELECT doc_id, len(sh) AS n_sh FROM shset),
+        |pair_int AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_int
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT doc_a, doc_b FROM pair_int
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE CAST(n_int AS DOUBLE) / (sa.n_sh + sb.n_sh - n_int) >= 0.8
+        |), edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs
+        |), reach AS (
+        |  SELECT DISTINCT src AS doc_id, src AS lbl FROM edges
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc_id
+        |)
+        |SELECT doc_id, min(lbl) AS cluster_id
+        |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
     /** Incremental maintenance gate: the same full candidate chain,
       * restricted to pairs touching the eval cohort (md5 >= 'cccd' =
       * Corpus.splitLabel eval at 0.8) — what BandStore's batch probe
@@ -1971,6 +2007,27 @@ object SparkEntry {
         LshDedup.exactJaccardPairs(Tables.documents(s, dir), threshold = 0.8)
           .select(col("doc_a"), col("doc_b")))
         .orderBy(col("doc_id"))),
+    "q_dedup_cluster_incr" -> ((s, dir) => {
+      // incremental cluster maintenance: the train cohort's cluster
+      // ASSIGNMENT (fixpoint star edges) replaces its original pair
+      // set; the eval cohort's arriving pairs merge into it. Must
+      // equal the full-corpus recompute exactly — same oracle as
+      // q_dedup_cluster. (Pair mining here is the test harness; its
+      // incremental form is BandStore's q_dedup_minhash_incr.)
+      val docs = Tables.documents(s, dir)
+      val isEval = graft.operators.Corpus.splitLabel(col("doc_id"), 0.8) === "eval"
+      val corpus = docs.filter(!isEval)
+      val basePairs = LshDedup.exactJaccardPairs(corpus, threshold = 0.8)
+        .select(col("doc_a"), col("doc_b"))
+      val assignments = Dedup.connectedComponents(basePairs)
+      val evalSide = graft.operators.Corpus.splitLabel(col("doc_a"), 0.8) === "eval" ||
+        graft.operators.Corpus.splitLabel(col("doc_b"), 0.8) === "eval"
+      val newPairs = LshDedup.exactJaccardPairs(docs, threshold = 0.8)
+        .select(col("doc_a"), col("doc_b"))
+        .filter(evalSide)
+      Dedup.incrementalComponents(assignments, newPairs)
+        .orderBy(col("doc_id"))
+    }),
     "q_dedup_corpus" -> ((s, dir) =>
       // the whole dedup pipeline end-to-end: exact content dedup →
       // exact near-dup pairs → connected components → one
@@ -4059,36 +4116,10 @@ object SparkEntry {
         |JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE CAST(n_int AS DOUBLE) / (sa.n_sh + sb.n_sh - n_int) >= 0.2
         |ORDER BY doc_a, doc_b""".stripMargin,
-    "q_dedup_cluster" ->
-      """WITH RECURSIVE toks AS (
-        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
-        |    t -> len(t) > 0) AS tk
-        |  FROM documents
-        |), shset AS (
-        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(tk) - 2),
-        |    i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS sh
-        |  FROM toks WHERE len(tk) >= 3
-        |), ex AS (SELECT doc_id, unnest(sh) AS s FROM shset),
-        |sizes AS (SELECT doc_id, len(sh) AS n_sh FROM shset),
-        |pair_int AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_int
-        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2
-        |), pairs AS (
-        |  SELECT doc_a, doc_b FROM pair_int
-        |  JOIN sizes sa ON sa.doc_id = doc_a
-        |  JOIN sizes sb ON sb.doc_id = doc_b
-        |  WHERE CAST(n_int AS DOUBLE) / (sa.n_sh + sb.n_sh - n_int) >= 0.8
-        |), edges AS (
-        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-        |  UNION ALL SELECT doc_b, doc_a FROM pairs
-        |), reach AS (
-        |  SELECT DISTINCT src AS doc_id, src AS lbl FROM edges
-        |  UNION
-        |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc_id
-        |)
-        |SELECT doc_id, min(lbl) AS cluster_id
-        |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_dedup_cluster" -> SketchOracles.clusterCcSql,
+    // the incremental assignment-merge must equal the full recompute
+    // over the whole corpus, so it shares the same oracle verbatim
+    "q_dedup_cluster_incr" -> SketchOracles.clusterCcSql,
     // q_dedup_corpus: the q_dedup_cluster reachability machinery
     // restricted to exact-dedup keepers, then survivors = keepers that
     // are their own cluster representative (or in no cluster at all)

@@ -221,6 +221,25 @@ object Dedup {
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
   }
 
+  /** Incremental connected components: fold new near-dup pairs into
+    * an existing cluster assignment without revisiting the original
+    * pair set. The assignment's (doc_id, cluster_id) rows are exactly
+    * the fixpoint star edges, which preserve all original
+    * connectivity — so CC over (assignments ∪ newPairs) equals CC
+    * over (originalPairs ∪ newPairs), including the min-id cluster
+    * labels. Work scales with |assignments| + |newPairs| edges, never
+    * the original pair volume, and the star-shaped input re-converges
+    * in ~1-2 alternations when the new pairs touch few clusters.
+    * (Pair MINING incrementality is [[BandStore]]'s job; this is the
+    * assignment-merge half of incremental near-dup maintenance.)
+    */
+  def incrementalComponents(assignments: DataFrame, newPairs: DataFrame,
+                            maxIter: Int = 50): DataFrame =
+    connectedComponents(
+      assignments.select(col("doc_id").as("doc_a"), col("cluster_id").as("doc_b"))
+        .unionByName(newPairs.select(col("doc_a"), col("doc_b"))),
+      maxIter)
+
   /** Drop every near-duplicate except the min-doc_id representative of
     * each connected component. `pairs` comes from LshDedup
     * (jaccardVerified / simhashCandidates) or Similarity

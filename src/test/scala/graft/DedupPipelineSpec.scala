@@ -29,6 +29,26 @@ class DedupPipelineSpec extends SparkSpec {
     assert(cc === Map(1L -> 1L, 2L -> 1L, 4L -> 4L))
   }
 
+  test("incrementalComponents == full recompute, including cluster merges and singletons") {
+    // base: {1,2,3} and {10,11} and singleton 20 (self-pair only)
+    val base = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 20L))
+      .toDF("doc_a", "doc_b")
+    val assignments = Dedup.connectedComponents(base)
+    // new batch: 30 joins {10,11}; 40-41 form a new cluster; and the
+    // bridge (3,10) MERGES the two base clusters — the hard case: the
+    // merged label must drop to the global min 1, overwriting the old
+    // root 10
+    val newPairs = Seq((30L, 10L), (40L, 41L), (3L, 10L))
+      .toDF("doc_a", "doc_b")
+    val incr = Dedup.incrementalComponents(assignments, newPairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Dedup.connectedComponents(base.unionByName(newPairs)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(incr === full)
+    assert(incr(30L) === 1L && incr(11L) === 1L) // merge really happened
+    assert(incr(20L) === 20L)                    // singleton survives
+  }
+
   test("connectedComponents converges on a chain far longer than the round budget") {
     // a 60-node path: min-label alone needs 60 one-hop rounds, well
     // past maxIter — pointer-jumping must close it in ~log2(60) rounds
