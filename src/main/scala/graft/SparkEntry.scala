@@ -2014,19 +2014,20 @@ object SparkEntry {
       // equal the full-corpus recompute exactly — same oracle as
       // q_dedup_cluster. (Pair mining here is the test harness; its
       // incremental form is BandStore's q_dedup_minhash_incr.)
-      val docs = Tables.documents(s, dir)
-      val isEval = graft.operators.Corpus.splitLabel(col("doc_id"), 0.8) === "eval"
-      val corpus = docs.filter(!isEval)
-      val basePairs = LshDedup.exactJaccardPairs(corpus, threshold = 0.8)
-        .select(col("doc_a"), col("doc_b"))
-      val assignments = Dedup.connectedComponents(basePairs)
+      // one pair-mining pass, split by cohort (mining both sides
+      // separately would double the inverted-index join; the operator
+      // under test is the assignment merge, not the mining)
       val evalSide = graft.operators.Corpus.splitLabel(col("doc_a"), 0.8) === "eval" ||
         graft.operators.Corpus.splitLabel(col("doc_b"), 0.8) === "eval"
-      val newPairs = LshDedup.exactJaccardPairs(docs, threshold = 0.8)
+      val allPairs = LshDedup.exactJaccardPairs(
+        Tables.documents(s, dir), threshold = 0.8)
         .select(col("doc_a"), col("doc_b"))
-        .filter(evalSide)
-      Dedup.incrementalComponents(assignments, newPairs)
+        .persist()
+      val assignments = Dedup.connectedComponents(allPairs.filter(!evalSide))
+      val out = Dedup.incrementalComponents(assignments, allPairs.filter(evalSide))
         .orderBy(col("doc_id"))
+      allPairs.unpersist()
+      out
     }),
     "q_dedup_corpus" -> ((s, dir) =>
       // the whole dedup pipeline end-to-end: exact content dedup →

@@ -88,6 +88,50 @@ class IvfStoreSpec extends SparkSpec {
     assert(stored === inline && stored.nonEmpty)
   }
 
+  test("streaming embedding ingest maintains the store via foreachBatch append") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val store = Files.createTempDirectory("ivf-stream").toString
+    val corpus = emb.filter(col("vec_id") >= 100)
+    IvfStore.write(corpus, store, nCells = 8)
+
+    val arriving = emb.filter(col("vec_id") < 100)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toSeq
+    val (b1, b2) = arriving.splitAt(arriving.length / 2)
+
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = input.toDF().toDF("vec_id", "embedding")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        IvfStore.append(batch, store)
+      }
+      .start()
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val after = IvfStore.staleness(spark, store, emb).collect()(0)
+    assert(after.getAs[Long]("n_missing") === 0L)
+    assert(after.getAs[Long]("n_indexed") === emb.count())
+    // the streamed-in store serves probes identically to a batch
+    // assignment over the union with the same corpus centroids
+    val queries = emb.filter(col("vec_id") < 3)
+    val cents = Similarity.ivfCentroids(corpus, nCells = 8)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("query_id"), col("rank"), col("vec_id"),
+        floor(col("sim") * 1e6).cast("long").as("sm"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    assert(key(IvfStore.search(spark, store, queries, topK = 10, nProbe = 3)) ===
+      key(Similarity.ivfSearch(Similarity.ivfAssign(emb, cents), cents,
+        queries, topK = 10, nProbe = 3)))
+  }
+
   test("Lloyd-refined build matches or beats the sampled-centroid build on recall") {
     val queries = emb.filter(col("vec_id") < 20)
     val truth = Similarity.knnBrute(emb, queries, topK = 10)
