@@ -55,6 +55,27 @@ object BandStore {
   def bandTable(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Compact the band store in place: per-batch appends accumulate
+    * small files per band partition; rewrite each band as
+    * band_hash-sorted files so the incremental probe's (band,
+    * band_hash) semi-join prunes ROW GROUPS via parquet min/max
+    * stats, not just files. Same swap discipline as
+    * [[CandleStore.compact]]; at 100 TB run per-partition behind a
+    * manifest.
+    */
+  def compact(spark: SparkSession, path: String,
+              maxRecordsPerFile: Long = 20000000L): Unit = {
+    val tmp = path.stripSuffix("/") + ".compact.tmp"
+    bandTable(spark, path)
+      .repartition(col("band"))
+      .sortWithinPartitions(col("band"), col("band_hash"))
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("band")
+      .parquet(tmp)
+    StoreOps.swapInPlace(spark, path, tmp)
+  }
+
   /** Candidate near-dup pairs involving at least one batch doc,
     * against the persisted corpus band table. Equal to
     * [[LshDedup.minhashCandidates]] over (corpus ∪ batch) restricted

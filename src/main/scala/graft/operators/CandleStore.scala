@@ -77,17 +77,7 @@ object CandleStore {
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy("timeframe", "symbol")
       .parquet(tmp)
-    // atomic-ish swap through the Hadoop FileSystem API (works on
-    // local paths and HDFS alike; rename is a metadata op on both).
-    // True object stores (S3) have no atomic rename — use a
-    // manifest-committing table format there instead.
-    val dst = new org.apache.hadoop.fs.Path(path)
-    val bak = new org.apache.hadoop.fs.Path(path + ".old")
-    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.rename(dst, bak), s"could not move $path aside")
-    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), dst),
-      s"could not promote $tmp")
-    fs.delete(bak, true)
+    StoreOps.swapInPlace(spark, path, tmp)
   }
 
   /** Bucketed store layout for ultra-high symbol cardinality: with

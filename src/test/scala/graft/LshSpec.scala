@@ -57,6 +57,17 @@ class LshSpec extends SparkSpec {
     val rowsBefore = BandStore.bandTable(spark, dir).count()
     BandStore.append(batch, dir)
     assert(BandStore.bandTable(spark, dir).count() === rowsBefore)
+
+    // compaction rewrites the accumulated append files without
+    // changing a single row
+    val before = bandKey(BandStore.bandTable(spark, dir))
+    BandStore.compact(spark, dir)
+    assert(bandKey(BandStore.bandTable(spark, dir)) === before)
+    val root = new java.io.File(dir)
+    val bandDirs = root.listFiles().filter(_.getName.startsWith("band="))
+    assert(bandDirs.nonEmpty && bandDirs.forall(
+      _.listFiles().count(_.getName.endsWith(".parquet")) === 1),
+      "each band partition should compact to one file at this size")
   }
 
   test("jaccardVerified only keeps pairs above threshold and is symmetric-free") {
