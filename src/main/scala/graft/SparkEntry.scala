@@ -1755,6 +1755,16 @@ object SparkEntry {
       // slice-explode per doc (no token×token or doc×doc join)
       TextAnalysis.cooccurrence(Tables.documents(s, dir),
         vocabSize = 50, topK = 50)),
+    "q_fluency" -> ((s, dir) => {
+      // CCNet-style quality signal: every doc scored by the mean
+      // reference-frequency of its bigrams, with the train cohort as
+      // the trusted reference slice — integer-exact (micro units) so
+      // the gate is engine-independent (log-space LM scores are not)
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.fluencyScore(docs,
+        docs.filter(graft.operators.Corpus.splitLabel(col("doc_id"), 0.8) === "train"))
+        .orderBy(col("doc_id"))
+    }),
     "q_bigrams" -> ((s, dir) =>
       // corpus-wide adjacent-pair frequencies (multiplicity counts) —
       // the merge-frequency step a BPE-style trainer iterates; one
@@ -3503,6 +3513,25 @@ object SparkEntry {
         |)
         |SELECT bigram, count(*) AS n FROM b
         |GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+    "q_fluency" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |         x -> len(x) > 0) AS tk
+        |  FROM documents
+        |), b AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 1),
+        |         i -> tk[i] || ' ' || tk[i+1])) AS bigram
+        |  FROM t WHERE len(tk) >= 2
+        |), ref AS (
+        |  SELECT bigram, count(*) AS ref_n FROM b
+        |  WHERE md5(CAST(doc_id AS VARCHAR)) < 'cccd'
+        |  GROUP BY 1
+        |)
+        |SELECT b.doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(coalesce(ref.ref_n, 0)) * 1000000 // count(*) AS BIGINT)
+        |    AS fluency_micro
+        |FROM b LEFT JOIN ref USING (bigram)
+        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
     "q_split" ->
       """SELECT doc_id,
         |  CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'cccd' THEN 'train'

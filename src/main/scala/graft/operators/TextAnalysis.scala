@@ -232,6 +232,42 @@ object TextAnalysis {
       .withColumn("mean_quality_micro",
         expr("quality_sum_micro div n_docs"))
 
+  /** CCNet-style fluency proxy: score each document by the mean
+    * reference-corpus frequency of its word bigrams (micro units,
+    * floor). The production pattern scores a raw corpus against an
+    * LM trained on a trusted slice (CCNet/Gopher use KenLM
+    * perplexity); the frequency form keeps the statistic pure BIGINT
+    * — log-likelihoods are transcendental, so a cross-engine hash
+    * gate could disagree in the last ulp, while count arithmetic
+    * cannot. A rare/garbled doc scores near 0, fluent text high.
+    *
+    * Scale shape: the reference LM is ONE bigram-count aggregation
+    * (map-side combined); scoring is an equi-join on the bigram key
+    * (vocab²-bounded table — broadcast when it fits, shuffle join
+    * otherwise; Spark's planner picks by size) and one per-doc
+    * rollup. Documents with fewer than two tokens have no bigrams
+    * and produce no row — callers treat absence as unscorable.
+    * ref_hits·10⁶ goes through DECIMAL like lift_micro: a spam doc
+    * whose every bigram is a high-count reference bigram can push
+    * the product past int64 at corpus scale.
+    */
+  def fluencyScore(docs: DataFrame, reference: DataFrame): DataFrame = {
+    def docBigrams(df: DataFrame) = df
+      .select(col("doc_id"), explode(bigramPairs(col("text"))).as("p"))
+      .select(col("doc_id"), concat_ws(" ", col("p.a"), col("p.b")).as("bigram"))
+    val refCounts = docBigrams(reference)
+      .groupBy(col("bigram")).agg(count(lit(1)).as("ref_n"))
+    docBigrams(docs)
+      .join(refCounts, Seq("bigram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(coalesce(col("ref_n"), lit(0L))).as("ref_hits"))
+      .withColumn("fluency_micro",
+        expr("cast(ref_hits as decimal(38,0)) * 1000000 div n_bigrams")
+          .cast("long"))
+      .select(col("doc_id"), col("n_bigrams"), col("fluency_micro"))
+  }
+
   /** Full per-document stats frame (single profile pass). */
   def stats(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs

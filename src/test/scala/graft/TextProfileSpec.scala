@@ -88,4 +88,22 @@ class TextProfileSpec extends SparkSpec {
     assert(viaPairs.getOrElse(1L, Seq.empty) === got(1L))
     assert(!viaPairs.contains(2L) && !viaPairs.contains(3L))
   }
+
+  test("fluencyScore: hand-computed reference-frequency means; unscorable docs absent") {
+    val ref = Seq((100L, "the cat sat"), (101L, "the cat ran"))
+      .toDF("doc_id", "text")
+    // ref bigram counts: "the cat"=2, "cat sat"=1, "cat ran"=1
+    val docs = Seq(
+      (1L, "the cat sat"),      // (2 + 1) * 1e6 / 2 = 1500000
+      (2L, "zz qq"),            // 0 ref hits -> 0
+      (3L, "the cat"),          // 2 * 1e6 / 1 = 2000000
+      (4L, "solo"))             // no bigrams -> no row
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.fluencyScore(docs, ref).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === Map(
+      1L -> (2L, 1500000L),
+      2L -> (1L, 0L),
+      3L -> (1L, 2000000L)))
+  }
 }
