@@ -10,6 +10,29 @@ import graft.streaming.TransactionSimulator
   */
 class FormatsSpec extends SparkSpec {
 
+  test("corrupt-line quarantine: good rows flow, bad lines keep their raw text") {
+    import org.apache.spark.sql.types._
+    import graft.sources.Ingest
+    val dir = java.nio.file.Files.createTempDirectory("quarantine").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/in.jsonl"),
+      java.util.Arrays.asList(
+        """{"doc_id": 1, "text": "fine"}""",
+        """{"doc_id": oops not json""",
+        """{"doc_id": 2, "text": "also fine"}""",
+        """garbage line"""))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val parsed = Ingest.jsonWithQuarantine(spark, s"$dir/in.jsonl", schema)
+    try {
+      val good = Ingest.good(parsed).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(good === Set((1L, "fine"), (2L, "also fine")))
+      // the quarantine preserves the ORIGINAL bytes for review/replay
+      val bad = Ingest.quarantined(parsed).collect().map(_.getString(0)).toSet
+      assert(bad === Set("""{"doc_id": oops not json""", "garbage line"))
+    } finally parsed.unpersist()
+  }
+
   test("candles round-trip through parquet, orc, json and csv") {
     val candles = Candles.multiTimeframe(TransactionSimulator.batch(spark, 100))
       .orderBy("timeframe", "symbol", "window_start")
