@@ -27,6 +27,20 @@ object SparkEntry {
   /** Timestamp → canonical string (see conventions above). */
   private def fmtTs(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
 
+  /** Scratch path for a query's persisted-index artifact: per-process
+    * and per-dir, so concurrent runs over the same data never race on
+    * one store, and distinct dirs never alias — the raw-dir hash keeps
+    * paths distinct even where the readable sanitization is lossy
+    * (/a/b vs /a_b). One invocation per (pid, dir) assumed: a
+    * concurrent same-pid overwrite of the same store would race an
+    * in-flight probe.
+    */
+  private def scratchStorePath(prefix: String, dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/$prefix-" +
+      s"${ProcessHandle.current().pid()}-" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_") + "-" +
+      java.lang.Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir))
+
   /** Order-independent exact sum of a double column via decimal.
     * The exact sum is rounded to 2dp BEFORE the double cast: DuckDB
     * casts wide decimals to double with two roundings (int128→double,
@@ -1942,9 +1956,7 @@ object SparkEntry {
         graft.operators.Corpus.splitLabel(col("doc_id"), 0.8) === "train")
       val batch = docs.filter(
         graft.operators.Corpus.splitLabel(col("doc_id"), 0.8) === "eval")
-      val store = s"${System.getProperty("java.io.tmpdir")}/graft-bands-" +
-        s"${ProcessHandle.current().pid()}-" +
-        java.lang.Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir))
+      val store = scratchStorePath("graft-bands", dir)
       graft.operators.BandStore.write(corpus, store)
       graft.operators.BandStore.incrementalCandidates(s, store, batch)
         .orderBy(col("doc_a"), col("doc_b"))
@@ -2062,16 +2074,7 @@ object SparkEntry {
       // pruning skips unprobed cells at the FILE level). Same oracle
       // as q_ann_ivf — the store roundtrip must be value-exact.
       val emb = Tables.embeddings(s, dir)
-      // per-process, per-dir path: concurrent runs over the same data
-      // never race on one store, and distinct dirs never alias — the
-      // raw-dir hash keeps paths distinct even where the readable
-      // sanitization is lossy (/a/b vs /a_b). One invocation per
-      // (pid, dir) assumed: a concurrent same-pid overwrite of the
-      // same store would race an in-flight probe.
-      val store = s"${System.getProperty("java.io.tmpdir")}/graft-ivf-" +
-        s"${ProcessHandle.current().pid()}-" +
-        dir.replaceAll("[^A-Za-z0-9.]", "_") + "-" +
-        java.lang.Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir))
+      val store = scratchStorePath("graft-ivf", dir)
       graft.operators.IvfStore.write(emb, store, nCells = 16)
       graft.operators.IvfStore.search(s, store,
         emb.filter(col("vec_id") < 3), topK = 10, nProbe = 4)

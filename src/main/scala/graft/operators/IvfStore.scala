@@ -38,8 +38,7 @@ object IvfStore {
             lloydIters: Int = 0): Unit = {
     val cents = Similarity.ivfTrain(vectors, nCells, lloydIters)
     cents.write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
-    val spark = vectors.sparkSession
-    Similarity.ivfAssign(vectors, spark.read.parquet(s"$path/centroids"))
+    Similarity.ivfAssign(vectors, centroids(vectors.sparkSession, path))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("cell_id")
       .parquet(s"$path/index")

@@ -25,26 +25,20 @@ object Ingest {
     * unpersist when done routing.
     */
   def jsonWithQuarantine(spark: SparkSession, path: String,
-                         schema: StructType): DataFrame = {
-    val df = spark.read
-      .schema(schema.add(CorruptCol, StringType))
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", CorruptCol)
-      .json(path)
-      .persist()
-    df.count()
-    df
-  }
+                         schema: StructType): DataFrame =
+    readWithQuarantine(spark, schema)(_.json(path))
 
   /** CSV sibling — same contract as [[jsonWithQuarantine]]. */
   def csvWithQuarantine(spark: SparkSession, path: String,
-                        schema: StructType): DataFrame = {
-    val df = spark.read
+                        schema: StructType): DataFrame =
+    readWithQuarantine(spark, schema)(_.option("header", "false").csv(path))
+
+  private def readWithQuarantine(spark: SparkSession, schema: StructType)(
+      load: org.apache.spark.sql.DataFrameReader => DataFrame): DataFrame = {
+    val df = load(spark.read
       .schema(schema.add(CorruptCol, StringType))
       .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", CorruptCol)
-      .option("header", "false")
-      .csv(path)
+      .option("columnNameOfCorruptRecord", CorruptCol))
       .persist()
     df.count()
     df
