@@ -2124,6 +2124,17 @@ object SparkEntry {
           col("channels"), col("width"), col("height"),
           col("duration_ms"), col("n_tracks"), col("n_bytes"))
         .orderBy(col("doc_id"))),
+    "q_media_pixels" -> ((s, dir) =>
+      // REAL pixel decode, pure JVM: packMediaPixels synthesizes
+      // complete valid PNGs (zlib-deflated scanlines cycling all five
+      // PNG filter types, per-chunk CRC32, multi-IDAT) and
+      // decodePixels INFLATES and UNFILTERS them back to samples —
+      // the oracle recomputes the pixel-value arithmetic in closed
+      // form, so a hash match proves the decode, not echoed metadata
+      Media.decodePixels(Media.packMediaPixels(Tables.documents(s, dir)))
+        .select(col("doc_id"), col("mime"), col("width"), col("height"),
+          col("n_px"), col("mean_px"), col("min_px"), col("max_px"))
+        .orderBy(col("doc_id"))),
   )
 
   /** DuckDB replica of [[graft.operators.Bpe.trainMerges]]: the same
@@ -4304,6 +4315,28 @@ object SparkEntry {
         |  CAST(CASE kind WHEN 0 THEN 1 ELSE ntrk END AS INTEGER) AS n_tracks,
         |  CAST(CASE kind WHEN 0 THEN 44 + body
         |       ELSE 140 + 100 * ntrk + body END AS INTEGER) AS n_bytes
+        |FROM m ORDER BY doc_id""".stripMargin,
+    // pixel values are constant per scanline — (doc_id%64) + y, plus
+    // channel offsets 0/40/80 on odd (RGB) docs — so the decoded
+    // statistics have closed forms: mean = base + chanMean + (h-1)/2,
+    // min = base, max = base + chanMax + h-1. The Spark side must
+    // inflate + unfilter the actual PNG bytes to reproduce them.
+    "q_media_pixels" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(16 + (doc_id * 7919 + length(text)) % 64 AS INTEGER) AS w,
+        |    CAST(16 + (doc_id * 104729 + length(text)) % 64 AS INTEGER) AS h,
+        |    CAST(doc_id % 64 AS INTEGER) AS base,
+        |    doc_id % 2 AS rgb
+        |  FROM documents
+        |)
+        |SELECT doc_id, 'image/png' AS mime, w AS width, h AS height,
+        |  CAST(w * h AS INTEGER) AS n_px,
+        |  base + CASE rgb WHEN 0 THEN 0.0 ELSE 40.0 END + (h - 1) / 2.0
+        |    AS mean_px,
+        |  base AS min_px,
+        |  CAST(base + CASE rgb WHEN 0 THEN 0 ELSE 80 END + h - 1
+        |    AS INTEGER) AS max_px
         |FROM m ORDER BY doc_id""".stripMargin,
   )
 }
