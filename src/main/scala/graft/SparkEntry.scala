@@ -2135,6 +2135,17 @@ object SparkEntry {
         .select(col("doc_id"), col("mime"), col("width"), col("height"),
           col("n_px"), col("mean_px"), col("min_px"), col("max_px"))
         .orderBy(col("doc_id"))),
+    "q_media_audio" -> ((s, dir) =>
+      // REAL sample decode: packMediaPcm writes genuine 16-bit LE PCM
+      // WAVs and decodePcmFeatures walks the RIFF chunks and decodes
+      // the waveform back out — integer sample sums have closed
+      // forms, so the oracle recomputes DC/RMS/peak arithmetically
+      // and a hash match proves the byte-level sample decode
+      Media.decodePcmFeatures(Media.packMediaPcm(Tables.documents(s, dir)))
+        .select(col("doc_id"), col("mime"), col("sample_rate"),
+          col("channels"), col("n_samples"), col("mean_amp"),
+          col("rms_amp"), col("peak_amp"))
+        .orderBy(col("doc_id"))),
   )
 
   /** DuckDB replica of [[graft.operators.Bpe.trainMerges]]: the same
@@ -4338,5 +4349,34 @@ object SparkEntry {
         |  CAST(base + CASE rgb WHEN 0 THEN 0 ELSE 80 END + h - 1
         |    AS INTEGER) AS max_px
         |FROM m ORDER BY doc_id""".stripMargin,
+    // samples are a·((i mod 200) − 100): per-200-cycle sums are
+    // constants (Σ = −100, Σ² = 666700) and the partial ramp has
+    // polynomial closed forms, so integer sample sums — and the
+    // IEEE-exact mean/RMS derived from them — are recomputable
+    // without decoding. n ≥ 256 > 200 pins peak at 100·a.
+    "q_media_audio" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(256 + 2 * ((doc_id * 7919 + length(text)) % 512) AS INTEGER) AS n,
+        |    CAST(1 + doc_id % 5 AS BIGINT) AS a,
+        |    CAST(8000 + 100 * ((doc_id * 7919 + length(text)) % 441) AS INTEGER) AS sr,
+        |    CAST(1 + (doc_id * 31 + length(text)) % 2 AS INTEGER) AS ch
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, n, a, sr, ch, n // 200 AS f, n % 200 AS k
+        |  FROM m
+        |), t AS (
+        |  SELECT doc_id, n, a, sr, ch,
+        |    a * (f * -100 + (k * (k - 1) // 2 - 100 * k)) AS sum,
+        |    a * a * (f * 666700 + ((k - 1) * k * (2 * k - 1) // 6
+        |      - 100 * k * (k - 1) + 10000 * k)) AS ss
+        |  FROM s
+        |)
+        |SELECT doc_id, 'audio/wav' AS mime, sr AS sample_rate,
+        |  ch AS channels, n AS n_samples,
+        |  CAST(sum AS DOUBLE) / n AS mean_amp,
+        |  sqrt(CAST(ss AS DOUBLE) / n) AS rms_amp,
+        |  CAST(100 * a AS INTEGER) AS peak_amp
+        |FROM t ORDER BY doc_id""".stripMargin,
   )
 }

@@ -608,6 +608,113 @@ object Media {
       .toDF()
   }
 
+  // ---------------------------------------------------------------
+  // Sample-level PCM audio decode — the WAV analog of the pixel path:
+  // real 16-bit little-endian signed PCM in a canonical RIFF layout,
+  // decoded back to waveform statistics (DC offset, RMS, peak).
+  // ---------------------------------------------------------------
+
+  /** Sample-level audio features over the DECODED waveform: total
+    * sample count (all channels), DC offset (mean), RMS and peak
+    * absolute amplitude in raw 16-bit units.
+    */
+  final case class MediaPcm(
+      doc_id: Long, mime: String, sample_rate: Int, channels: Int,
+      n_samples: Int, mean_amp: Double, rms_amp: Double, peak_amp: Int)
+
+  /** Synthesize complete PCM WAVs from documents: canonical 44-byte
+    * RIFF header (16-byte PCM fmt chunk) followed by real 16-bit LE
+    * samples `a · ((i mod 200) − 100)` with per-doc amplitude
+    * `a = 1 + doc_id mod 5`. Sample sums are exact integers with
+    * closed forms (full 200-cycles plus a partial ramp), so the
+    * oracle recomputes mean/RMS/peak arithmetically while the engine
+    * must actually parse the chunk walk and decode the little-endian
+    * samples. Typed map like [[packMediaPixels]] — generation is
+    * scaffolding, the decode is the product.
+    */
+  def packMediaPcm(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (d, text) =>
+        val len = text.codePointCount(0, text.length).toLong
+        val n = (256 + 2 * ((d * 7919 + len) % 512)).toInt // even: fills frames
+        val a = (1 + d % 5).toInt
+        val sr = (8000 + 100 * ((d * 7919 + len) % 441)).toInt
+        val ch = (1 + (d * 31 + len) % 2).toInt
+        val dataLen = 2 * n
+        val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+          .put("WAVE".getBytes("US-ASCII"))
+          .put("fmt ".getBytes("US-ASCII")).putInt(16)
+          .putShort(1).putShort(ch.toShort).putInt(sr)
+          .putInt(sr * ch * 2).putShort((ch * 2).toShort).putShort(16)
+          .put("data".getBytes("US-ASCII")).putInt(dataLen)
+        var i = 0
+        while (i < n) {
+          out.putShort((a * ((i % 200) - 100)).toShort)
+          i += 1
+        }
+        MediaBlob(d, out.array())
+      }
+      .toDF()
+  }
+
+  /** Batched sample-level PCM decode: RIFF chunk walk to the fmt and
+    * data chunks (16-bit PCM only), little-endian signed sample
+    * decode, waveform statistics in the scan stage. Non-WAV payloads
+    * degrade to application/octet-stream with zeroed stats — the same
+    * never-fail ingest contract as the other decoders.
+    */
+  def decodePcmFeatures(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[MediaBlob]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.map { r => decodePcm(r.doc_id, r.payload) }
+        }
+      }
+      .toDF()
+  }
+
+  private def decodePcm(docId: Long, p: Array[Byte]): MediaPcm = {
+    val none = MediaPcm(docId, "application/octet-stream", 0, 0, 0, 0.0, 0.0, 0)
+    if (p.length < 44 || tag(p, 0) != "RIFF" || tag(p, 8) != "WAVE") return none
+    var i = 12
+    var sr = 0; var ch = 0; var bits = 0
+    var dataOff = -1; var dataLen = 0
+    while (i + 8 <= p.length && (sr == 0 || dataOff < 0)) {
+      val id = tag(p, i)
+      val sz = le32(p, i + 4)
+      if (sz < 0 || i + 8 + sz > p.length) return none
+      if (id == "fmt ") {
+        if (sz < 16 || le16(p, i + 8) != 1) return none // PCM only
+        ch = le16(p, i + 10)
+        sr = le32(p, i + 12).toInt
+        bits = le16(p, i + 22)
+        if (ch == 0 || sr == 0 || bits != 16) return none
+      } else if (id == "data") { dataOff = i + 8; dataLen = sz.toInt }
+      i += 8 + sz.toInt + (sz.toInt & 1)
+    }
+    if (sr == 0 || dataOff < 0 || dataLen % 2 != 0) return none
+    val n = dataLen / 2
+    if (n == 0) return MediaPcm(docId, "audio/wav", sr, ch, 0, 0.0, 0.0, 0)
+    var sum = 0L; var ss = 0L; var peak = 0
+    var j = 0
+    while (j < n) {
+      // little-endian signed 16-bit
+      val v = (le16(p, dataOff + 2 * j) << 16) >> 16
+      sum += v; ss += v.toLong * v
+      val av = math.abs(v)
+      if (av > peak) peak = av
+      j += 1
+    }
+    MediaPcm(docId, "audio/wav", sr, ch, n,
+      sum.toDouble / n, math.sqrt(ss.toDouble / n), peak)
+  }
+
   /** "Video frame" sampling: split the payload into fixed-size chunks
     * and keep every `stride`-th — the partition-parallel shape of
     * frame extraction (explode stays in the scan stage; only sampled
