@@ -2021,6 +2021,20 @@ object SparkEntry {
         .select(col("query_id"), col("rank"), col("vec_id"), col("sim_micro"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    "q_ann_pq" -> ((s, dir) => {
+      // product-quantization ANN: vectors compress to nSub small
+      // codes (here 64 float dims -> 4 codes = 32x), coarse ranking
+      // reads only the code table via an integer ADC lookup-table
+      // sum, exact cosine re-ranks the candidates. Integer coarse
+      // scores + md5-deterministic codebook make the whole chain
+      // engine-portable; the oracle replicates it 1:1
+      val emb = Tables.embeddings(s, dir)
+      Similarity.annPq(emb, emb.filter(col("vec_id") < 3),
+        topK = 10, coarseK = 50)
+        .withColumn("sim_micro", floor(col("sim") * 1e6).cast("long"))
+        .select(col("query_id"), col("rank"), col("vec_id"), col("sim_micro"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "q_dedup_cluster" -> ((s, dir) =>
       // edges from the exact join so the oracle (recursive-CTE CC over
       // the same exact edge set) is deterministic; CC itself is the
@@ -4125,6 +4139,82 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY query_id
         |                       ORDER BY qdot DESC, vec_id) AS crk
         |  FROM co
+        |), cand AS (
+        |  SELECT query_id, vec_id FROM cr WHERE crk <= 50
+        |), re AS (
+        |  SELECT c.query_id, c.vec_id,
+        |    list_cosine_similarity(ev.emb, eq.emb) AS sim
+        |  FROM cand c
+        |  JOIN e ev ON ev.vec_id = c.vec_id
+        |  JOIN e eq ON eq.vec_id = c.query_id
+        |), r AS (
+        |  SELECT query_id, vec_id, sim,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY sim DESC, vec_id) AS rank
+        |  FROM re
+        |)
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id,
+        |  CAST(floor(sim * 1000000) AS BIGINT) AS sim_micro
+        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // 1:1 replica of the product-quantization chain: int8 quantize
+    // (same sc/qv CTEs as q_ann_int8), md5-ordered 16-vector
+    // codebook split into 8 subspaces of 8 dims, all-integer L2
+    // code assignment (ties -> smallest code), integer ADC LUT-sum
+    // coarse top-50, exact cosine re-rank top-10
+    "q_ann_pq" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+        |), dims AS (
+        |  SELECT i, max(abs(emb[i])) AS ma
+        |  FROM e, (SELECT unnest(generate_series(1,
+        |    (SELECT max(len(emb)) FROM e))) AS i) ix
+        |  GROUP BY i
+        |), sc AS (
+        |  SELECT list(CASE WHEN ma = 0 THEN 0.0 ELSE 127.0 / ma END
+        |              ORDER BY i) AS s
+        |  FROM dims
+        |), qv AS (
+        |  SELECT vec_id, list_transform(generate_series(1, len(emb)),
+        |    i -> CAST(greatest(-127, least(127, floor(emb[i] * s[i])))
+        |         AS BIGINT)) AS q
+        |  FROM e, sc
+        |), pick AS (
+        |  SELECT q, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+        |    vec_id) - 1 AS code_id
+        |  FROM qv
+        |), cb AS (
+        |  SELECT ms.m, code_id,
+        |    list_slice(q, ms.m * 8 + 1, ms.m * 8 + 8) AS cent
+        |  FROM pick, (SELECT unnest(generate_series(0, 7)) AS m) ms
+        |  WHERE code_id < 16
+        |), subs AS (
+        |  SELECT vec_id, ms.m,
+        |    list_slice(q, ms.m * 8 + 1, ms.m * 8 + 8) AS sub
+        |  FROM qv, (SELECT unnest(generate_series(0, 7)) AS m) ms
+        |), encd AS (
+        |  SELECT vec_id, m, code_id AS code FROM (
+        |    SELECT s.vec_id, s.m, cb.code_id,
+        |      row_number() OVER (PARTITION BY s.vec_id, s.m
+        |        ORDER BY list_sum(list_transform(generate_series(1, 8),
+        |          i -> (s.sub[i] - cb.cent[i]) * (s.sub[i] - cb.cent[i]))),
+        |          cb.code_id) AS rn
+        |    FROM subs s JOIN cb ON cb.m = s.m)
+        |  WHERE rn = 1
+        |), lut AS (
+        |  SELECT qs.vec_id AS query_id, qs.m, cb.code_id,
+        |    CAST(list_sum(list_transform(generate_series(1, 8),
+        |      i -> qs.sub[i] * cb.cent[i])) AS BIGINT) AS qdot
+        |  FROM subs qs JOIN cb ON cb.m = qs.m
+        |  WHERE qs.vec_id < 3
+        |), adc AS (
+        |  SELECT l.query_id, en.vec_id, CAST(sum(l.qdot) AS BIGINT) AS adc
+        |  FROM encd en JOIN lut l ON l.m = en.m AND l.code_id = en.code
+        |  GROUP BY 1, 2
+        |), cr AS (
+        |  SELECT query_id, vec_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY adc DESC, vec_id) AS crk
+        |  FROM adc
         |), cand AS (
         |  SELECT query_id, vec_id FROM cr WHERE crk <= 50
         |), re AS (

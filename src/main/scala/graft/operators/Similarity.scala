@@ -136,6 +136,106 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id"), col("sim"))
   }
 
+  /** Product-quantization codebook over an int8-quantized corpus: K
+    * code centroids per subspace, taken from the md5-ordered
+    * deterministic sample (the ivfCentroids portable-hash convention,
+    * so a second engine reproduces the exact codebook). Rows are
+    * (m, code_id, cent) with `cent` the sample's m-th int8 subvector.
+    * nSub × nCodes rows total — an index artifact, always broadcast.
+    */
+  def pqCodebook(qv: DataFrame, nSub: Int, subDim: Int,
+                 nCodes: Int): DataFrame = {
+    val w = Window.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    qv.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(nCodes)
+      .withColumn("code_id", row_number().over(w) - 1)
+      .select(col("code_id"), explode(array((0 until nSub).map(m =>
+        struct(lit(m).as("m"),
+          slice(col("qvec"), m * subDim + 1, subDim).as("cent"))): _*))
+        .as("sub"))
+      .select(col("sub.m").as("m"), col("code_id"),
+        col("sub.cent").as("cent"))
+  }
+
+  private def subvectors(qv: DataFrame, nSub: Int, subDim: Int): DataFrame =
+    qv.select(col("vec_id"), explode(array((0 until nSub).map(m =>
+      struct(lit(m).as("m"),
+        slice(col("qvec"), m * subDim + 1, subDim).as("sub"))): _*)).as("s"))
+      .select(col("vec_id"), col("s.m").as("m"), col("s.sub").as("sub"))
+
+  /** PQ encode: each vector becomes nSub small integers — the id of
+    * the L2-nearest codebook centroid per subspace. All-integer
+    * distances (int8 corpus, int8 centroids) make the argmin
+    * engine-portable; ties break to the smallest code_id via the
+    * partial-aggregatable min(struct) trick (the expanded
+    * vec × nCodes frame never shuffles — same shape as [[ivfAssign]]).
+    * At nSub=8, nCodes=16 a 64-dim float vector compresses 256→4
+    * bytes: the memory path that fits a 10^9-vector index in RAM.
+    */
+  def pqEncode(qv: DataFrame, codebook: DataFrame, nSub: Int,
+               subDim: Int): DataFrame =
+    subvectors(qv, nSub, subDim)
+      .join(broadcast(codebook), "m")
+      .withColumn("dist", aggregate(
+        zip_with(col("sub"), col("cent"),
+          (a, b) => { val d = a.cast("int") - b.cast("int"); d * d }),
+        lit(0), (acc, x) => acc + x))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("dist"), col("code_id"))).as("best"))
+      .select(col("vec_id"), col("m"), col("best.code_id").as("code"))
+
+  /** Product-quantization ANN (asymmetric distance): coarse top-
+    * `coarseK` by integer ADC score — Σ_m dot(query's int8 m-th
+    * subvector, the centroid coded by the vector's m-th code) — then
+    * exact float cosine re-rank to top-`topK`. The scan reads ONLY
+    * the 2-byte code rows; full-precision vectors are touched for
+    * the coarseK candidates alone. Integer coarse scores (like
+    * [[annInt8]]) make the candidate cut deterministic across
+    * engines.
+    *
+    * Scale shape: codes table = n × nSub tiny rows, the per-query LUT
+    * (queries × nSub × nCodes dots) broadcasts, and the ADC sum is a
+    * partial-aggregatable groupBy — map-side combine collapses to one
+    * row per (query, vec) before the exchange. Codebook, scales and
+    * codes are index artifacts to persist at 100 TB; built inline at
+    * test SF.
+    */
+  def annPq(vectors: DataFrame, queries: DataFrame, topK: Int,
+            coarseK: Int, nSub: Int = 8, subDim: Int = 8,
+            nCodes: Int = 16): DataFrame = {
+    require(topK > 0 && coarseK >= topK)
+    val scales = dimScales(vectors)
+    val qv = quantizeInt8(vectors, scales)
+    val codebook = pqCodebook(qv, nSub, subDim, nCodes)
+    val codes = pqEncode(qv, codebook, nSub, subDim)
+    val qq = quantizeInt8(queries, scales)
+      .select(col("vec_id").as("query_id"), col("qvec"))
+    val lut = subvectors(qq.withColumnRenamed("query_id", "vec_id"),
+      nSub, subDim)
+      .withColumnRenamed("vec_id", "query_id")
+      .join(broadcast(codebook), "m")
+      .select(col("query_id"), col("m"), col("code_id"),
+        int8_dot(col("sub"), col("cent")).as("qdot"))
+    val wCoarse = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("vec_id"))
+    val cand = codes.join(broadcast(lut),
+      codes("m") === lut("m") && codes("code") === lut("code_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("qdot")).as("adc"))
+      .withColumn("crk", row_number().over(wCoarse))
+      .filter(col("crk") <= coarseK)
+      .select(col("query_id"), col("vec_id"))
+    val wExact = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    vectors.join(broadcast(cand), "vec_id")
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("query_emb"))), "query_id")
+      .withColumn("sim", cosine_sim(col("embedding"), col("query_emb")))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("sim"))
+  }
+
   /** Random-hyperplane signature: bit j = sign(dot(v, h_j)) with
     * deterministic ±1 hyperplane components — computed by the native
     * HyperplaneSig expression (one pass over the array for all bits;

@@ -199,6 +199,41 @@ class LshSpec extends SparkSpec {
     assert(codes.exists(_ == 127) || codes.exists(_ == -127)) // scale binds
   }
 
+  test("annPq with corpus-sized coarseK equals brute force exactly") {
+    // when nothing is cut at the coarse ADC stage, the exact re-rank
+    // IS brute force — quantization may only affect the cut
+    val queries = emb.filter($"vec_id" < 5)
+    val n = emb.count().toInt
+    def keyed(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "rank", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val brute = keyed(Similarity.knnBrute(emb, queries, topK = 5))
+    val full = keyed(Similarity.annPq(emb, queries, topK = 5, coarseK = n))
+    assert(full === brute)
+  }
+
+  test("annPq recall at modest coarseK; codes compress to nSub small ints") {
+    val queries = emb.filter($"vec_id" < 10)
+    val brute = Similarity.knnBrute(emb, queries, topK = 5)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.annPq(emb, queries, topK = 5, coarseK = 50)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ann).size.toDouble / brute.size
+    assert(recall >= 0.5, s"PQ coarse recall $recall too low")
+    // the compressed representation: nSub rows per vector, each a
+    // code in [0, nCodes) — 64 float dims become 8 half-byte codes
+    val qv = Similarity.quantizeInt8(emb, Similarity.dimScales(emb))
+    val codes = Similarity.pqEncode(qv,
+      Similarity.pqCodebook(qv, nSub = 8, subDim = 8, nCodes = 16),
+      nSub = 8, subDim = 8)
+    val n = emb.count()
+    assert(codes.count() === n * 8)
+    val range = codes.agg(min($"code"), max($"code")).head()
+    assert(range.getInt(0) >= 0 && range.getInt(1) < 16)
+  }
+
   test("lshNearDupPairs ⊆ cosineNearDupPairs with identical sims") {
     val exact = Similarity.cosineNearDupPairs(emb, 0.4)
       .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
