@@ -1893,6 +1893,12 @@ object SparkEntry {
         .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("df"),
           col("tfidf_micro"))
         .orderBy(col("doc_id"), col("rk"))),
+    "q_bm25" -> ((s, dir) =>
+      TextAnalysis.bm25TopK(Tables.documents(s, dir), k = 3)
+        .withColumn("bm25_micro", floor(col("bm25") * 1e6).cast("long"))
+        .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("df"),
+          col("dl"), col("bm25_micro"))
+        .orderBy(col("doc_id"), col("rk"))),
     "q_dup_rate" -> ((s, dir) =>
       // per-source duplication health: doc count vs distinct content
       // hashes (only 16-byte digests shuffle into the distinct
@@ -3911,6 +3917,37 @@ object SparkEntry {
         |SELECT doc_id, CAST(rk AS INTEGER) AS rk, term,
         |  CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
         |  CAST(floor(tfidf * 1000000) AS BIGINT) AS tfidf_micro
+        |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    // parenthesization mirrors TextAnalysis.bm25TopK op-for-op: every
+    // step is a correctly-rounded IEEE basic op except ln, which the
+    // long-green q_tfidf gate shows agrees at micro precision
+    "q_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    regexp_split_to_array(lower(trim(text)), '\s+'),
+        |    t -> len(t) > 0)) AS term
+        |  FROM documents
+        |), tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |wdl AS (SELECT doc_id, term, tf,
+        |  sum(tf) OVER (PARTITION BY doc_id) AS dl FROM tf),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl
+        |          FROM (SELECT DISTINCT doc_id, dl FROM wdl)),
+        |scored AS (
+        |  SELECT w.doc_id, w.term, w.tf, df.df, w.dl,
+        |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+        |      (w.tf * (1.2 + 1.0) /
+        |       (w.tf + 1.2 * (1.0 - 0.75 + 0.75 * w.dl / avgdl))) AS bm25
+        |  FROM wdl w JOIN df USING (term) CROSS JOIN stats
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY bm25 DESC, term) AS rk
+        |  FROM scored
+        |)
+        |SELECT doc_id, CAST(rk AS INTEGER) AS rk, term,
+        |  CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+        |  CAST(dl AS BIGINT) AS dl,
+        |  CAST(floor(bm25 * 1000000) AS BIGINT) AS bm25_micro
         |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
     "q_dup_rate" ->
       """SELECT source, count(*) AS n_docs,

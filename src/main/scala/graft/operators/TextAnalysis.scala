@@ -156,6 +156,45 @@ object TextAnalysis {
         col("tfidf"))
   }
 
+  /** Top-k terms per document by BM25 weight — tf-idf's
+    * production-retrieval successor: term saturation (k1) and
+    * document-length normalization (b), with Lucene's `+1` idf so
+    * weights stay positive at any df. Same shuffle shape as
+    * [[tfidfTopK]] plus one trick: the document length is a
+    * whole-partition window SUM over the tf table, so it rides the
+    * doc_id exchange the rank window needs anyway — no extra
+    * doc-keyed join. The df table and the 1-row corpus stats frame
+    * broadcast; scoring is map-side.
+    */
+  def bm25TopK(docs: DataFrame, k: Int = 3, k1: Double = 1.2,
+               b: Double = 0.75, textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"),
+      explode(tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val withDl = tf.withColumn("dl",
+      sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = withDl.select(col("doc_id"), col("dl")).distinct()
+      .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    // parenthesization mirrors the oracle SQL exactly — every op is a
+    // correctly-rounded IEEE basic op except ln, which q_tfidf's
+    // long-green gate shows agrees across engines at micro precision
+    val idf = log((col("n_docs") - col("df") + lit(0.5)) /
+      (col("df") + lit(0.5)) + lit(1.0))
+    val score = idf * (col("tf") * (lit(k1) + lit(1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("bm25").desc, col("term"))
+    withDl.join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("bm25", score)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("df"),
+        col("dl"), col("bm25"))
+  }
+
   /** Training-mix report: per (source, lang) doc and token counts and
     * mean quality — the corpus-composition summary a data pipeline
     * publishes before choosing mixing weights. One map-side-combined

@@ -106,4 +106,32 @@ class TextProfileSpec extends SparkSpec {
       2L -> (1L, 0L),
       3L -> (1L, 2000000L)))
   }
+
+  test("bm25TopK: saturation, length normalization, idf ordering") {
+    // 4 docs; "rare" appears in one doc, "common" in all
+    val docs = Seq(
+      (1L, "common rare alpha beta"),
+      (2L, "common common common common gamma"),
+      (3L, "common delta epsilon zeta eta theta iota kappa " +
+        "lam mu nu xi omicron pi rho sigma tau"),
+      (4L, "common alpha")).toDF("doc_id", "text")
+    val all = TextAnalysis.bm25TopK(docs, k = 100).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("term")) ->
+        (r.getAs[Long]("tf"), r.getAs[Long]("df"), r.getAs[Double]("bm25")))
+      .toMap
+    // idf ordering: in doc 1 (all tf=1, same dl) rare > common
+    assert(all((1L, "rare"))._3 > all((1L, "common"))._3)
+    // saturation: tf=4 in doc 2 scores less than 4x a tf=1 score
+    // would (compare against doc 4's common at a shorter dl — even
+    // with the shorter-doc advantage, 4x caps it)
+    assert(all((2L, "common"))._3 < 4 * all((4L, "common"))._3)
+    // length normalization: same term, same tf=1 — the 18-token doc
+    // scores lower than the 2-token doc
+    assert(all((3L, "common"))._3 < all((4L, "common"))._3)
+    // rank column: doc 1's top term is a df=1 term ("beta" and "rare"
+    // tie on score — same tf/df/dl — and the tie breaks alphabetically)
+    val top = TextAnalysis.bm25TopK(docs, k = 1).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("term")).toMap
+    assert(top(1L) === "beta")
+  }
 }
