@@ -1762,6 +1762,19 @@ object SparkEntry {
       // + greedy leftmost sequence rewrite, entirely as windows over
       // the (doc, pos) token table — no driver loop over data
       graft.operators.Bpe.trainMerges(Tables.documents(s, dir), rounds = 3)),
+    "q_bpe_encode" -> ((s, dir) => {
+      // the tokenizer-application half: merges trained on the train
+      // cohort encode the held-out eval cohort — the standard
+      // train-tokenizer-once, encode-everything pipeline shape. The
+      // oracle replays both chains; a hash match proves the greedy
+      // rewrite applies trained (not re-counted) pairs
+      import graft.operators.{Bpe, Corpus}
+      val docs = Tables.documents(s, dir)
+      val train = docs.filter(Corpus.splitLabel(col("doc_id"), 0.8) === "train")
+      val eval = docs.filter(Corpus.splitLabel(col("doc_id"), 0.8) === "eval")
+      Bpe.applyMerges(eval, Bpe.trainMerges(train, rounds = 3), rounds = 3)
+        .orderBy(col("doc_id"), col("pos"))
+    }),
     "q_cooccur" -> ((s, dir) =>
       // collocation mining: document co-occurrence counts + integer
       // lift (exp-PMI in micro units) for pairs of the top-50
@@ -1893,6 +1906,23 @@ object SparkEntry {
         .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("df"),
           col("tfidf_micro"))
         .orderBy(col("doc_id"), col("rk"))),
+    "q_posting_lookup" -> ((s, dir) => {
+      // persisted inverted index: build once at a scratch path, probe
+      // with the corpus's top-5 df terms (deterministic ties by
+      // term). The store roundtrip — bucket partitioning, DPP probe,
+      // term-sorted files — must be value-exact vs the oracle's
+      // direct tf computation
+      import graft.operators.PostingStore
+      val docs = Tables.documents(s, dir)
+      val store = scratchStorePath("postings", dir)
+      PostingStore.write(docs, store)
+      val probe = PostingStore.postings(s, store)
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("term")).limit(5)
+        .select(col("term"))
+      PostingStore.lookup(s, store, probe)
+        .orderBy(col("term"), col("doc_id"))
+    }),
     "q_bm25" -> ((s, dir) =>
       TextAnalysis.bm25TopK(Tables.documents(s, dir), k = 3)
         .withColumn("bm25_micro", floor(col("bm25") * 1e6).cast("long"))
@@ -2232,8 +2262,89 @@ object SparkEntry {
     sb.toString
   }
 
+  /** DuckDB replica of train-on-train + [[graft.operators.Bpe
+    * .applyMerges]]-on-eval: the training chain is bpeOracleSql's,
+    * restricted to the md5 < 'cccd' cohort; each eval round rewrites
+    * with that round's TRAINED pair (cross join top$r) using the
+    * identical island/odd-parity/relabel SQL.
+    */
+  private def bpeEncodeOracleSql(rounds: Int): String = {
+    // the shared greedy-rewrite block: annotate `src` (an adjacency
+    // table) with `pairSrc`'s 1-row pair, drop merged-into rows,
+    // relabel -> `out`
+    def rewrite(src: String, pairSrc: String, out: String): String =
+      s""",
+        |${out}_dr AS (
+        |  SELECT *,
+        |    coalesce(lag(do_merge, 1) OVER (PARTITION BY doc_id ORDER BY pos),
+        |             FALSE) AS drop_row
+        |  FROM (
+        |    SELECT *, (is_match AND irk % 2 = 1) AS do_merge FROM (
+        |      SELECT *, CASE WHEN is_match THEN row_number()
+        |          OVER (PARTITION BY doc_id, island ORDER BY pos) END AS irk
+        |      FROM (
+        |        SELECT *, CASE WHEN is_match THEN pos - mrn END AS island FROM (
+        |          SELECT *, sum(CASE WHEN is_match THEN 1 ELSE 0 END)
+        |              OVER (PARTITION BY doc_id ORDER BY pos
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mrn
+        |          FROM (
+        |            SELECT p.doc_id, p.pos, p.token, p.next, t.pair_a, t.pair_b,
+        |              (p.token = t.pair_a AND p.next = t.pair_b) AS is_match
+        |            FROM $src p CROSS JOIN $pairSrc t
+        |          )
+        |        )
+        |      )
+        |    )
+        |  )
+        |), $out AS (
+        |  SELECT doc_id,
+        |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS pos,
+        |    CASE WHEN do_merge THEN pair_a || '+' || pair_b ELSE token END AS token
+        |  FROM ${out}_dr WHERE NOT drop_row
+        |)""".stripMargin
+    val sb = new StringBuilder
+    sb.append(
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                 x -> len(x) > 0) AS tk
+        |  FROM documents
+        |), t0x AS (
+        |  SELECT doc_id, CAST(s['pos'] AS BIGINT) AS pos,
+        |         CAST(s['token'] AS VARCHAR) AS token,
+        |         md5(CAST(doc_id AS VARCHAR)) < 'cccd' AS is_train
+        |  FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk)),
+        |          i -> struct_pack(pos := i - 1, token := tk[i]))) AS s
+        |        FROM tok)
+        |), t0 AS (SELECT doc_id, pos, token FROM t0x WHERE is_train
+        |), e0 AS (SELECT doc_id, pos, token FROM t0x WHERE NOT is_train
+        |)""".stripMargin)
+    for (r <- 0 until rounds) {
+      sb.append(s""",
+        |p$r AS (
+        |  SELECT doc_id, pos, token,
+        |    lead(token, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS next
+        |  FROM t$r
+        |), top$r AS (
+        |  SELECT token AS pair_a, next AS pair_b, count(*) AS pair_n
+        |  FROM p$r WHERE next IS NOT NULL
+        |  GROUP BY 1, 2 ORDER BY pair_n DESC, pair_a, pair_b LIMIT 1
+        |), ep$r AS (
+        |  SELECT doc_id, pos, token,
+        |    lead(token, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS next
+        |  FROM e$r
+        |)""".stripMargin)
+      sb.append(rewrite(s"p$r", s"top$r", s"t${r + 1}"))
+      sb.append(rewrite(s"ep$r", s"top$r", s"e${r + 1}"))
+    }
+    sb.append(s"""
+      |SELECT doc_id, CAST(pos AS INTEGER) AS pos, token
+      |FROM e$rounds ORDER BY doc_id, pos""".stripMargin)
+    sb.toString
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q_bpe_train" -> bpeOracleSql(3),
+    "q_bpe_encode" -> bpeEncodeOracleSql(3),
     "q_candle_minute" -> (txnCte + minuteCte + "\n" +
       candleSelect("minute_c", "MINUTE", "ws + INTERVAL 1 minute")),
     "q_stream_candles" -> (txnCte + minuteCte + "\n" +
@@ -3918,6 +4029,21 @@ object SparkEntry {
         |  CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
         |  CAST(floor(tfidf * 1000000) AS BIGINT) AS tfidf_micro
         |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    // the store is an internal layout detail: the oracle recomputes
+    // the probe's posting lists straight from the documents — a hash
+    // match proves the partitioned-store roundtrip is value-exact
+    "q_posting_lookup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    regexp_split_to_array(lower(trim(text)), '\s+'),
+        |    t -> len(t) > 0)) AS term
+        |  FROM documents
+        |), tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |top5 AS (SELECT term FROM df ORDER BY df DESC, term LIMIT 5)
+        |SELECT t.term, t.doc_id, CAST(t.tf AS BIGINT) AS tf
+        |FROM tf t JOIN top5 USING (term)
+        |ORDER BY term, doc_id""".stripMargin,
     // parenthesization mirrors TextAnalysis.bm25TopK op-for-op: every
     // step is a correctly-rounded IEEE basic op except ln, which the
     // long-green q_tfidf gate shows agrees at micro precision
@@ -4216,14 +4342,12 @@ object SparkEntry {
         |         AS BIGINT)) AS q
         |  FROM e, sc
         |), pick AS (
-        |  SELECT q, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
-        |    vec_id) - 1 AS code_id
-        |  FROM qv
+        |  SELECT vec_id AS code_id, q FROM qv
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
         |), cb AS (
         |  SELECT ms.m, code_id,
         |    list_slice(q, ms.m * 8 + 1, ms.m * 8 + 8) AS cent
         |  FROM pick, (SELECT unnest(generate_series(0, 7)) AS m) ms
-        |  WHERE code_id < 16
         |), subs AS (
         |  SELECT vec_id, ms.m,
         |    list_slice(q, ms.m * 8 + 1, ms.m * 8 + 8) AS sub

@@ -36,7 +36,6 @@ object Bpe {
     * frame (pair_a, pair_b, pair_n)).
     */
   private def mergeRound(t: DataFrame): (DataFrame, DataFrame) = {
-    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val paired = withNext(t)
     val top = paired
       .filter(col("next").isNotNull)
@@ -44,7 +43,15 @@ object Bpe {
       .agg(count(lit(1)).as("pair_n"))
       .orderBy(col("pair_n").desc, col("pair_a"), col("pair_b"))
       .limit(1)
-    val flagged = paired.crossJoin(broadcast(top))
+    (rewriteWith(paired, top), top)
+  }
+
+  /** Rewrite an adjacency-annotated sequence table with ONE merge
+    * pair (a 1-row broadcast frame): greedy leftmost non-overlapping,
+    * the island/odd-parity rule shared by training and encoding.
+    */
+  private def rewriteWith(paired: DataFrame, pair: DataFrame): DataFrame = {
+    val flagged = paired.crossJoin(broadcast(pair))
       .withColumn("is_match",
         col("token") === col("pair_a") && col("next") === col("pair_b"))
     // islands of consecutive matching positions (only same-token runs
@@ -59,14 +66,13 @@ object Bpe {
         when(col("is_match"), row_number().over(matchSeq)))
       .withColumn("do_merge", col("is_match") && col("irk") % 2 === 1)
     val prevMerged = lag(col("do_merge"), 1, false).over(mByDoc)
-    val rewritten = marked
+    marked
       .withColumn("drop_row", coalesce(prevMerged, lit(false)))
       .filter(!col("drop_row"))
       .select(col("doc_id"),
         row_number().over(mByDoc).as("pos"),
         when(col("do_merge"), concat(col("pair_a"), lit("+"), col("pair_b")))
           .otherwise(col("token")).as("token"))
-    (rewritten, top)
   }
 
   /** Run `rounds` merge rounds over whitespace-tokenized `textCol`;
@@ -93,6 +99,34 @@ object Bpe {
       if (round < rounds) { t = next.persist(); cached += t }
     }
     cached.foldLeft(out.orderBy(col("round")))(
+      (r, c) => LshDedup.unpersistAfterFirstUse(r, c))
+  }
+
+  /** ENCODE with a trained merge list: apply `rounds` merges (in
+    * training order) to `docs`, returning the rewritten sequence
+    * table (doc_id, pos, token) — the tokenizer-application half of
+    * the BPE story (train on the trusted split, encode everything).
+    * Each round's pair is a 1-row broadcast filter of `merges`
+    * (trainMerges output) — no driver-side data loop, no collect;
+    * the same island/odd-parity greedy rewrite as training, so
+    * encoding a corpus with merges trained ON it reproduces the
+    * trainer's final state exactly. Per-round persist for the same
+    * plan-doubling reason as [[trainMerges]].
+    */
+  def applyMerges(docs: DataFrame, merges: DataFrame, rounds: Int = 3,
+                  textCol: String = "text"): DataFrame = {
+    require(rounds >= 1)
+    var t = docs.select(col("doc_id"),
+        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "token")))
+      .persist()
+    val cached = scala.collection.mutable.ListBuffer(t)
+    for (round <- 1 to rounds) {
+      val pair = merges.filter(col("round") === round)
+        .select(col("pair_a"), col("pair_b"))
+      val next = rewriteWith(withNext(t), pair)
+      if (round < rounds) { t = next.persist(); cached += t } else t = next
+    }
+    cached.foldLeft(t)(
       (r, c) => LshDedup.unpersistAfterFirstUse(r, c))
   }
 }

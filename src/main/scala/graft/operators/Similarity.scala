@@ -144,18 +144,18 @@ object Similarity {
     * nSub × nCodes rows total — an index artifact, always broadcast.
     */
   def pqCodebook(qv: DataFrame, nSub: Int, subDim: Int,
-                 nCodes: Int): DataFrame = {
-    val w = Window.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+                 nCodes: Int): DataFrame =
     qv.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
       .limit(nCodes)
-      .withColumn("code_id", row_number().over(w) - 1)
-      .select(col("code_id"), explode(array((0 until nSub).map(m =>
+      // the sample's vec_id IS the code id (the ivfCentroids
+      // convention) — no global rank window, deterministic ties, and
+      // the code column still dictionary-encodes to log2(nCodes) bits
+      .select(col("vec_id").as("code_id"), explode(array((0 until nSub).map(m =>
         struct(lit(m).as("m"),
           slice(col("qvec"), m * subDim + 1, subDim).as("cent"))): _*))
         .as("sub"))
       .select(col("sub.m").as("m"), col("code_id"),
         col("sub.cent").as("cent"))
-  }
 
   private def subvectors(qv: DataFrame, nSub: Int, subDim: Int): DataFrame =
     qv.select(col("vec_id"), explode(array((0 until nSub).map(m =>

@@ -36,4 +36,26 @@ class BpeSpec extends SparkSpec {
       (1, "b", "b", 5L),
       (2, "b+b", "b+b", 2L)))
   }
+
+  test("applyMerges: trained pairs encode new text, not re-counted ones") {
+    val train = Seq((1L, "x y x y z")).toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(train, rounds = 3)
+    // rounds on train: (x,y) → (x+y,x+y) → (x+y+x+y,z)
+    def encode(text: String) =
+      Bpe.applyMerges(Seq((9L, text)).toDF("doc_id", "text"), merges, rounds = 3)
+        .orderBy("pos").collect().map(_.getAs[String]("token")).toSeq
+    // self-encode reproduces the trainer's final state
+    assert(encode("x y x y z") === Seq("x+y+x+y+z"))
+    // new text only merges where trained pairs match — (y,q) was
+    // never trained, so it survives even though it is the most
+    // frequent pair HERE (proves pairs are applied, not re-counted)
+    assert(encode("x y q y q y q") === Seq("x+y", "q", "y", "q", "y", "q"))
+    // greedy leftmost non-overlap on a trained same-token run
+    val runTrain = Seq((1L, "b b b")).toDF("doc_id", "text")
+    val runMerges = Bpe.trainMerges(runTrain, rounds = 1)
+    val enc = Bpe.applyMerges(Seq((9L, "b b b b b")).toDF("doc_id", "text"),
+      runMerges, rounds = 1)
+      .orderBy("pos").collect().map(_.getAs[String]("token")).toSeq
+    assert(enc === Seq("b+b", "b+b", "b"))
+  }
 }

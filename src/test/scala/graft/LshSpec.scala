@@ -222,16 +222,16 @@ class LshSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (brute & ann).size.toDouble / brute.size
     assert(recall >= 0.5, s"PQ coarse recall $recall too low")
-    // the compressed representation: nSub rows per vector, each a
-    // code in [0, nCodes) — 64 float dims become 8 half-byte codes
+    // the compressed representation: nSub rows per vector, each one
+    // of ≤ nCodes distinct code ids (dictionary-encodes to 4 bits) —
+    // 64 float dims become 8 half-byte codes
     val qv = Similarity.quantizeInt8(emb, Similarity.dimScales(emb))
     val codes = Similarity.pqEncode(qv,
       Similarity.pqCodebook(qv, nSub = 8, subDim = 8, nCodes = 16),
       nSub = 8, subDim = 8)
     val n = emb.count()
     assert(codes.count() === n * 8)
-    val range = codes.agg(min($"code"), max($"code")).head()
-    assert(range.getInt(0) >= 0 && range.getInt(1) < 16)
+    assert(codes.agg(countDistinct($"code")).head().getLong(0) <= 16)
   }
 
   test("lshNearDupPairs ⊆ cosineNearDupPairs with identical sims") {
