@@ -35,7 +35,11 @@ class PostingStoreSpec extends SparkSpec {
   test("lookup prunes partitions dynamically (DPP in the plan)") {
     val store = Files.createTempDirectory("posting-store-dpp").toString
     PostingStore.write(docs, store)
-    val probe = Seq("the").toDF("term")
+    // the realistic probe shape: terms out of a filtered scan (DPP
+    // requires a selective build side — a bare literal LocalRelation
+    // is planned without the pruning subquery)
+    val probe = docs.filter($"doc_id" < 5)
+      .select(explode(graft.operators.TextAnalysis.tokens($"text")).as("term"))
     val p = PostingStore.lookup(spark, store, probe)
       .queryExecution.executedPlan.toString
     assert(p.toLowerCase.contains("dynamicpruning"),
