@@ -46,6 +46,37 @@ class PostingStoreSpec extends SparkSpec {
       s"no dynamic partition pruning in:\n$p")
   }
 
+  test("streaming document ingest maintains the index via foreachBatch append") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val store = Files.createTempDirectory("posting-stream").toString
+    val corpus = docs.filter($"doc_id" >= 100)
+    PostingStore.write(corpus, store)
+
+    val arriving = docs.filter($"doc_id" < 100)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val (b1, b2) = arriving.splitAt(arriving.length / 2)
+
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        PostingStore.append(batch, store)
+      }
+      .start()
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // the streamed-in store equals a from-scratch build over everything
+    assert(key(PostingStore.postings(spark, store)) ===
+      key(PostingStore.build(docs)
+        .select(col("term"), col("doc_id"), col("tf"))))
+  }
+
   test("append is incremental and idempotent; compact preserves rows") {
     val store = Files.createTempDirectory("posting-store-incr").toString
     val train = docs.filter(Corpus.splitLabel($"doc_id", 0.8) === "train")
