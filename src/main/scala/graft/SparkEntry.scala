@@ -1916,8 +1916,15 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       val store = scratchStorePath("postings", dir)
       PostingStore.write(docs, store)
-      val probe = PostingStore.postings(s, store)
+      // probe terms derive from the documents side, not the store (a
+      // same-table probe has no selective other side), and carry a
+      // real predicate (df > 1): Spark only injects the DPP subquery
+      // when the probe side has a Filter — aggregates/limits alone
+      // don't count as selective. The pruning is the layout property
+      // under test
+      val probe = PostingStore.build(docs)
         .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > 1)
         .orderBy(col("df").desc, col("term")).limit(5)
         .select(col("term"))
       PostingStore.lookup(s, store, probe)
@@ -4039,7 +4046,7 @@ object SparkEntry {
         |    t -> len(t) > 0)) AS term
         |  FROM documents
         |), tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
-        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1 HAVING count(*) > 1),
         |top5 AS (SELECT term FROM df ORDER BY df DESC, term LIMIT 5)
         |SELECT t.term, t.doc_id, CAST(t.tf AS BIGINT) AS tf
         |FROM tf t JOIN top5 USING (term)

@@ -171,7 +171,11 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col("doc_id"),
       explode(tokens(col(textCol))).as("term"))
+    // the tf table feeds THREE branches (scoring, df, corpus stats) —
+    // persist it so the tokenize + (doc, term) shuffle runs once, not
+    // per branch; released after the first action on the result
     val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .persist()
     val withDl = tf.withColumn("dl",
       sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -186,13 +190,15 @@ object TextAnalysis {
       (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("bm25").desc, col("term"))
-    withDl.join(broadcast(df), "term")
-      .crossJoin(broadcast(stats))
-      .withColumn("bm25", score)
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("df"),
-        col("dl"), col("bm25"))
+    LshDedup.unpersistAfterFirstUse(
+      withDl.join(broadcast(df), "term")
+        .crossJoin(broadcast(stats))
+        .withColumn("bm25", score)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= k)
+        .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("df"),
+          col("dl"), col("bm25")),
+      tf)
   }
 
   /** Training-mix report: per (source, lang) doc and token counts and
