@@ -185,6 +185,95 @@ object SparkEntry {
          |  (xor((xor((xor($Golden, tkh[i]) * $FnvP) % $M,
          |    tkh[i+1]) * $FnvP) % $M, tkh[i+2]) * $FnvP) % $M)""".stripMargin
 
+    /** The same rolling fold generalized to n-gram width (ShingleHashes
+      * with arbitrary n) — built by nesting the xor-mul step, exactly
+      * the loop the native expression runs.
+      */
+    private def shingleFoldN(n: Int): String = {
+      val fold = (1 until n).foldLeft(s"(xor($Golden, tkh[i]) * $FnvP) % $M") {
+        (acc, j) => s"(xor($acc, tkh[i+$j]) * $FnvP) % $M"
+      }
+      s"list_transform(generate_series(1, len(tkh) - ${n - 1}), i -> $fold)"
+    }
+
+    /** Duplicated-substring report (Dedup.duplicateSpans, n=8): dup
+      * gram hashes = positional 8-gram hashes occurring >1 time
+      * corpus-wide; per doc, the dup occurrence count and the distinct
+      * token positions covered. Positions are 1-based here vs Spark's
+      * 0-based posexplode — pure offsets, the covered-position COUNTS
+      * are offset-invariant.
+      */
+    val substringSql: String =
+      s"""$tokenHashCte, shl AS (
+         |  SELECT doc_id, ${mixStages(shingleFoldN(8))} AS sh
+         |  FROM th WHERE len(tkh) >= 8
+         |), posed AS (
+         |  SELECT doc_id, u.p AS pos, u.h AS h
+         |  FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(sh)),
+         |          i -> {'p': i, 'h': sh[i]})) AS u
+         |        FROM shl)
+         |), dup AS (
+         |  SELECT h FROM posed GROUP BY h HAVING count(*) > 1
+         |), docc AS (
+         |  SELECT p.doc_id, p.pos FROM posed p JOIN dup USING (h)
+         |), covered AS (
+         |  SELECT DISTINCT doc_id, pos + d AS tpos
+         |  FROM docc, generate_series(0, 7) AS g(d)
+         |)
+         |SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(o.n, 0) AS BIGINT) AS n_dup_grams,
+         |  CAST(coalesce(c.n, 0) AS BIGINT) AS n_dup_tokens
+         |FROM (SELECT doc_id, len(tkh) AS n_tokens FROM th) b
+         |LEFT JOIN (SELECT doc_id, count(*) AS n FROM docc GROUP BY 1) o
+         |  USING (doc_id)
+         |LEFT JOIN (SELECT doc_id, count(*) AS n FROM covered GROUP BY 1) c
+         |  USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+
+    /** ExactSubstr cut (Dedup.cutDuplicateSpans): corpus-wide
+      * first-occurrence rank per dup hash (row_number over (doc_id,
+      * pos) — a unique total order, so the kept set is deterministic),
+      * later occurrences' spans cut, text rebuilt from surviving
+      * tokens. 1-based positions throughout, matching posed.
+      */
+    val substringCutSql: String =
+      s"""$tokenHashCte, shl AS (
+         |  SELECT doc_id, ${mixStages(shingleFoldN(8))} AS sh
+         |  FROM th WHERE len(tkh) >= 8
+         |), posed AS (
+         |  SELECT doc_id, u.p AS pos, u.h AS h
+         |  FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(sh)),
+         |          i -> {'p': i, 'h': sh[i]})) AS u
+         |        FROM shl)
+         |), dup AS (
+         |  SELECT h FROM posed GROUP BY h HAVING count(*) > 1
+         |), ranked AS (
+         |  SELECT p.doc_id, p.pos,
+         |    row_number() OVER (PARTITION BY p.h ORDER BY p.doc_id, p.pos) AS rk
+         |  FROM posed p JOIN dup USING (h)
+         |), cutp AS (
+         |  SELECT DISTINCT doc_id, pos + d AS tpos
+         |  FROM ranked, generate_series(0, 7) AS g(d) WHERE rk > 1
+         |), tokpos AS (
+         |  SELECT doc_id, u.p AS tpos, u.t AS tok
+         |  FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk)),
+         |          i -> {'p': i, 't': tk[i]})) AS u
+         |        FROM toks)
+         |), keptagg AS (
+         |  SELECT t.doc_id, count(*) AS n_kept,
+         |    string_agg(t.tok, ' ' ORDER BY t.tpos) AS text_kept
+         |  FROM tokpos t
+         |  LEFT JOIN cutp c ON t.doc_id = c.doc_id AND t.tpos = c.tpos
+         |  WHERE c.doc_id IS NULL
+         |  GROUP BY t.doc_id
+         |)
+         |SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_tokens_kept,
+         |  coalesce(k.text_kept, '') AS text_kept
+         |FROM (SELECT doc_id, len(tk) AS n_tokens FROM toks) b
+         |LEFT JOIN keptagg k USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+
     /** (i, a_hi, a_lo, b) permutation table, i = 1..64. */
     private val permRows: String = (0 until 64).map { i =>
       val a = u64(mix(2 * i + 1) | 1L); val b = u64(mix(2 * i + 2))
@@ -1952,6 +2041,31 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(Tables.documents(s, dir))
         .orderBy(col("content_hash"))),
+    "q_substring_dedup" -> ((s, dir) =>
+      // span-level dedup report (Lee et al. 2021 scaled to fixed
+      // 8-token grams): corpus-wide duplicated gram hashes mark their
+      // covered token positions; only 8-byte hashes shuffle
+      Dedup.duplicateSpans(Tables.documents(s, dir), n = 8)
+        .orderBy(col("doc_id"))),
+    "q_substring_cut" -> ((s, dir) =>
+      // the destructive half: keep each duplicated gram's FIRST
+      // corpus-wide occurrence, cut the rest, reassemble surviving
+      // text — ExactSubstr dedup end-to-end, rebuilt strings gated
+      Dedup.cutDuplicateSpans(Tables.documents(s, dir), n = 8)
+        .orderBy(col("doc_id"))),
+    "q_heavy_hitters" -> ((s, dir) =>
+      // Misra–Gries certification (the q_approx_distinct pattern):
+      // k=30 sits below the corpus vocabulary, so eviction pressure is
+      // constant — the near-uniform token counts are the sketch's
+      // adversarial case. Gated claims are exact counts of the
+      // guaranteed-frequent set plus the two deterministic theorem
+      // flags (membership, undercount ≤ N/(k+1)) the oracle pins TRUE;
+      // production callers at scale run the k-bounded sketch alone
+      // (no vocabulary-sized shuffle).
+      graft.operators.HeavyHitters.certified(
+        Tables.documents(s, dir)
+          .select(explode(TextAnalysis.tokens(col("text"))).as("token")),
+        "token", k = 30)),
     "q_dedup_incremental" -> ((s, dir) => {
       // daily-ingest dedup: the eval cohort arrives as a new batch
       // against the train-cohort corpus; only unseen content survives
@@ -4093,6 +4207,29 @@ object SparkEntry {
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash,
         |  min(doc_id) AS keep_doc_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
+    // q_substring_dedup: the positional 8-gram hash chain is the same
+    // engine-replicated FNV+mix pipeline as the winnow oracle,
+    // generalized to width 8 (SketchOracles.shingleFoldN)
+    "q_substring_dedup" -> SketchOracles.substringSql,
+    // q_substring_cut: same chain + corpus-wide first-occurrence rank;
+    // the rebuilt text strings are compared verbatim
+    "q_substring_cut" -> SketchOracles.substringCutSql,
+    // q_heavy_hitters: sketch certification (the q_approx_distinct
+    // pattern) — the Misra–Gries candidate set has no DuckDB
+    // counterpart; the gated claims are the exact counts of the
+    // guaranteed-frequent set (n·(k+1) > N, k=30) plus the theorem
+    // flags the oracle pins TRUE (raw-candidate properties live in
+    // HeavyHittersSpec)
+    "q_heavy_hitters" ->
+      """WITH tok AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                x -> len(x) > 0)) AS token
+        |  FROM documents
+        |), ex AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+        |tot AS (SELECT count(*) AS total FROM tok)
+        |SELECT token, n, TRUE AS in_sketch, TRUE AS err_in_bound
+        |FROM ex, tot WHERE n * 31 > total
+        |ORDER BY n DESC, token""".stripMargin,
     "q_dedup_incremental" ->
       """WITH labeled AS (
         |  SELECT doc_id,

@@ -252,6 +252,105 @@ object Dedup {
     docs.join(losers, Seq("doc_id"), "left_anti")
   }
 
+  /** Exact duplicated-substring report (the span-level sibling of
+    * document dedup — Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better", arXiv:2107.06499 §4.1, scaled down from
+    * suffix arrays to fixed n-token grams): every n-token gram that
+    * occurs more than once ANYWHERE in the corpus (across documents or
+    * repeated within one) marks all token positions it covers as
+    * duplicated. Output, one row per document: `n_tokens`,
+    * `n_dup_grams` (duplicated gram occurrences starting in the doc),
+    * `n_dup_tokens` (distinct token positions covered) — the
+    * memorization-risk signal a span-cut pass would consume.
+    *
+    * Scale: the tokenize + shingle front is the codegen'd
+    * `token_fnv_hashes` → `shingle_hashes_pos` scan stage; only 8-byte
+    * gram hashes ever shuffle. The duplicated-hash set is a
+    * map-side-combined groupBy whose count=1 tail (the overwhelming
+    * majority of grams, Zipf) dies in the partial aggregate; the join
+    * back is hash-equi on the surviving dup hashes. Positions explode
+    * only for dup occurrences (× n, bounded), never the full corpus.
+    */
+  def duplicateSpans(docs: DataFrame, textCol: String = "text",
+                     n: Int = 8): DataFrame = {
+    import graft.functions.{shingle_hashes_pos, token_fnv_hashes}
+    val toks = docs.select(col("doc_id"),
+      token_fnv_hashes(lower(trim(col(textCol)))).as("tkh"))
+    val grams = toks.select(col("doc_id"),
+      posexplode(shingle_hashes_pos(col("tkh"), n)).as(Seq("pos", "h")))
+    val dupHashes = grams.groupBy(col("h"))
+      .agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") > 1)
+      .select(col("h"))
+    val dupOcc = grams.join(dupHashes, "h")
+    val perDocGrams = dupOcc.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_grams"))
+    val perDocTokens = dupOcc
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("tpos"))
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("tpos")).as("n_dup_tokens"))
+    toks.select(col("doc_id"), size(col("tkh")).cast("long").as("n_tokens"))
+      .join(perDocGrams, Seq("doc_id"), "left")
+      .join(perDocTokens, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"))
+  }
+
+  /** The destructive half of [[duplicateSpans]] — ExactSubstr dedup
+    * (Lee et al. 2021 §4.1) end-to-end: for every duplicated n-token
+    * gram, the FIRST occurrence corpus-wide (min (doc_id, pos)) is
+    * kept; every later occurrence's span is cut, and each document is
+    * reassembled from its surviving tokens. Output per doc:
+    * `n_tokens`, `n_tokens_kept`, and the rebuilt `text_kept`
+    * (whitespace-normalized by construction).
+    *
+    * Scale: ranking occurrences within a gram-hash group shuffles only
+    * the DUPLICATED occurrences (tiny vs the corpus) keyed by hash;
+    * the reassembly is one per-doc shuffle of (pos, token) pairs —
+    * the same key the tokenize stage already carries. A kept first
+    * occurrence can still lose tokens to a different overlapping cut
+    * span; that is the defined semantics (cut spans are cut), matching
+    * the reference implementation's suffix-interval behavior.
+    */
+  def cutDuplicateSpans(docs: DataFrame, textCol: String = "text",
+                        n: Int = 8): DataFrame = {
+    import graft.functions.{shingle_hashes_pos, token_fnv_hashes}
+    val toks = docs.select(col("doc_id"),
+      filter(split(lower(trim(col(textCol))), "\\s+"), t => length(t) > 0).as("tk"))
+    val grams = docs.select(col("doc_id"),
+      posexplode(shingle_hashes_pos(
+        token_fnv_hashes(lower(trim(col(textCol)))), n)).as(Seq("pos", "h")))
+    // duplicated hashes via map-side-combined groupBy (the count=1
+    // tail never shuffles), THEN rank only the surviving occurrences —
+    // a window straight over `grams` would shuffle the whole gram
+    // table with no partial aggregation
+    val dupHashes = grams.groupBy(col("h"))
+      .agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") > 1)
+      .select(col("h"))
+    val wOcc = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("pos"))
+    val cut = grams.join(dupHashes, "h")
+      .withColumn("rk", row_number().over(wOcc))
+      .filter(col("rk") > 1)
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("tpos"))
+      .distinct()
+    val kept = toks
+      .select(col("doc_id"), posexplode(col("tk")).as(Seq("tpos", "tok")))
+      .join(cut, Seq("doc_id", "tpos"), "left_anti")
+    toks.select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"))
+      .join(kept.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens_kept"),
+          array_join(array_sort(collect_list(struct(col("tpos"), col("tok"))))
+            .getField("tok"), " ").as("text_kept")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"),
+        coalesce(col("text_kept"), lit("")).as("text_kept"))
+  }
+
   /** Exact n-gram Jaccard similarity between two shingle arrays. */
   def jaccard(a: Column, b: Column): Column =
     when(size(array_union(a, b)) > 0,
