@@ -2146,6 +2146,12 @@ object SparkEntry {
         .withColumn("sim_micro", floor(col("sim") * 1e6).cast("long"))
         .select(col("vec_a"), col("vec_b"), col("sim_micro"))
         .orderBy(col("vec_a"), col("vec_b"))),
+    "q_semdedup" -> ((s, dir) =>
+      // SemDeDup: semantic dedup without cross-cluster compares —
+      // md5-sampled cells (oracle-reproducible), within-cell cosine,
+      // drop when an earlier in-cell member exceeds the threshold
+      Similarity.semDedup(Tables.embeddings(s, dir), nCells = 16, threshold = 0.35)
+        .orderBy(col("vec_id"))),
     "q_knn_brute" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.knnBrute(emb, emb.filter(col("vec_id") < 3), topK = 10)
@@ -4620,6 +4626,31 @@ object SparkEntry {
         |WHERE a.vec_id < b.vec_id
         |  AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.45
         |ORDER BY vec_a, vec_b""".stripMargin,
+    // q_semdedup: the cent/asg CTEs mirror annIvfSql's (same md5 pick,
+    // same sim-desc/cell-asc argmax tie-break); max over bit-identical
+    // cosines picks the same value in both engines
+    "q_semdedup" ->
+      """WITH c0 AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        |), cent AS (
+        |  SELECT vec_id AS cell_id, e AS c FROM c0
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+        |), asg AS (
+        |  SELECT vec_id, e, cell_id, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY list_cosine_similarity(e, c) DESC, cell_id) AS rn
+        |  FROM c0 CROSS JOIN cent
+        |), idx AS (
+        |  SELECT vec_id, e, cell_id FROM asg WHERE rn = 1
+        |), p AS (
+        |  SELECT a.vec_id, max(list_cosine_similarity(a.e, b.e)) AS mp
+        |  FROM idx a JOIN idx b ON a.cell_id = b.cell_id AND b.vec_id < a.vec_id
+        |  GROUP BY a.vec_id
+        |)
+        |SELECT i.vec_id, i.cell_id,
+        |  CAST(coalesce(floor(p.mp * 1000000), -1) AS BIGINT) AS max_prior_sim_micro,
+        |  coalesce(p.mp <= 0.35, TRUE) AS kept
+        |FROM idx i LEFT JOIN p USING (vec_id)
+        |ORDER BY i.vec_id""".stripMargin,
     "q_knn_brute" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe

@@ -465,6 +465,47 @@ object Similarity {
       scored)
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    * at web-scale through semantic deduplication", arXiv:2303.09540):
+    * semantic dedup that never compares across clusters. Every vector
+    * is assigned to its nearest of `nCells` centroids (the same
+    * deterministic md5-sampled pick as [[ivfCentroids]], so a second
+    * engine reproduces the cells); pairwise cosine runs WITHIN each
+    * cell only, and a vector is dropped when any earlier in-cell
+    * vector (smaller vec_id — the paper keeps one representative per
+    * near-dup set; min-id is the deterministic choice of it) exceeds
+    * `threshold`. Output, one row per vector: its cell, the max
+    * cosine to any earlier in-cell member (micro units, -1 if the
+    * cell's first member), and the keep verdict.
+    *
+    * Scale: this is the paper's point — all-pairs over 100 TB of
+    * embeddings is impossible, but within-cell pairs are
+    * (n/nCells)² × nCells; with nCells grown ∝ n the per-cell work is
+    * constant and the join is a plain shuffled equi-join on cell_id
+    * (AQE splits skewed cells). The assignment frame is persisted
+    * once (it feeds both sides of the self-join and the final
+    * verdict); the max-prior aggregate is partial-aggregatable, so
+    * each bucket's pair explosion collapses map-side to one row per
+    * vector before the shuffle back.
+    */
+  def semDedup(vectors: DataFrame, nCells: Int = 16,
+               threshold: Double = 0.35): DataFrame = {
+    val asg = ivfAssign(vectors, ivfCentroids(vectors, nCells)).persist()
+    val b = asg.select(col("cell_id"), col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"))
+    val maxPrior = asg.join(b, "cell_id")
+      .filter(col("vec_b") < col("vec_id"))
+      .withColumn("sim", cosine_sim(col("embedding"), col("emb_b")))
+      .groupBy(col("vec_id"))
+      .agg(max(col("sim")).as("max_prior_sim"))
+    asg.join(maxPrior, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell_id"),
+        coalesce(floor(col("max_prior_sim") * 1e6).cast("long"), lit(-1L))
+          .as("max_prior_sim_micro"),
+        (col("max_prior_sim").isNull || col("max_prior_sim") <= threshold)
+          .as("kept"))
+  }
+
   /** LSH-bucketed near-duplicate pairs — same contract as
     * cosineNearDupPairs but only compares within hyperplane buckets.
     * The high-threshold scale path (recall is probabilistic; sound
