@@ -24,11 +24,19 @@ object Verify {
       case Some(ks) => SparkEntry.queries.view.filterKeys(ks).toMap
       case None => SparkEntry.queries
     }
+    // A crashed query must be LOUD: it writes an error sidecar and the
+    // run exits nonzero. (Round 5 shipped with 54 silently-crashed
+    // queries because failures only went to stderr — the gate's
+    // denominator shrank and everything looked green.)
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        System.err.println(s"[verify] $name failed: $msg")
+        failures(name) = msg
+        Files.writeString(Paths.get(s"$outDir/$name.err.txt"), msg)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -47,6 +55,15 @@ object Verify {
         SparkEntry.oracleSql.view.filterKeys(ks).toMap)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val failJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_failures.json"), failJson)
     spark.stop()
+    if (failures.nonEmpty) {
+      System.err.println(
+        s"[verify] ${failures.size}/${selected.size} queries FAILED: " +
+          failures.keys.mkString(", "))
+      sys.exit(1)
+    }
   }
 }

@@ -60,6 +60,37 @@ object CandleStore {
   def recent(spark: SparkSession, path: String, tf: String, n: Int): DataFrame =
     CandleQueries.recent(read(spark, path), tf, n)
 
+  /** Enumerate stored candle keys in the reference's
+    * `candle:{symbol}:{TF}:{dateKey}` format (reference:
+    * service/CandleStickService.kt:176-196 getAllCandleKeys /
+    * getSymbolCandleKeys / getSymbolTimeFrameCandleKeys — Redis
+    * `KEYS candle:…*` scans). Optional symbol/timeframe filters land
+    * on the partition columns, so a filtered enumeration prunes to
+    * the matching directories instead of scanning the store — the
+    * Spark analogue of Redis's prefix scan.
+    */
+  def candleKeys(spark: SparkSession, path: String,
+                 symbol: Option[String] = None,
+                 tf: Option[String] = None): DataFrame = {
+    val base = read(spark, path)
+    val pruned = Seq(
+      symbol.map(col("symbol") === _),
+      tf.map(col("timeframe") === _)
+    ).flatten.foldLeft(base)(_.filter(_))
+    pruned.select(concat(
+      lit("candle:"), col("symbol"), lit(":"), col("timeframe"), lit(":"),
+      // per-timeframe date format, resolved per row from the
+      // timeframe partition value (one when-chain, codegen'd)
+      CandleTimeFrame.all.tail.foldLeft(
+        when(col("timeframe") === CandleTimeFrame.all.head,
+          date_format(col("window_start"),
+            CandleTimeFrame.keyFormat(CandleTimeFrame.all.head)))) {
+        (acc, t) => acc.when(col("timeframe") === t,
+          date_format(col("window_start"), CandleTimeFrame.keyFormat(t)))
+      }).as("key"))
+      .orderBy("key")
+  }
+
   /** Compact a store in place: streaming/incremental appends leave
     * many small files per partition; rewrite each (timeframe, symbol)
     * partition as ts-sorted files of reasonable size. Routine

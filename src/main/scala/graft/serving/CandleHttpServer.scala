@@ -20,6 +20,9 @@ import graft.operators.{CandleStore, Candles}
   *   GET /candles/{symbol}/{tf}?from=YYYY-MM-DD+HH:MM:SS&to=...
   *   GET /candles/{symbol}/{tf}/recent?n=25
   *   GET /candles/{symbol}/{tf}/point?key=yyyyMMdd...
+  *   GET /keys[/{symbol}[/{tf}]]?limit=N   (candle:{symbol}:{tf}:{key}
+  *     strings — reference getAllCandleKeys/getSymbolCandleKeys/
+  *     getSymbolTimeFrameCandleKeys, CandleStickService.kt:176-196)
   *
   * Serving is driver-side by design: each request is a
   * partition-pruned read of one (timeframe, symbol) directory plus
@@ -95,6 +98,22 @@ object CandleHttpServer {
             respond(ex, 200, toJsonArray(candleRows(
               CandleStore.recent(spark, storePath, tf, n)
                 .filter(org.apache.spark.sql.functions.col("symbol") === symbol))))
+          case "keys" :: rest if rest.size <= 2 =>
+            val (symbol, tf) = rest match {
+              case Nil            => (None, None)
+              case s :: Nil       => (Some(s), None)
+              case s :: t :: Nil  => requireTf(t); (Some(s), Some(t))
+              case _              => (None, None) // unreachable (size <= 2)
+            }
+            // same gateway-heap bound as the candle routes: key
+            // enumeration over a big store must not materialize
+            // unbounded rows on the driver
+            val limit = params.getOrElse("limit", MaxRangeRows.toString).toInt
+            require(limit > 0 && limit <= MaxRangeRows,
+              s"limit must be in 1..$MaxRangeRows")
+            respond(ex, 200, toJsonStringArray(
+              CandleStore.candleKeys(spark, storePath, symbol, tf)
+                .limit(limit)))
           case "candles" :: symbol :: tf :: "point" :: Nil =>
             requireTf(tf)
             respond(ex, 200, toJsonArray(candleRows(
@@ -134,6 +153,21 @@ object CandleHttpServer {
 
     private def toJsonArray(df: DataFrame): String =
       df.toJSON.collect().mkString("[", ",", "]")
+
+    /** Single string column → JSON array of strings. Keys are
+      * `candle:SYM:TF:digits` — nothing to escape in practice, but
+      * escape anyway so a hostile symbol value can't break the body.
+      */
+    private def toJsonStringArray(df: DataFrame): String =
+      df.collect().map(r => {
+        val s = r.getString(0).flatMap {
+          case '"'  => "\\\""
+          case '\\' => "\\\\"
+          case c if c < ' ' => f"\\u${c.toInt}%04x"
+          case c => c.toString
+        }
+        "\"" + s + "\""
+      }).mkString("[", ",", "]")
 
     private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
       val bytes = body.getBytes(StandardCharsets.UTF_8)

@@ -24,21 +24,41 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
-  /** `events` carries parquet TIMESTAMP(NANOS) which Spark's vectorized
-    * reader rejects ([PARQUET_TYPE_ILLEGAL]). We read nanos as raw
-    * longs (spark.sql.legacy.parquet.nanosAsLong) and truncate to
-    * microsecond TimestampType with INTEGER division (`div`) — epoch
-    * nanos exceed 2^53, so a double-typed floor(ns/1000.0) would be
-    * off by ±1µs — matching DuckDB's `make_timestamp(epoch_ns(ts) //
-    * 1000)` bit-for-bit.
+  /** The driver has shipped `events.parquet` with two different `ts`
+    * encodings across regenerations: TIMESTAMP(NANOS) (which Spark's
+    * vectorized reader only accepts as a raw long via
+    * spark.sql.legacy.parquet.nanosAsLong) and TIMESTAMP(MICROS)
+    * (which Spark reads as TIMESTAMP_NTZ — the annotation carries
+    * isAdjustedToUTC=false). Hardcoding either breaks when the data is
+    * regenerated with the other, so the loader adapts to the footer
+    * schema and always yields session-TZ TimestampType `ts`.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     // The conf must stay set for the whole query lifetime (the scan
     // consults it at execution, not just schema inference); it only
-    // affects TIMESTAMP(NANOS) columns, which no other table has.
+    // affects TIMESTAMP(NANOS) columns, which no other table has, and
+    // is a no-op against a MICROS file.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeEventsTs(load(spark, dir, "events"))
+  }
+
+  /** Normalize `ts` to TimestampType whatever the on-disk encoding.
+    *
+    * LongType = raw epoch nanos (nanosAsLong path): truncate to µs
+    * with INTEGER division — epoch nanos exceed 2^53, so a
+    * double-typed floor(ns/1000.0) would be off by ±1µs — matching
+    * DuckDB's `epoch_ns(ts) // 1000` bit-for-bit.
+    *
+    * TIMESTAMP_NTZ = wall-clock micros: with the UTC session zone
+    * every entry point sets, the cast re-tags the same instant.
+    */
+  private def normalizeEventsTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
   }
 
   /** The documents table as a file-source stream (ingest-shaped:
@@ -55,19 +75,18 @@ object Tables {
   }
 
   /** Streaming read of the same events table (file source). Schema
-    * must be supplied for streams; ts arrives as raw nanos (see
-    * events() above) and gets the identical ns→µs truncation.
+    * must be supplied for streams — we derive it from the batch file's
+    * footer so the two paths can never diverge. (An explicit `ts:
+    * LongType` here once read a regenerated MICROS file's values as
+    * raw longs: `div 1000` turned µs into ms and every window landed
+    * in 1970 — a silently-wrong answer, not a crash.)
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+    val probed = load(spark, dir, "events").schema
     // the file stream source wants a directory; glob-filter to the one table
-    spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeEventsTs(
+      spark.readStream.schema(probed)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
   }
 }

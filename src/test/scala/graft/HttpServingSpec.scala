@@ -113,6 +113,40 @@ class HttpServingSpec extends SparkSpec {
           .openConnection().asInstanceOf[java.net.HttpURLConnection]
         assert(c.getResponseCode === 400, s"n=$bad not rejected")
       }
+
+      // key enumeration (reference getAllCandleKeys/getSymbolCandleKeys/
+      // getSymbolTimeFrameCandleKeys): candle:{symbol}:{TF}:{dateKey}
+      // strings, narrowing with each path segment
+      def parseKeys(body: String): Seq[String] =
+        body.stripPrefix("[").stripSuffix("]").split(",").toSeq
+          .filter(_.nonEmpty).map(_.stripPrefix("\"").stripSuffix("\""))
+      val allKeys = parseKeys(get(s"$base/keys"))
+      assert(allKeys.nonEmpty && allKeys.forall(_.startsWith("candle:")))
+      assert(allKeys.exists(_.startsWith("candle:AAPL:MINUTE:")) &&
+        allKeys.exists(_.startsWith("candle:MSFT:")))
+
+      val aaplKeys = parseKeys(get(s"$base/keys/AAPL"))
+      assert(aaplKeys.nonEmpty && aaplKeys.forall(_.startsWith("candle:AAPL:")))
+      assert(aaplKeys.exists(_.contains(":HOUR:")),
+        "symbol enumeration should span all timeframes")
+
+      val aaplMin = parseKeys(get(s"$base/keys/AAPL/MINUTE"))
+      assert(aaplMin.nonEmpty &&
+        aaplMin.forall(_.startsWith("candle:AAPL:MINUTE:")))
+      // dateKey uses the per-timeframe format: MINUTE → yyyyMMddHHmm
+      assert(aaplMin.forall(_.split(":").last.matches("\\d{12}")))
+      // the key set is exactly the stored (per-window) candle set
+      assert(aaplMin.length ===
+        graft.operators.CandleQueries.range(
+          candles, "AAPL", CandleTimeFrame.Minute,
+          "1970-01-01 00:00:00", "9999-01-01 00:00:00").count())
+
+      // bad timeframe and bad limit still 400 on the keys route
+      for (badUrl <- Seq(s"$base/keys/AAPL/WEEK", s"$base/keys?limit=0")) {
+        val c = new URI(badUrl).toURL
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        assert(c.getResponseCode === 400, s"$badUrl not rejected")
+      }
     } finally server.stop(0)
   }
 }

@@ -24,7 +24,11 @@ def main(sf_dir, out_dir):
         res_dir = f"{out_dir}/{name}"
         files = glob.glob(f"{res_dir}/*.parquet")
         if not files:
-            print(f"FAIL {name}: no spark output")
+            err = ""
+            err_path = f"{out_dir}/{name}.err.txt"
+            if os.path.exists(err_path):
+                err = ": " + open(err_path).read().strip().split("\n")[0][:200]
+            print(f"FAIL {name}: no spark output{err}")
             n_fail += 1
             continue
         try:
