@@ -62,17 +62,13 @@ object Tables {
   }
 
   /** The documents table as a file-source stream (ingest-shaped:
-    * corpus batches arriving as files).
+    * corpus batches arriving as files). The required explicit schema
+    * is probed from the batch footer — same no-divergence rule as
+    * eventsStream.
     */
-  def documentsStream(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types._
-    val schema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("text", StringType),
-      StructField("lang", StringType), StructField("source", StringType),
-      StructField("n_chars", LongType)))
-    spark.readStream.schema(schema)
+  def documentsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(documents(spark, dir).schema)
       .option("pathGlobFilter", "documents.parquet").parquet(dir)
-  }
 
   /** Streaming read of the same events table (file source). Schema
     * must be supplied for streams — we derive it from the batch file's
