@@ -624,6 +624,19 @@ object SparkEntry {
     }),
     "q_symbols" -> ((s, dir) =>
       CandleQueries.symbols(Candles.transactions(s, dir)).orderBy(col("symbol"))),
+    "q_candle_keys" -> ((s, dir) => {
+      // key enumeration over a materialized store (reference
+      // getSymbolCandleKeys, CandleStickService.kt:185-187): write the
+      // multi-timeframe store once, then enumerate one symbol's keys —
+      // the symbol filter prunes to its partitions across all four
+      // timeframes; the oracle rebuilds the same candle:{symbol}:{tf}:
+      // {dateKey} strings from raw events
+      import graft.operators.CandleStore
+      val store = java.nio.file.Files.createTempDirectory("q_keys").toString
+      CandleStore.write(
+        Candles.multiTimeframe(Candles.transactions(s, dir)), store)
+      CandleStore.candleKeys(s, store, Some("view"), None)
+    }),
     "q_stream_candles" -> ((s, dir) => {
       // the SAME minute-candle semantics through Structured Streaming;
       // complete-mode memory sink ⇒ directly comparable to the batch
@@ -2553,6 +2566,18 @@ object SparkEntry {
         |ORDER BY timeframe, symbol, window_start""".stripMargin),
     "q_symbols" -> (txnCte + "\n" +
       "SELECT DISTINCT symbol FROM txn ORDER BY symbol"),
+    "q_candle_keys" -> (txnCte + minuteCte +
+      rollupCte("hour").replace("roll_c", "hour_c") +
+      rollupCte("day").replace("roll_c", "day_c") +
+      rollupCte("month").replace("roll_c", "month_c") +
+      """, uni AS (
+        |  SELECT symbol, 'MINUTE' AS timeframe, strftime(ws, '%Y%m%d%H%M') AS fmt FROM minute_c
+        |  UNION ALL SELECT symbol, 'HOUR', strftime(ws, '%Y%m%d%H') FROM hour_c
+        |  UNION ALL SELECT symbol, 'DAY', strftime(ws, '%Y%m%d') FROM day_c
+        |  UNION ALL SELECT symbol, 'MONTH', strftime(ws, '%Y%m') FROM month_c
+        |)
+        |SELECT 'candle:' || symbol || ':' || timeframe || ':' || fmt AS key
+        |FROM uni WHERE symbol = 'view' ORDER BY key""".stripMargin),
     "q_large_orders" ->
       """WITH big AS (
         |  SELECT l_orderkey,
