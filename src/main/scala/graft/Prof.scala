@@ -16,10 +16,25 @@ object Prof {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000000).select(sum("id")).collect()
+    // stage-split targets (prefix "_"): isolate one phase of a
+    // composite query so regressions attribute to the right stage
+    val target: (SparkSession, String) => DataFrame = name match {
+      case "_cluster_pairs" => (s, d) =>
+        graft.operators.LshDedup.exactJaccardPairs(
+          graft.sources.Tables.documents(s, d), threshold = 0.8)
+          .select(col("doc_a"), col("doc_b"))
+      case "_cluster_cc" =>
+        // pairs pre-materialized ONCE (outside the timed rounds) so
+        // only CC is on the clock
+        val p = graft.operators.LshDedup.exactJaccardPairs(
+          graft.sources.Tables.documents(spark, sf), threshold = 0.8)
+          .select(col("doc_a"), col("doc_b")).localCheckpoint()
+        (_, _) => graft.operators.Dedup.connectedComponents(p)
+      case n => SparkEntry.queries(n)
+    }
     for (round <- 1 to 3) {
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, sf)
-        .write.format("noop").mode("overwrite").save()
+      target(spark, sf).write.format("noop").mode("overwrite").save()
       println(f"run$round ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     spark.stop()
