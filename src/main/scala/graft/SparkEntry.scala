@@ -1994,6 +1994,12 @@ object SparkEntry {
       // with no source upsampled, per-source keep rates in micro units
       graft.operators.Curation.mixWeights(Tables.documents(s, dir))
         .orderBy(col("source"))),
+    "q_temperature_mix" -> ((s, dir) =>
+      // α=0.5 temperature flattening of the source mix (low-resource
+      // upweighting); sqrt is correctly rounded in IEEE-754, so the
+      // integer-unit weights hash-match the oracle exactly
+      graft.operators.Curation.temperatureMix(Tables.documents(s, dir))
+        .orderBy(col("source"))),
     "q_chunk" -> ((s, dir) =>
       graft.operators.Corpus.chunk(Tables.documents(s, dir), chunkSize = 32, overlap = 8)
         .orderBy(col("doc_id"), col("chunk_id"))),
@@ -4112,6 +4118,28 @@ object SparkEntry {
         |  (budget * target_q) // sum_q AS planned_tokens,
         |  (((budget * target_q) // sum_q) * 1000000) // n_tokens AS weight_micro
         |FROM b ORDER BY source""".stripMargin,
+    "q_temperature_mix" ->
+      """WITH t AS (
+        |  SELECT source, len(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> len(x) > 0)) AS n_tok
+        |  FROM documents
+        |), p AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |  FROM t GROUP BY source
+        |), w AS (
+        |  SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS w
+        |  FROM p
+        |), g AS (
+        |  SELECT *, CAST(sum(w) OVER () AS BIGINT) AS sum_w,
+        |            CAST(sum(n_tokens) OVER () AS BIGINT) AS sum_t
+        |  FROM w
+        |)
+        |SELECT source, n_docs, n_tokens,
+        |  (w * 1000000) // sum_w AS weight_micro,
+        |  (((w * 1000000) // sum_w) * sum_t) // n_tokens AS rel_natural_micro
+        |FROM g ORDER BY source""".stripMargin,
     "q_chunk" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -400,6 +400,42 @@ object Curation {
         expr("(planned_tokens * 1000000) div n_tokens").as("weight_micro"))
   }
 
+  /** Temperature-scaled source mixture at α = 0.5: sampling weight
+    * ∝ n_tokens^α flattens the source distribution toward uniform —
+    * the standard upweighting of low-resource sources in multilingual
+    * / multi-domain training mixes (per-language sampling with
+    * exponent α, as popularized by multilingual LM pretraining;
+    * mixWeights above is the quota-driven planner, this is the
+    * size-driven one). α = 0.5 is computed as floor(sqrt(n_tokens)):
+    * IEEE-754 sqrt is correctly rounded in every engine (unlike pow),
+    * and n_tokens < 2^53 is exact in a double, so the weight — and
+    * therefore the whole integer-unit output — is bit-reproducible
+    * cross-engine. Other dyadic α are reachable by iterating sqrt
+    * (α = 0.25 = sqrt∘sqrt); arbitrary α needs pow and loses the
+    * exactness gate.
+    *
+    * One corpus aggregate (map-side combined on source), one 1-row
+    * global broadcast — sources-sized frames everywhere after the
+    * scan, same 100 TB shape as mixWeights.
+    */
+  def temperatureMix(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val perSrc = docs
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col(textCol)).cast("long")).as("n_tokens"))
+      .withColumn("w", floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+    Ranks.withGlobalAgg(perSrc,
+        Seq(sum(col("w")).as("__sum_w"), sum(col("n_tokens")).as("__sum_t")))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        expr("(w * 1000000) div __sum_w").as("weight_micro"),
+        // upsampling factor vs the natural token-proportional mix, in
+        // micro units: > 1e6 ⇒ the source is boosted by the flattening.
+        // Integer headroom: weight_micro ≤ 1e6 and corpus tokens up to
+        // ~9e12 stay under 2^63 — beyond that, divide __sum_t first.
+        expr("(((w * 1000000) div __sum_w) * __sum_t) div n_tokens")
+          .as("rel_natural_micro"))
+  }
+
   /** Fixed-width histogram of per-document token counts — the corpus
     * length profile (sequence-length planning, truncation budgets).
     * One tiny aggregate: (bucket, lo_tokens, n_docs).
