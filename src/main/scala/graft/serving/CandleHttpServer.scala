@@ -20,9 +20,11 @@ import graft.operators.{CandleStore, Candles}
   *   GET /candles/{symbol}/{tf}?from=YYYY-MM-DD+HH:MM:SS&to=...
   *   GET /candles/{symbol}/{tf}/recent?n=25
   *   GET /candles/{symbol}/{tf}/point?key=yyyyMMdd...
-  *   GET /keys[/{symbol}[/{tf}]]?limit=N   (candle:{symbol}:{tf}:{key}
-  *     strings — reference getAllCandleKeys/getSymbolCandleKeys/
-  *     getSymbolTimeFrameCandleKeys, CandleStickService.kt:176-196)
+  *   GET /keys[/{symbol}[/{tf}]]?limit=N&after=K   (candle:{symbol}:
+  *     {tf}:{key} strings — reference getAllCandleKeys/
+  *     getSymbolCandleKeys/getSymbolTimeFrameCandleKeys,
+  *     CandleStickService.kt:176-196; truncated pages carry an
+  *     X-Next-Key cursor reusable verbatim as the next `after`)
   *
   * Serving is driver-side by design: each request is a
   * partition-pruned read of one (timeframe, symbol) directory plus
@@ -111,9 +113,17 @@ object CandleHttpServer {
             val limit = params.getOrElse("limit", MaxRangeRows.toString).toInt
             require(limit > 0 && limit <= MaxRangeRows,
               s"limit must be in 1..$MaxRangeRows")
-            respond(ex, 200, toJsonStringArray(
-              CandleStore.candleKeys(spark, storePath, symbol, tf)
-                .limit(limit)))
+            // keys are emitted in key order, so `after` resumes the
+            // enumeration exactly where the last page stopped — same
+            // cursor contract as the range route's X-Next-From (the
+            // extra fetched row signals truncation AND is the cursor)
+            val keys = CandleStore.candleKeys(spark, storePath, symbol, tf)
+            val page = params.get("after").fold(keys)(
+                a => keys.filter(org.apache.spark.sql.functions.col("key") > a))
+              .limit(limit + 1).collect().map(_.getString(0))
+            if (page.length > limit)
+              ex.getResponseHeaders.set("X-Next-Key", page(limit - 1))
+            respond(ex, 200, toJsonStringArray(page.take(limit)))
           case "candles" :: symbol :: tf :: "point" :: Nil =>
             requireTf(tf)
             respond(ex, 200, toJsonArray(candleRows(
@@ -154,20 +164,20 @@ object CandleHttpServer {
     private def toJsonArray(df: DataFrame): String =
       df.toJSON.collect().mkString("[", ",", "]")
 
-    /** Single string column → JSON array of strings. Keys are
+    /** Strings → JSON array of strings. Keys are
       * `candle:SYM:TF:digits` — nothing to escape in practice, but
       * escape anyway so a hostile symbol value can't break the body.
       */
-    private def toJsonStringArray(df: DataFrame): String =
-      df.collect().map(r => {
-        val s = r.getString(0).flatMap {
+    private def toJsonStringArray(keys: Seq[String]): String =
+      keys.map { k =>
+        val s = k.flatMap {
           case '"'  => "\\\""
           case '\\' => "\\\\"
           case c if c < ' ' => f"\\u${c.toInt}%04x"
           case c => c.toString
         }
         "\"" + s + "\""
-      }).mkString("[", ",", "]")
+      }.mkString("[", ",", "]")
 
     private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
       val bytes = body.getBytes(StandardCharsets.UTF_8)

@@ -147,6 +147,31 @@ class HttpServingSpec extends SparkSpec {
           .openConnection().asInstanceOf[java.net.HttpURLConnection]
         assert(c.getResponseCode === 400, s"$badUrl not rejected")
       }
+
+      // keys pagination: X-Next-Key cursor chain reassembles exactly
+      // the unpaginated enumeration (same contract as X-Next-From)
+      def keyPage(after: Option[String]): (Seq[String], Option[String]) = {
+        val q = after.fold("")(a =>
+          "&after=" + java.net.URLEncoder.encode(a, "UTF-8"))
+        val conn = new URI(s"$base/keys/AAPL?limit=3$q").toURL
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        val body = Source.fromInputStream(conn.getInputStream, "UTF-8").mkString
+        (parseKeys(body), Option(conn.getHeaderField("X-Next-Key")))
+      }
+      var cursor: Option[String] = None
+      var collected = Vector.empty[String]
+      var keyHops = 0
+      var more = true
+      while (more && keyHops < 100) {
+        val (pageKeys, next) = keyPage(cursor)
+        collected ++= pageKeys
+        cursor = next
+        more = next.isDefined
+        keyHops += 1
+      }
+      assert(keyHops > 1, "keys never truncated — cursor untested")
+      assert(collected === aaplKeys,
+        "cursor-chained pages diverged from the unpaginated enumeration")
     } finally server.stop(0)
   }
 }
