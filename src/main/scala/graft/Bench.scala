@@ -27,17 +27,34 @@ object Bench {
 
     // two timed runs per query, keep the min: steady-state cost, not
     // whichever run ate the JIT/GC noise. A failed run must NOT pollute
-    // the series with its failure latency — it reports as -1.
+    // the series with its failure latency (-1), and a HUNG query must
+    // not stall the whole sweep — each run sits under a watchdog that
+    // cancels its job group on timeout.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val timeoutS = sys.env.getOrElse("SPARK_GRAFT_TIMEOUT_S", "900").toLong
     def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      // noop sink: full materialization of every output column
-      // (count() alone would let Spark prune the projections away)
+      val group = s"bench-$name"
+      val run = Future {
+        spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
+        // noop sink: full materialization of every output column
+        // (count() alone would let Spark prune the projections away)
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        finally spark.sparkContext.clearJobGroup()
+      }
       try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        Await.result(run, timeoutS.seconds)
         (System.nanoTime() - t0) / 1e9
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        -1.0
+      } catch {
+        case _: java.util.concurrent.TimeoutException =>
+          spark.sparkContext.cancelJobGroup(group)
+          System.err.println(s"[bench] $name timed out after ${timeoutS}s")
+          -1.0
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          -1.0
       }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

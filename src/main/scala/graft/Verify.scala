@@ -27,16 +27,37 @@ object Verify {
     // A crashed query must be LOUD: it writes an error sidecar and the
     // run exits nonzero. (Round 5 shipped with 54 silently-crashed
     // queries because failures only went to stderr — the gate's
-    // denominator shrank and everything looked green.)
+    // denominator shrank and everything looked green.) A HUNG query is
+    // worse still — no sidecar, no output, the whole gate stalls — so
+    // each query runs under a watchdog: on timeout its Spark job group
+    // is cancelled, the failure is recorded, and the dump moves on.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val timeoutS = sys.env.getOrElse("SPARK_GRAFT_TIMEOUT_S", "1800").toLong
     val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def fail(name: String, msg: String): Unit = {
+      System.err.println(s"[verify] $name failed: $msg")
+      failures(name) = msg
+      Files.writeString(Paths.get(s"$outDir/$name.err.txt"), msg)
+    }
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
-        System.err.println(s"[verify] $name failed: $msg")
-        failures(name) = msg
-        Files.writeString(Paths.get(s"$outDir/$name.err.txt"), msg)
+      val group = s"verify-$name"
+      val run = Future {
+        // job group is thread-local: set it on the thread that fires
+        // the Spark actions so cancelJobGroup reaches them
+        spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        finally spark.sparkContext.clearJobGroup()
+      }
+      try Await.result(run, timeoutS.seconds)
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          spark.sparkContext.cancelJobGroup(group)
+          fail(name, s"timed out after ${timeoutS}s (job group cancelled)")
+        case e: Throwable =>
+          fail(name, Option(e.getMessage).getOrElse(e.getClass.getName))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
