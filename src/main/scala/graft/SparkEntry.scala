@@ -2152,6 +2152,12 @@ object SparkEntry {
       // 1000-ish default and alerts on n_slots_dropped > 0)
       LshDedup.dedupHealth(Tables.documents(s, dir), maxBucket = 2)
         .orderBy(col("source"))),
+    "q_source_overlap" -> ((s, dir) =>
+      // source×source shared-content matrix (distinct 3-gram Jaccard,
+      // integer micro units); gram-bucketed join, pair work bounded
+      // by |sources|² per gram
+      graft.operators.TextAnalysis.sourceOverlap(Tables.documents(s, dir))
+        .orderBy(col("source_a"), col("source_b"))),
     "q_ngram_jaccard" -> ((s, dir) =>
       // exact inverted-index set-similarity join (no LSH recall
       // caveat) — the ground-truth path; LSH-pruned mining is graded
@@ -4601,6 +4607,29 @@ object SparkEntry {
     // 3-gram string shingles stand in for the Spark side's 64-bit
     // shingle hashes (Jaccard only sees set cardinalities, which agree
     // unless the FNV token hash collides within a doc pair — ~2^-64).
+    "q_source_overlap" ->
+      """WITH toks AS (
+        |  SELECT source, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |    t -> len(t) > 0) AS tk
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT source, unnest(list_distinct(
+        |    list_transform(generate_series(1, len(tk) - 2),
+        |      i -> array_to_string(list_slice(tk, i, i + 2), ' ')))) AS g
+        |  FROM toks WHERE len(tk) >= 3
+        |), sizes AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+        |inter AS (
+        |  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_int
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+        |  GROUP BY 1, 2
+        |)
+        |SELECT source_a, source_b, n_int,
+        |  sa.n + sb.n - n_int AS n_union,
+        |  (n_int * 1000000) // (sa.n + sb.n - n_int) AS jaccard_micro
+        |FROM inter
+        |JOIN sizes sa ON sa.source = source_a
+        |JOIN sizes sb ON sb.source = source_b
+        |ORDER BY source_a, source_b""".stripMargin,
     "q_ngram_jaccard" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),

@@ -313,6 +313,43 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_bigrams"), col("fluency_micro"))
   }
 
+  /** Cross-source n-gram overlap matrix — the contamination
+    * diagnostic BETWEEN corpus slices (q_decontaminate guards the
+    * train/eval boundary; this reports source×source shared-content
+    * structure, e.g. a crawl slice that duplicates a curated set).
+    * Output: one row per unordered source pair with distinct-gram
+    * intersection, union, and integer-exact Jaccard in micro units.
+    *
+    * Scale shape: the only corpus-sized shuffle is the distinct on
+    * (source, gram); the overlap join is gram-bucketed and per-gram
+    * work is bounded by |sources|² (dozens, not documents), so pair
+    * explosion cannot occur. The gram frame is persisted once and
+    * feeds both join sides plus the size table; source sizes ride a
+    * broadcast.
+    */
+  def sourceOverlap(docs: DataFrame, n: Int = 3,
+                    textCol: String = "text"): DataFrame = {
+    val grams = docs
+      .select(col("source"), explode(Dedup.shingles(col(textCol), n)).as("gram"))
+      .distinct()
+      .persist()
+    val sizes = grams.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
+    val inter = grams.select(col("source").as("source_a"), col("gram"))
+      .join(grams.select(col("source").as("source_b"), col("gram")), "gram")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_int"))
+    val res = inter
+      .join(broadcast(sizes.select(
+        col("source").as("source_a"), col("n_grams").as("__na"))), "source_a")
+      .join(broadcast(sizes.select(
+        col("source").as("source_b"), col("n_grams").as("__nb"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_int"),
+        (col("__na") + col("__nb") - col("n_int")).as("n_union"),
+        expr("(n_int * 1000000) div (__na + __nb - n_int)").as("jaccard_micro"))
+    LshDedup.unpersistAfterFirstUse(res, grams)
+  }
+
   /** Full per-document stats frame (single profile pass). */
   def stats(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs
