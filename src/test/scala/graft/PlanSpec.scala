@@ -362,6 +362,17 @@ class PlanSpec extends SparkSpec {
       s"expected exactly one hash exchange in:\n$p")
   }
 
+  test("q_source_overlap: both consumers read the cached gram frame; no sort-merge self-join") {
+    val p = plan("q_source_overlap")
+    // the gram→sources frame is built once (one corpus shuffle) and
+    // persisted; intersection counts AND source sizes must read the
+    // cache, not re-derive the corpus scan
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+      s"expected both branches on the cached gram frame in:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"gram frame self-join reappeared in:\n$p")
+  }
+
   test("candleKeys: symbol+timeframe filters prune store partitions, not scan-then-filter") {
     // key enumeration is a Redis-prefix-scan analogue — its whole
     // scale story is that the filters land as PartitionFilters on the
