@@ -2008,6 +2008,12 @@ object SparkEntry {
         graft.operators.Corpus.chunk(Tables.documents(s, dir), chunkSize = 32, overlap = 8),
         seqLen = 256, nBuckets = 8)
         .orderBy(col("bucket"), col("seq_id"))),
+    "q_shard_plan" -> ((s, dir) =>
+      // token-balanced export sharding: contiguous doc_id ranges with
+      // ~total/8 tokens per shard (hash-mod-N balances doc COUNTS,
+      // not tokens); distributed prefix sum + 1-row total broadcast
+      graft.operators.Corpus.shardPlan(Tables.documents(s, dir), nShards = 8)
+        .orderBy(col("doc_id"))),
     "q_tfidf" -> ((s, dir) =>
       TextAnalysis.tfidfTopK(Tables.documents(s, dir), k = 3)
         .withColumn("tfidf_micro", floor(col("tfidf") * 1e6).cast("long"))
@@ -4193,6 +4199,23 @@ object SparkEntry {
         |  count(*) AS n_chunks, CAST(sum(n_chunk_tokens) AS BIGINT) AS n_tokens,
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM cum GROUP BY 1, 2 ORDER BY bucket, seq_id""".stripMargin,
+    "q_shard_plan" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(len(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> len(x) > 0)) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS tokens_before,
+        |    CAST(sum(n_tokens) OVER () AS BIGINT) AS total
+        |  FROM t
+        |)
+        |SELECT doc_id, n_tokens,
+        |  least((tokens_before * 8) // total, 7) AS shard
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(list_filter(

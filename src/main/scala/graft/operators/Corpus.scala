@@ -89,6 +89,35 @@ object Corpus {
     * `size - overlap`, last window may be short. Emits
     * (doc_id, chunk_id, chunk_text, n_chunk_tokens).
     */
+  /** Token-balanced shard plan: assign each document (in doc_id
+    * order) to one of `nShards` output shards so every shard carries
+    * ~total/nShards TOKENS — the export step before writing training
+    * shards, where doc-count balancing (hash mod N) leaves shards
+    * skewed by document length. shard = floor(tokens_before · N /
+    * total): contiguous in corpus order, deterministic, integer-exact.
+    *
+    * The running token count rides Ranks.prefixSum (intra-block
+    * window + block-carry theta join — no single-partition global
+    * window); the corpus total rides a 1-row broadcast. `blockWidth`
+    * groups doc_ids into prefix blocks: size it so the block COUNT
+    * stays ~10⁴ or less (the carry join is O(blocks²) on a tiny
+    * frame) — at 10⁹ docs that means blockWidth ~10⁵.
+    */
+  def shardPlan(docs: DataFrame, nShards: Int, blockWidth: Long = 1000L,
+                textCol: String = "text"): DataFrame = {
+    require(nShards > 0 && blockWidth > 0)
+    val toks = docs.select(col("doc_id"),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    val pre = Ranks.prefixSum(toks, "doc_id", "n_tokens",
+      expr(s"doc_id div ${blockWidth}L"), "tokens_before", strict = true)
+    Ranks.withGlobalAgg(pre, Seq(sum(col("n_tokens")).as("__total")))
+      // trailing zero-token docs can reach tokens_before == total —
+      // clamp keeps them in the last shard
+      .select(col("doc_id"), col("n_tokens"),
+        least(expr(s"(tokens_before * ${nShards}L) div __total"),
+          lit(nShards - 1L)).cast("long").as("shard"))
+  }
+
   def chunk(docs: DataFrame, chunkSize: Int, overlap: Int,
             textCol: String = "text"): DataFrame = {
     require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize)
