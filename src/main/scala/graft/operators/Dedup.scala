@@ -112,9 +112,12 @@ object Dedup {
     * (still bucketed by shingle, never all-pairs).
     */
   def dedupCorpusExact(docs: DataFrame, jaccardThreshold: Double = 0.8,
-                       textCol: String = "text"): DataFrame = {
+                       textCol: String = "text",
+                       maxExactRows: Long = ExactScale.DefaultMaxExactRows,
+                       force: Boolean = false): DataFrame = {
     val exact = dropExactDuplicates(docs, textCol)
-    val pairs = LshDedup.exactJaccardPairs(exact, jaccardThreshold)
+    val pairs = LshDedup.exactJaccardPairs(exact, jaccardThreshold,
+        maxExactRows = maxExactRows, force = force)
       .select(col("doc_a"), col("doc_b"))
     dropNearDuplicates(exact, pairs)
   }

@@ -323,7 +323,9 @@ object LshDedup {
     * for mining and keep this as the verification/ground-truth path.
     */
   def exactJaccardPairs(docs: DataFrame, threshold: Double, n: Int = 3,
-                        prefixFilter: Boolean = false): DataFrame =
+                        prefixFilter: Boolean = false,
+                        maxExactRows: Long = ExactScale.DefaultMaxExactRows,
+                        force: Boolean = false): DataFrame =
     // both paths are exact. Counted touches every shared-shingle
     // co-occurrence (volume Σ cnt(s)² over all shingles) but needs the
     // fewest shuffles — it wins up to mid-size corpora (measured ~3 s
@@ -333,16 +335,21 @@ object LshDedup {
     // two extra shuffles to rank shingles by frequency. Flip
     // prefixFilter when co-occurrence volume, not shuffle count, is
     // the bottleneck.
-    if (prefixFilter) exactJaccardPairsPrefix(docs, threshold, n)
-    else exactJaccardPairsCounted(docs, threshold, n)
+    if (prefixFilter) exactJaccardPairsPrefix(docs, threshold, n, maxExactRows, force)
+    else exactJaccardPairsCounted(docs, threshold, n, maxExactRows, force)
 
   /** Count-based inverted-index join: count shared shingles per pair,
     * derive the union from set sizes. Touches every shared-shingle
     * co-occurrence — right at low thresholds where little prunes.
     */
   def exactJaccardPairsCounted(docs: DataFrame, threshold: Double,
-                               n: Int = 3): DataFrame = {
-    val sh = shingleHashes(docs, n = n)
+                               n: Int = 3,
+                               maxExactRows: Long = ExactScale.DefaultMaxExactRows,
+                               force: Boolean = false): DataFrame = {
+    // quadratic in shared-shingle co-occurrence, not doc count, but the
+    // doc-count rail still stops a whole corpus reaching it by accident
+    val sh = shingleHashes(ExactScale.check(docs, "exactJaccardPairsCounted",
+        "jaccardVerified (LSH banding)", maxExactRows, force), n = n)
       .filter(size(col("shingle_hashes")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val exploded = sh.select(col("doc_id"), explode(col("shingle_hashes")).as("s"))
@@ -377,8 +384,11 @@ object LshDedup {
     * candidate collapse.
     */
   def exactJaccardPairsPrefix(docs: DataFrame, threshold: Double,
-                              n: Int = 3): DataFrame = {
-    val sh = shingleHashes(docs, n = n)
+                              n: Int = 3,
+                              maxExactRows: Long = ExactScale.DefaultMaxExactRows,
+                              force: Boolean = false): DataFrame = {
+    val sh = shingleHashes(ExactScale.check(docs, "exactJaccardPairsPrefix",
+        "jaccardVerified (LSH banding)", maxExactRows, force), n = n)
       .filter(size(col("shingle_hashes")) > 0)
     val exploded = sh.select(col("doc_id"), explode(col("shingle_hashes")).as("s"))
     val dfreq = exploded.groupBy(col("s")).agg(count(lit(1)).as("df"))

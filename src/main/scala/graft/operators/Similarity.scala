@@ -364,9 +364,13 @@ object Similarity {
     * O(n²) compares; the LSH-bucketed variant (annLsh's bucketing with
     * a self-join) is the scale path.
     */
-  def cosineNearDupPairs(vectors: DataFrame, threshold: Double): DataFrame = {
-    val a = vectors.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
-    val b = vectors.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+  def cosineNearDupPairs(vectors: DataFrame, threshold: Double,
+                         maxExactRows: Long = ExactScale.DefaultMaxExactRows,
+                         force: Boolean = false): DataFrame = {
+    val in = ExactScale.check(vectors, "cosineNearDupPairs",
+      "lshNearDupPairs (high thresholds) / annLsh buckets", maxExactRows, force)
+    val a = in.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val b = in.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
     a.crossJoin(b)
       .filter(col("vec_a") < col("vec_b"))
       .withColumn("sim", cosine_sim(col("emb_a"), col("emb_b")))
@@ -406,8 +410,13 @@ object Similarity {
     * the vec_a < vec_b filter removes.
     */
   def blockedNearDupPairs(vectors: DataFrame, threshold: Double,
-                          nBlocks: Int = 16): DataFrame =
-    blockedPairsScored(vectors, nBlocks)
+                          nBlocks: Int = 16,
+                          maxExactRows: Long = ExactScale.DefaultMaxExactRows,
+                          force: Boolean = false): DataFrame =
+    blockedPairsScored(
+      ExactScale.check(vectors, "blockedNearDupPairs",
+        "lshNearDupPairs (high thresholds) / semDedup cells", maxExactRows, force),
+      nBlocks)
       .filter(col("sim") > threshold)
 
   /** Every unordered vector pair scored exactly once (vec_a < vec_b,
@@ -444,14 +453,18 @@ object Similarity {
     * sub-quadratic ANN at corpus scale use annLsh / ivfSearch
     * (recall < 1) instead.
     */
-  def knnGraph(vectors: DataFrame, k: Int, nBlocks: Int = 16): DataFrame = {
+  def knnGraph(vectors: DataFrame, k: Int, nBlocks: Int = 16,
+               maxExactRows: Long = ExactScale.DefaultMaxExactRows,
+               force: Boolean = false): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    val guarded = ExactScale.check(vectors, "knnGraph",
+      "annLsh / ivfSearch (recall < 1)", maxExactRows, force)
     // the scored frame feeds both union branches; persisting it halves
     // the dominant cost (triangle join + scoring would otherwise run
     // twice: measured 4.0 s → 2.1 s at sf0.1) and the cached rows are
     // pairs-sized (ids + sim), not vector-sized. Released after the
     // first action via the shared listener (LshDedup caching contract).
-    val scored = blockedPairsScored(vectors, nBlocks)
+    val scored = blockedPairsScored(guarded, nBlocks)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val directed = scored.unionByName(
       scored.select(col("vec_b").as("vec_a"), col("vec_a").as("vec_b"), col("sim")))

@@ -115,8 +115,11 @@ object CandleHttpServer {
               s"limit must be in 1..$MaxRangeRows")
             // keys are emitted in key order, so `after` resumes the
             // enumeration exactly where the last page stopped — same
-            // cursor contract as the range route's X-Next-From (the
-            // extra fetched row signals truncation AND is the cursor)
+            // cursor contract as the range route's X-Next-From. The
+            // extra fetched row ONLY signals truncation; the cursor is
+            // the LAST RETURNED key, page(limit-1), because the
+            // `key > after` filter is exclusive — advancing the cursor
+            // to the extra row itself would skip one key per page
             val keys = CandleStore.candleKeys(spark, storePath, symbol, tf)
             val page = params.get("after").fold(keys)(
                 a => keys.filter(org.apache.spark.sql.functions.col("key") > a))

@@ -30,16 +30,68 @@ object Tables {
     * spark.sql.legacy.parquet.nanosAsLong) and TIMESTAMP(MICROS)
     * (which Spark reads as TIMESTAMP_NTZ — the annotation carries
     * isAdjustedToUTC=false). Hardcoding either breaks when the data is
-    * regenerated with the other, so the loader adapts to the footer
-    * schema and always yields session-TZ TimestampType `ts`.
+    * regenerated with the other, so the loader adapts to the FOOTER
+    * schema (probed directly via parquet-hadoop, before Spark's own
+    * inference would reject a NANOS column) and always yields
+    * TimestampType `ts` carrying the file's wall-clock read as UTC.
+    *
+    * Session confs: the loader pins spark.sql.session.timeZone=UTC —
+    * that is the library's documented timestamp contract (every
+    * window / date_trunc / oracle comparison downstream assumes it),
+    * and leaving it implicit meant a caller with a local-TZ session
+    * got silently shifted instants. nanosAsLong is set ONLY when the
+    * footer actually carries TIMESTAMP(NANOS), where the read cannot
+    * succeed without it (the conf is consulted at execution, not just
+    * inference, so it must stay set for the query lifetime); against
+    * today's MICROS files the loader no longer touches it.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    // The conf must stay set for the whole query lifetime (the scan
-    // consults it at execution, not just schema inference); it only
-    // affects TIMESTAMP(NANOS) columns, which no other table has, and
-    // is a no-op against a MICROS file.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    prepareEventsSession(spark, s"$dir/events.parquet")
     normalizeEventsTs(load(spark, dir, "events"))
+  }
+
+  /** Pin the UTC contract; enable the legacy nanos read path only
+    * when this events file actually needs it (see [[events]]).
+    */
+  private def prepareEventsSession(spark: SparkSession, path: String): Unit = {
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if (eventsTsIsNanos(spark, path))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  }
+
+  /** Footer probe: does `ts` carry a TIMESTAMP(NANOS) annotation?
+    * Reads one file's parquet footer via parquet-hadoop — Spark's own
+    * schema inference can't answer this, because without nanosAsLong
+    * it throws on the very column we're probing for.
+    */
+  private def eventsTsIsNanos(spark: SparkSession, path: String): Boolean = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val file: Option[Path] =
+      if (!fs.exists(p)) None
+      else if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).map(_.getPath)
+          .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+          .sortBy(_.getName).headOption
+      else Some(p)
+    file.exists { f =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+      try {
+        val schema = reader.getFooter.getFileMetaData.getSchema
+        schema.containsField("ts") &&
+          (schema.getType(Seq("ts"): _*).getLogicalTypeAnnotation match {
+            case t: TimestampLogicalTypeAnnotation =>
+              t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
+            case _ => false
+          })
+      } finally reader.close()
+    }
   }
 
   /** Normalize `ts` to TimestampType whatever the on-disk encoding.
@@ -49,8 +101,9 @@ object Tables {
     * double-typed floor(ns/1000.0) would be off by ±1µs — matching
     * DuckDB's `epoch_ns(ts) // 1000` bit-for-bit.
     *
-    * TIMESTAMP_NTZ = wall-clock micros: with the UTC session zone
-    * every entry point sets, the cast re-tags the same instant.
+    * TIMESTAMP_NTZ = wall-clock micros: under the UTC session zone
+    * the loader itself pins (prepareEventsSession), the cast re-tags
+    * the same instant.
     */
   private def normalizeEventsTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
@@ -78,7 +131,7 @@ object Tables {
     * in 1970 — a silently-wrong answer, not a crash.)
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    prepareEventsSession(spark, s"$dir/events.parquet")
     val probed = load(spark, dir, "events").schema
     // the file stream source wants a directory; glob-filter to the one table
     normalizeEventsTs(
