@@ -35,11 +35,54 @@ object SparkEntry {
     * concurrent same-pid overwrite of the same store would race an
     * in-flight probe.
     */
-  private def scratchStorePath(prefix: String, dir: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/$prefix-" +
+  private def scratchStorePath(prefix: String, dir: String): String = {
+    val p = s"${System.getProperty("java.io.tmpdir")}/$prefix-" +
       s"${ProcessHandle.current().pid()}-" +
       dir.replaceAll("[^A-Za-z0-9.]", "_") + "-" +
       java.lang.Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir))
+    registerScratchCleanup(p)
+    p
+  }
+
+  /** Scratch stores are caches, not outputs: delete them when the JVM
+    * exits (one hook, idempotent registration) so repeated Verify /
+    * Bench runs don't accumulate per-process store copies in tmp.
+    */
+  private val scratchPaths = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val scratchCleanupHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      scratchPaths.forEach(p => rm(new java.io.File(p)))
+    }))
+  private def registerScratchCleanup(path: String): Unit = {
+    scratchCleanupHook
+    scratchPaths.add(path): Unit
+  }
+
+  /** The multi-timeframe candle store, materialized ONCE per
+    * (process, sfDir) at a stable scratch path. q_store_recent /
+    * q_store_point / q_candle_keys grade the partition-pruned READ
+    * path (the Redis-key-scan analogue); rebuilding the store inside
+    * every timed invocation made their bench numbers measure the
+    * partitioned small-file WRITE instead — the r6 sweep's worst
+    * noise source — and leaked a temp dir per call. q_store_roundtrip
+    * is the one query whose semantics IS write→read; it keeps a fresh
+    * store per invocation.
+    */
+  private val builtCandleStores = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def candleStoreOnce(s: SparkSession, dir: String): String = {
+    val store = scratchStorePath("graft-candles", dir)
+    builtCandleStores.synchronized {
+      if (!builtCandleStores.contains(store)) {
+        graft.operators.CandleStore.write(
+          Candles.multiTimeframe(Candles.transactions(s, dir)), store)
+        builtCandleStores.add(store): Unit
+      }
+    }
+    store
+  }
 
   /** Order-independent exact sum of a double column via decimal.
     * The exact sum is rounded to 2dp BEFORE the double cast: DuckDB
@@ -595,6 +638,7 @@ object SparkEntry {
       // range directly from raw events (the oracle does the latter)
       import graft.operators.CandleStore
       val store = java.nio.file.Files.createTempDirectory("q_store").toString
+      registerScratchCleanup(store)
       CandleStore.write(
         Candles.multiTimeframe(Candles.transactions(s, dir)), store)
       candleOut(CandleStore.range(s, store, "purchase", CandleTimeFrame.Hour,
@@ -603,39 +647,34 @@ object SparkEntry {
     }),
     "q_store_recent" -> ((s, dir) => {
       // store-backed recent-N: the materialized-store variant of
-      // q_candle_recent — write once, then answer from the partitioned
-      // store; must equal the direct computation (the oracle's path)
+      // q_candle_recent — the store is built once per process
+      // (candleStoreOnce) so the graded cost is the partition-pruned
+      // read; must equal the direct computation (the oracle's path)
       import graft.operators.CandleStore
-      val store = java.nio.file.Files.createTempDirectory("q_store_r").toString
-      CandleStore.write(
-        Candles.multiTimeframe(Candles.transactions(s, dir)), store)
-      candleOut(CandleStore.recent(s, store, CandleTimeFrame.Minute, 5)
+      candleOut(CandleStore.recent(s, candleStoreOnce(s, dir), CandleTimeFrame.Minute, 5)
         .select(Candles.candleColumns: _*))
     }),
     "q_store_point" -> ((s, dir) => {
       // store-backed point lookup (reference's Redis key get ≙
-      // partition-pruned scan + key-format equality)
+      // partition-pruned scan + key-format equality); store built once
+      // per process — the graded cost is the pruned lookup
       import graft.operators.CandleStore
-      val store = java.nio.file.Files.createTempDirectory("q_store_p").toString
-      CandleStore.write(
-        Candles.multiTimeframe(Candles.transactions(s, dir)), store)
-      candleOut(CandleStore.point(s, store, "view", CandleTimeFrame.Day, "20240115")
+      candleOut(CandleStore.point(s, candleStoreOnce(s, dir), "view",
+          CandleTimeFrame.Day, "20240115")
         .select(Candles.candleColumns: _*))
     }),
     "q_symbols" -> ((s, dir) =>
       CandleQueries.symbols(Candles.transactions(s, dir)).orderBy(col("symbol"))),
     "q_candle_keys" -> ((s, dir) => {
       // key enumeration over a materialized store (reference
-      // getSymbolCandleKeys, CandleStickService.kt:185-187): write the
-      // multi-timeframe store once, then enumerate one symbol's keys —
-      // the symbol filter prunes to its partitions across all four
-      // timeframes; the oracle rebuilds the same candle:{symbol}:{tf}:
-      // {dateKey} strings from raw events
+      // getSymbolCandleKeys, CandleStickService.kt:185-187): the
+      // multi-timeframe store is built once per process, then one
+      // symbol's keys are enumerated — the symbol filter prunes to its
+      // partitions across all four timeframes (the graded cost, the
+      // Redis-prefix-scan analogue); the oracle rebuilds the same
+      // candle:{symbol}:{tf}:{dateKey} strings from raw events
       import graft.operators.CandleStore
-      val store = java.nio.file.Files.createTempDirectory("q_keys").toString
-      CandleStore.write(
-        Candles.multiTimeframe(Candles.transactions(s, dir)), store)
-      CandleStore.candleKeys(s, store, Some("view"), None)
+      CandleStore.candleKeys(s, candleStoreOnce(s, dir), Some("view"), None)
     }),
     "q_stream_candles" -> ((s, dir) => {
       // the SAME minute-candle semantics through Structured Streaming;
@@ -2198,6 +2237,20 @@ object SparkEntry {
         .withColumn("sim_micro", floor(col("sim") * 1e6).cast("long"))
         .select(col("vec_id"), col("rank"), col("neighbor_id"), col("sim_micro"))
         .orderBy(col("vec_id"), col("rank"))),
+    "q_kmeans" -> ((s, dir) =>
+      // deterministic fixed-point Lloyd's: 2 iterations, k=8, every
+      // vector's final cluster — the clustering primitive under
+      // SemDeDup-style curation; integer arithmetic end to end, so
+      // the oracle replays training exactly
+      graft.operators.KMeans.fit(Tables.embeddings(s, dir), k = 8, iters = 2)
+        .select(col("vec_id"), col("cluster"))
+        .orderBy(col("vec_id"))),
+    "q_kmeans_quality" -> ((s, dir) =>
+      // per-cluster size + exact fixed-point inertia (the elbow-curve
+      // readout) of the same fit
+      graft.operators.KMeans.quality(
+          graft.operators.KMeans.fit(Tables.embeddings(s, dir), k = 8, iters = 2))
+        .orderBy(col("cluster"))),
     "q_ann_lsh" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.annLsh(emb, emb.filter(col("vec_id") < 3), topK = 10, nBits = 4)
@@ -2499,6 +2552,61 @@ object SparkEntry {
       |FROM e$rounds ORDER BY doc_id, pos""".stripMargin)
     sb.toString
   }
+
+  /** Shared CTE chain for the k-means oracles — replays
+    * [[graft.operators.KMeans]] training bit-for-bit in DuckDB:
+    * floor(x·2^20) fixed point (float→double exact, ·2^20 shifts the
+    * exponent only), exact integer squared-L2, truncating integer
+    * division for centroid updates (DuckDB `//` and Spark `div` both
+    * truncate toward zero), md5-ordered seeds, ties to lowest cluster
+    * id. k=8, 2 Lloyd iterations, then a final assignment.
+    */
+  private val kmeansCte: String =
+    """WITH q AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS qv
+      |  FROM embeddings
+      |), c0 AS (
+      |  SELECT vec_id AS cluster, qv AS cent FROM q
+      |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+      |), a1 AS (
+      |  SELECT vec_id, qv, cluster FROM (
+      |    SELECT q.vec_id, q.qv, c.cluster,
+      |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |        list_sum(list_transform(range(1, len(q.qv)+1),
+      |          i -> (q.qv[i]-c.cent[i])*(q.qv[i]-c.cent[i]))), c.cluster) AS rn
+      |    FROM q, c0 c) WHERE rn = 1
+      |), c1 AS (
+      |  SELECT cluster, list(s ORDER BY i) AS cent FROM (
+      |    SELECT cluster, i, CAST(sum(v) // count(*) AS BIGINT) AS s
+      |    FROM (SELECT cluster, unnest(qv) AS v,
+      |                 unnest(range(1, len(qv)+1)) AS i FROM a1)
+      |    GROUP BY 1, 2)
+      |  GROUP BY cluster
+      |), a2 AS (
+      |  SELECT vec_id, qv, cluster FROM (
+      |    SELECT q.vec_id, q.qv, c.cluster,
+      |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |        list_sum(list_transform(range(1, len(q.qv)+1),
+      |          i -> (q.qv[i]-c.cent[i])*(q.qv[i]-c.cent[i]))), c.cluster) AS rn
+      |    FROM q, c1 c) WHERE rn = 1
+      |), c2 AS (
+      |  SELECT cluster, list(s ORDER BY i) AS cent FROM (
+      |    SELECT cluster, i, CAST(sum(v) // count(*) AS BIGINT) AS s
+      |    FROM (SELECT cluster, unnest(qv) AS v,
+      |                 unnest(range(1, len(qv)+1)) AS i FROM a2)
+      |    GROUP BY 1, 2)
+      |  GROUP BY cluster
+      |), af AS (
+      |  SELECT vec_id, cluster, dist FROM (
+      |    SELECT q.vec_id, c.cluster,
+      |      list_sum(list_transform(range(1, len(q.qv)+1),
+      |        i -> (q.qv[i]-c.cent[i])*(q.qv[i]-c.cent[i]))) AS dist,
+      |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |        list_sum(list_transform(range(1, len(q.qv)+1),
+      |          i -> (q.qv[i]-c.cent[i])*(q.qv[i]-c.cent[i]))), c.cluster) AS rn
+      |    FROM q, c2 c) WHERE rn = 1
+      |)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_bpe_train" -> bpeOracleSql(3),
@@ -4501,6 +4609,14 @@ object SparkEntry {
     "q_ann_ivf" -> SketchOracles.annIvfSql,
     // store-backed probe must be value-exact vs the inline build
     "q_ann_ivf_store" -> SketchOracles.annIvfSql,
+    "q_kmeans" ->
+      (kmeansCte + "\nSELECT vec_id, cluster FROM af ORDER BY vec_id"),
+    "q_kmeans_quality" ->
+      (kmeansCte +
+        """
+          |SELECT cluster, CAST(count(*) AS BIGINT) AS n_members,
+          |       CAST(sum(dist) AS BIGINT) AS inertia_q
+          |FROM af GROUP BY cluster ORDER BY cluster""".stripMargin),
     // 1:1 replica of the quantized-ANN chain: per-dim max-abs scales,
     // clamp(floor(v*s)) int8 vectors, integer coarse dot top-50,
     // exact cosine re-rank top-10 (floor is engine-portable, integer

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.{CosineSimF, GraftShim, HyperplaneSig, Int8Dot, MinHashBandHashes, MinHashSignature, PolyFingerprint64, QuantizeI8, ShingleHashes, SimHash64, TextProfile, TokenFnvHashes}
+import org.apache.spark.sql.graft.{CosineSimF, GraftShim, HyperplaneSig, Int8Dot, L2SqLong, MinHashBandHashes, MinHashSignature, PolyFingerprint64, QuantizeI8, ShingleHashes, SimHash64, TextProfile, TokenFnvHashes}
 
 /** User-facing Column wrappers for graft's native Catalyst
   * expressions (see org.apache.spark.sql.graft.GraftExpressions).
@@ -85,6 +85,14 @@ package object functions {
     */
   def int8_dot(a: Column, b: Column): Column =
     GraftShim.toColumn(Int8Dot(GraftShim.toExpression(a),
+      GraftShim.toExpression(b)))
+
+  /** Squared L2 distance of two fixed-point array<long> vectors —
+    * the exact integer scoring kernel of quantized k-means (codegen,
+    * engine-portable: a DuckDB oracle reproduces it bit-for-bit).
+    */
+  def l2sq_long(a: Column, b: Column): Column =
+    GraftShim.toColumn(L2SqLong(GraftShim.toExpression(a),
       GraftShim.toExpression(b)))
 
   /** Distributed bloom-filter build over an int64 key column — one

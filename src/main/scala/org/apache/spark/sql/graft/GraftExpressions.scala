@@ -13,10 +13,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * lacks as built-ins. Scalar single-pass algorithms belong in an
   * Expression (per-row, no shuffle, no UDF serialization); the
   * bucketing/joining around them stays declarative (Catalyst plans the
-  * distribution). `cosine_sim` carries doGenCode so the kNN hot loop
-  * stays inside whole-stage codegen; the hash expressions are
-  * interpreted (they're not the scan bottleneck) with codegen a
-  * documented follow-up.
+  * distribution). Every expression here carries a real doGenCode —
+  * `cosine_sim` so the kNN hot loop stays inside whole-stage codegen,
+  * and the hash/sketch expressions so the dedup scan stage does too
+  * (CodegenSpec locks the no-CodegenFallback property).
   *
   * Lives under org.apache.spark.sql because ExpectsInputTypes /
   * AbstractDataType / ExpressionUtils are private[sql] in Spark 4 —
@@ -73,6 +73,8 @@ object GraftShim {
       es => { arity("quantize_i8", 2, es); QuantizeI8(es.head, es(1)) }, "scala_udf")
     reg.createOrReplaceTempFunction("int8_dot",
       es => { arity("int8_dot", 2, es); Int8Dot(es.head, es(1)) }, "scala_udf")
+    reg.createOrReplaceTempFunction("l2sq_long",
+      es => { arity("l2sq_long", 2, es); L2SqLong(es.head, es(1)) }, "scala_udf")
   }
 }
 
@@ -786,6 +788,68 @@ case class Int8Dot(left: Expression, right: Expression)
         |    }
         |    ${ev.isNull} = false;
         |    ${ev.value} = $dot;
+        |  }
+        |}
+       """.stripMargin
+    ev.copy(code = code)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Squared L2 distance between two fixed-point (array<long>) vectors —
+  * the scoring kernel of quantized k-means (graft.operators.KMeans).
+  * Pure integer arithmetic inside whole-stage codegen, so the result
+  * is exact and engine-portable: a DuckDB oracle doing the same
+  * quantized subtract-square-sum reproduces it bit-for-bit, which a
+  * float distance never guarantees. Range: with components ≤ 2^21
+  * (|x| ≲ 2 at 2^20 fixed point), a 64-dim distance is < 2^49 —
+  * far inside the long.
+  */
+case class L2SqLong(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val d = a.getLong(i) - b.getLong(i)
+      acc += d * d
+      i += 1
+    }
+    java.lang.Long.valueOf(acc)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val leftGen = left.genCode(ctx)
+    val rightGen = right.genCode(ctx)
+    val n = ctx.freshName("n")
+    val i = ctx.freshName("i")
+    val acc = ctx.freshName("acc")
+    val d = ctx.freshName("d")
+    val code =
+      code"""
+        |${leftGen.code}
+        |${rightGen.code}
+        |boolean ${ev.isNull} = true;
+        |long ${ev.value} = 0L;
+        |if (!${leftGen.isNull} && !${rightGen.isNull}) {
+        |  int $n = ${leftGen.value}.numElements();
+        |  if ($n == ${rightGen.value}.numElements()) {
+        |    long $acc = 0L;
+        |    for (int $i = 0; $i < $n; $i++) {
+        |      long $d = ${leftGen.value}.getLong($i)
+        |              - ${rightGen.value}.getLong($i);
+        |      $acc += $d * $d;
+        |    }
+        |    ${ev.isNull} = false;
+        |    ${ev.value} = $acc;
         |  }
         |}
        """.stripMargin
