@@ -736,6 +736,15 @@ object SparkEntry {
           col("close"), col("prev_close"), col("change"), col("ma_close"))
         .orderBy(col("symbol"), col("window_start"))
     }),
+    "q_candle_patterns" -> ((s, dir) =>
+      // candlestick pattern flags (doji / hammer / engulfing) over the
+      // daily series — exact IEEE compare arithmetic on selection-exact
+      // OHLC, so the oracle replays the rules bit-for-bit
+      MarketAnalytics.patterns(
+          Candles.rollup(Candles.minuteCandles(Candles.transactions(s, dir)),
+            CandleTimeFrame.Day))
+        .withColumn("window_start", fmtTs(col("window_start")))
+        .orderBy(col("symbol"), col("window_start"))),
     "q_range_join" -> ((s, dir) => {
       // events range-joined into day-candle windows; the per-window
       // count must reproduce the candle's own n_txn — a self-checking
@@ -3221,6 +3230,26 @@ object SparkEntry {
         |    CAST(CAST(round(sum(CAST(price AS DECIMAL(18,4)) * CAST(quantity AS DECIMAL(18,4))), 2) AS DECIMAL(38,2)) AS DOUBLE)
         |      / CAST(sum(quantity) AS BIGINT) END AS vwap
         |FROM txn GROUP BY 1, 2 ORDER BY symbol, window_start""".stripMargin),
+    "q_candle_patterns" -> (txnCte + minuteCte + rollupCte("day") +
+      """
+        |, pat AS (
+        |  SELECT symbol, ws, open, high, low, close,
+        |    abs(close - open) AS body,
+        |    high - greatest(open, close) AS u_sh,
+        |    least(open, close) - low AS l_sh,
+        |    lag(open) OVER w AS prev_open,
+        |    lag(close) OVER w AS prev_close
+        |  FROM roll_c
+        |  WINDOW w AS (PARTITION BY symbol ORDER BY ws)
+        |)
+        |SELECT symbol, strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  body * 10 <= high - low AS is_doji,
+        |  body > 0 AND l_sh >= body * 2 AND u_sh <= body AS is_hammer,
+        |  COALESCE(prev_close < prev_open AND close > open
+        |       AND close >= prev_open AND open <= prev_close, FALSE) AS is_engulf_bull,
+        |  COALESCE(prev_close > prev_open AND close < open
+        |       AND open >= prev_close AND close <= prev_open, FALSE) AS is_engulf_bear
+        |FROM pat ORDER BY symbol, window_start""".stripMargin),
     "q_candle_change" -> (txnCte + minuteCte + rollupCte("day") + "\n" +
       """SELECT symbol,
         |  strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, close,

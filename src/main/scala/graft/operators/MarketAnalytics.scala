@@ -28,6 +28,49 @@ object MarketAnalytics {
       .withColumn("vwap",
         when(col("volume") =!= 0, col("pv") / col("volume")))
 
+  /** Candlestick pattern flags (doji, hammer, bullish/bearish
+    * engulfing) over a per-symbol candle series — the chart-overlay
+    * scan a candlestick consumer runs on the reference's OHLC output
+    * (reference stream/CandlestickAggregator.kt:1 produces the
+    * candles; pattern recognition is the standard derived overlay).
+    *
+    * Determinism: OHLC values are exact SELECTIONS of original prices
+    * (arg_min/arg_max/max/min), and every rule below uses only IEEE
+    * subtract/multiply/compare on them — correctly rounded and
+    * engine-identical, so a DuckDB oracle reproduces the flags
+    * bit-for-bit. Rules (body = |close−open|, shadows vs body):
+    *  - doji: body·10 ≤ high−low (body within 10% of the range);
+    *  - hammer: body > 0, lower shadow ≥ 2·body, upper shadow ≤ body;
+    *  - bullish engulfing: previous candle bearish, current bullish,
+    *    current body contains the previous body (boundary-inclusive);
+    *  - bearish engulfing: mirror image.
+    * First candle of a symbol: engulfing flags are false (no prev).
+    * One shuffle (the per-symbol window), lag-1 state only.
+    */
+  def patterns(candles: DataFrame): DataFrame = {
+    val bySym = Window.partitionBy(col("symbol")).orderBy(col("window_start"))
+    val body = abs(col("close") - col("open"))
+    val upperShadow = col("high") - greatest(col("open"), col("close"))
+    val lowerShadow = least(col("open"), col("close")) - col("low")
+    candles
+      .withColumn("prev_open", lag(col("open"), 1).over(bySym))
+      .withColumn("prev_close", lag(col("close"), 1).over(bySym))
+      .withColumn("is_doji", body * 10 <= col("high") - col("low"))
+      .withColumn("is_hammer",
+        body > 0 && lowerShadow >= body * 2 && upperShadow <= body)
+      .withColumn("is_engulf_bull", coalesce(
+        col("prev_close") < col("prev_open") && col("close") > col("open") &&
+          col("close") >= col("prev_open") && col("open") <= col("prev_close"),
+        lit(false)))
+      .withColumn("is_engulf_bear", coalesce(
+        col("prev_close") > col("prev_open") && col("close") < col("open") &&
+          col("open") >= col("prev_close") && col("close") <= col("prev_open"),
+        lit(false)))
+      .select(col("symbol"), col("window_start"),
+        col("is_doji"), col("is_hammer"),
+        col("is_engulf_bull"), col("is_engulf_bear"))
+  }
+
   /** Per-candle return vs previous close and a trailing moving average
     * of close over `maWindow` candles — lag/avg window functions over
     * the candle series, partitioned by symbol (one shuffle, state

@@ -392,6 +392,17 @@ class PlanSpec extends SparkSpec {
       s"partition-column filters leaked into data filters in:\n$p")
   }
 
+  test("q_kmeans: assignment collapses map-side (partial argmin), corpus never windowed") {
+    // the per-iteration scale contract: the broadcast crossJoin's k
+    // candidate rows per vector must collapse via a PARTIAL
+    // min(struct) aggregate before any exchange — a row_number window
+    // here would hash-exchange the k-expanded frame
+    val p = plan("q_kmeans")
+    assert(p.contains("partial_min"), s"no partial argmin aggregation in:\n$p")
+    assert(!p.contains("row_number"), s"window in the assignment path:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian product in:\n$p")
+  }
+
   test("ALL queries: no Window node with an empty partition spec (single-partition sort ban)") {
     // the one scale-killer pattern a correct sf0.1 run cannot see: an
     // unpartitioned window funnels the WHOLE frame through one task.
