@@ -2260,6 +2260,14 @@ object SparkEntry {
       graft.operators.KMeans.quality(
           graft.operators.KMeans.fit(Tables.embeddings(s, dir), k = 8, iters = 2))
         .orderBy(col("cluster"))),
+    "q_semdedup_kmeans" -> ((s, dir) =>
+      // paper-faithful SemDeDup: within-cluster prior-cosine sweep
+      // over Lloyd-refined (balanced) cells — the md5-cell variant is
+      // q_semdedup; cells here come from the same deterministic fit
+      // the oracle replays
+      graft.operators.KMeans.semDedup(Tables.embeddings(s, dir),
+          k = 8, iters = 2, threshold = 0.35)
+        .orderBy(col("vec_id"))),
     "q_ann_lsh" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.annLsh(emb, emb.filter(col("vec_id") < 3), topK = 10, nBits = 4)
@@ -4646,6 +4654,26 @@ object SparkEntry {
           |SELECT cluster, CAST(count(*) AS BIGINT) AS n_members,
           |       CAST(sum(dist) AS BIGINT) AS inertia_q
           |FROM af GROUP BY cluster ORDER BY cluster""".stripMargin),
+    // same Lloyd replay, then the q_semdedup within-cell sweep over
+    // the ORIGINAL double embeddings (list_cosine_similarity ≡ the
+    // native CosineSimF double accumulation)
+    "q_semdedup_kmeans" ->
+      (kmeansCte +
+        """
+          |, emb AS (
+          |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+          |), idx AS (
+          |  SELECT af.vec_id, af.cluster, emb.e FROM af JOIN emb USING (vec_id)
+          |), p AS (
+          |  SELECT a.vec_id, max(list_cosine_similarity(a.e, b.e)) AS mp
+          |  FROM idx a JOIN idx b ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+          |  GROUP BY a.vec_id
+          |)
+          |SELECT i.vec_id, i.cluster,
+          |  CAST(coalesce(floor(p.mp * 1000000), -1) AS BIGINT) AS max_prior_sim_micro,
+          |  coalesce(p.mp <= 0.35, TRUE) AS kept
+          |FROM idx i LEFT JOIN p USING (vec_id)
+          |ORDER BY i.vec_id""".stripMargin),
     // 1:1 replica of the quantized-ANN chain: per-dim max-abs scales,
     // clamp(floor(v*s)) int8 vectors, integer coarse dot top-50,
     // exact cosine re-rank top-10 (floor is engine-portable, integer

@@ -141,6 +141,44 @@ object KMeans {
           scale: Long = DefaultScale): DataFrame =
     assign(quantize(vectors, scale), train(vectors, k, iters, scale))
 
+  /** SemDeDup over REAL k-means cells (Abbas et al. 2023,
+    * arXiv:2303.09540 — the paper clusters with k-means before the
+    * within-cluster sweep): every vector lands in its Lloyd-refined
+    * cluster, then is dropped when an earlier in-cluster member
+    * (lower vec_id) exceeds `threshold` cosine. The md5-sampled-cell
+    * variant ships as [[Similarity.semDedup]]; this one pays 2 Lloyd
+    * iterations for balanced cells — the shape that keeps per-cell
+    * pair work Σ|cell|² flat when k grows ∝ n (the paper's 100 TB
+    * contract), where one oversized md5 cell would go quadratic.
+    * Output: (vec_id, cluster, max_prior_sim_micro, kept) — same
+    * contract as Similarity.semDedup.
+    */
+  def semDedup(vectors: DataFrame, k: Int, iters: Int,
+               threshold: Double): DataFrame = {
+    import graft.functions.cosine_sim
+    val asg = fit(vectors, k, iters).select(col("vec_id"), col("cluster"))
+    // re-attach the ORIGINAL float embeddings: the dedup compares in
+    // full precision; the fixed-point frame only decided the cells
+    val idx = vectors.join(asg, "vec_id")
+      .select(col("cluster"), col("vec_id"), col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val b = idx.select(col("cluster"), col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"))
+    val maxPrior = idx.join(b, "cluster")
+      .filter(col("vec_b") < col("vec_id"))
+      .withColumn("sim", cosine_sim(col("embedding"), col("emb_b")))
+      .groupBy(col("vec_id"))
+      .agg(max(col("sim")).as("max_prior_sim"))
+    LshDedup.unpersistAfterFirstUse(
+      idx.join(maxPrior, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cluster"),
+          coalesce(floor(col("max_prior_sim") * 1e6).cast("long"), lit(-1L))
+            .as("max_prior_sim_micro"),
+          (col("max_prior_sim").isNull || col("max_prior_sim") <= threshold)
+            .as("kept")),
+      idx)
+  }
+
   /** Per-cluster size and exact inertia (Σ dist²_fixed-point) of a
     * fitted assignment — the elbow-curve / cluster-health readout.
     * The sum accumulates through decimal(38,0) (exact at any corpus

@@ -67,6 +67,21 @@ class KMeansSpec extends SparkSpec {
     assert(q.map(_.getLong(2)).sum == direct)
   }
 
+  test("semDedup drops the later of two near-identical in-cluster vectors only") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.999f, 0.001f)), // near-dups, same blob
+      (2L, Array(0.0f, 1.0f)),                              // other blob, alone
+      (3L, Array(0.7f, 0.7f))                               // same blob as 2? distinct dir
+    ).toDF("vec_id", "embedding")
+    val out = KMeans.semDedup(emb, k = 2, iters = 1, threshold = 0.99)
+      .orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(out(0L), "earliest member must always be kept")
+    assert(!out(1L), "cosine ≈ 1 duplicate with an earlier peer must be dropped")
+    assert(out(2L))
+    assert(out.size == 4)
+  }
+
   test("dead clusters disappear; k larger than n degrades gracefully") {
     val tiny = Seq((0L, Array(0.0f)), (1L, Array(10.0f))).toDF("vec_id", "embedding")
     val cents = KMeans.train(tiny, k = 5, iters = 2).collect()
