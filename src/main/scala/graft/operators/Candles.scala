@@ -177,6 +177,44 @@ object Candles {
       .select(col("symbol"),
         timestamp_seconds(unix_timestamp(col("lo")) + col("slot") * seconds)
           .as("window_start"))
+    carryForward(slots, candles)
+  }
+
+  /** Month-grain gap-fill: slots step by CALENDAR month (add_months),
+    * not a fixed second width — a fixed-width fill would drift off the
+    * month boundaries the candles sit on. Slot counts are months, so
+    * even a centuries-long range is a few thousand elements per
+    * symbol: no chunking needed.
+    */
+  def gapFillMonths(candles: DataFrame): DataFrame = {
+    val slots = candles
+      .groupBy(col("symbol"))
+      .agg(min(col("window_start")).as("lo"), max(col("window_start")).as("hi"))
+      .select(col("symbol"), col("lo"),
+        explode(sequence(lit(0),
+          expr("cast(months_between(hi, lo) as int)"))).as("slot"))
+      .select(col("symbol"),
+        add_months(col("lo"), col("slot")).cast("timestamp").as("window_start"))
+    carryForward(slots, candles)
+  }
+
+  /** Gap-fill one timeframe's series with its calendar slot width
+    * (fixed seconds for MINUTE/HOUR/DAY — exact in UTC — calendar
+    * stepping for MONTH).
+    */
+  def gapFillTf(candles: DataFrame, tf: String): DataFrame = tf match {
+    case CandleTimeFrame.Minute => gapFill(candles, 60L)
+    case CandleTimeFrame.Hour   => gapFill(candles, 3600L)
+    case CandleTimeFrame.Day    => gapFill(candles, 86400L)
+    case CandleTimeFrame.Month  => gapFillMonths(candles)
+    case other => throw new IllegalArgumentException(s"unknown timeframe: $other")
+  }
+
+  /** Shared carry-forward tail of the gap-fill family: left-join the
+    * slot frame to the real candles, carry the last non-null close
+    * into empty slots, flag them.
+    */
+  private def carryForward(slots: DataFrame, candles: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("symbol")).orderBy(col("window_start"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)

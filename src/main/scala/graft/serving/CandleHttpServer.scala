@@ -18,6 +18,9 @@ import graft.operators.{CandleStore, Candles}
   * Routes (all return JSON arrays of candle rows):
   *   GET /symbols
   *   GET /candles/{symbol}/{tf}?from=YYYY-MM-DD+HH:MM:SS&to=...
+  *     [&fill=true]  (fill=true emits a continuous calendar series —
+  *     reference CandleStickService.kt:88-101 generateDateTimeSequence
+  *     — gap slots carry the prior close, volume 0, is_gap=true)
   *   GET /candles/{symbol}/{tf}/recent?n=25
   *   GET /candles/{symbol}/{tf}/point?key=yyyyMMdd...
   *   GET /keys[/{symbol}[/{tf}]]?limit=N&after=K   (candle:{symbol}:
@@ -77,14 +80,23 @@ object CandleHttpServer {
             val limit = params.getOrElse("limit", MaxRangeRows.toString).toInt
             require(limit > 0 && limit <= MaxRangeRows,
               s"limit must be in 1..$MaxRangeRows")
+            val ranged = CandleStore.range(spark, storePath, symbol, tf,
+              params.getOrElse("from", "1970-01-01 00:00:00"),
+              params.getOrElse("to", "9999-01-01 00:00:00"))
+            // ?fill=true: continuous calendar series over the range —
+            // the reference's range read emits one entry per calendar
+            // slot (CandleStickService.kt:88-101
+            // generateDateTimeSequence). Gap slots carry the previous
+            // close forward (volume 0, is_gap true); the fill spans
+            // first..last stored candle inside the requested range, so
+            // every emitted row has a defined close
+            val rows =
+              if (params.get("fill").contains("true")) filledRows(ranged, tf)
+              else candleRows(ranged)
             // fetch limit+1: the extra row both signals truncation and
             // carries the next page's inclusive `from` cursor, so the
             // gateway heap is bounded no matter how wide the range is
-            val page = candleRows(
-              CandleStore.range(spark, storePath, symbol, tf,
-                params.getOrElse("from", "1970-01-01 00:00:00"),
-                params.getOrElse("to", "9999-01-01 00:00:00")))
-              .limit(limit + 1).toJSON.collect()
+            val page = rows.limit(limit + 1).toJSON.collect()
             if (page.length > limit)
               nextCursor(page(limit)).foreach(
                 ex.getResponseHeaders.set("X-Next-From", _))
@@ -163,6 +175,28 @@ object CandleHttpServer {
 
     private def candleRows(df: DataFrame): DataFrame =
       df.select(Candles.candleColumns: _*)
+
+    /** Gap-filled candle rows for the range route: same shape as
+      * candleRows plus `is_gap`; filled slots carry the previous close
+      * as OHLC (flat candle), volume 0, n_txn 0. Re-sorted by
+      * window_start — the gap-fill join does not preserve the range
+      * read's order, and the X-Next-From cursor contract requires it.
+      */
+    private def filledRows(df: DataFrame, tf: String): DataFrame = {
+      import org.apache.spark.sql.functions._
+      Candles.gapFillTf(df, tf)
+        .withColumn("timeframe", lit(tf))
+        .withColumn("window_end", Candles.windowEnd(tf, col("window_start")))
+        .select(col("symbol"), col("timeframe"),
+          col("window_start"), col("window_end"),
+          coalesce(col("open"), col("close_filled")).as("open"),
+          coalesce(col("high"), col("close_filled")).as("high"),
+          coalesce(col("low"), col("close_filled")).as("low"),
+          coalesce(col("close"), col("close_filled")).as("close"),
+          col("volume"), coalesce(col("n_txn"), lit(0L)).as("n_txn"),
+          col("is_gap"))
+        .orderBy(col("window_start"))
+    }
 
     private def toJsonArray(df: DataFrame): String =
       df.toJSON.collect().mkString("[", ",", "]")

@@ -5,6 +5,8 @@ import java.nio.file.Files
 
 import scala.io.Source
 
+import org.apache.spark.sql.functions.col
+
 import graft.model.CandleTimeFrame
 import graft.operators.{Candles, CandleStore}
 import graft.serving.CandleHttpServer
@@ -172,6 +174,85 @@ class HttpServingSpec extends SparkSpec {
       assert(keyHops > 1, "keys never truncated — cursor untested")
       assert(collected === aaplKeys,
         "cursor-chained pages diverged from the unpaginated enumeration")
+    } finally server.stop(0)
+  }
+
+  test("?fill=true serves the continuous calendar series the gapfill query computes") {
+    import java.sql.Timestamp
+    import graft.model.StockTransaction
+    // hour candles at 00, 01 and 04 — hours 02 and 03 are gaps; plus a
+    // second month (April) so the MONTH fill has Feb/Mar gaps
+    def t(s: String) = Timestamp.valueOf(s)
+    val txns = Seq(
+      StockTransaction("GAPY", 10.0, 5, t("2024-01-01 00:10:00")),
+      StockTransaction("GAPY", 11.0, 2, t("2024-01-01 01:20:00")),
+      StockTransaction("GAPY", 14.0, 1, t("2024-01-01 04:05:00")),
+      StockTransaction("GAPY", 20.0, 3, t("2024-04-02 09:00:00"))
+    ).toDF()
+    val dir = Files.createTempDirectory("http-fill-store").toString
+    val candles = Candles.multiTimeframe(txns)
+    CandleStore.write(candles, dir)
+    val server = CandleHttpServer.start(spark, dir)
+    val base = s"http://localhost:${server.getAddress.getPort}"
+    try {
+      val url = s"$base/candles/GAPY/HOUR?from=2024-01-01+00:00:00&to=2024-01-01+06:00:00"
+      val unfilled = spark.read.json(Seq(get(url)).toDS().as[String])
+      assert(unfilled.count() === 3)
+
+      val filled = spark.read.json(Seq(get(s"$url&fill=true")).toDS().as[String])
+      // the served series equals the gapfill operator run over the
+      // same range read (the q_candle_gapfill logic)
+      val want = Candles.gapFillTf(
+        graft.operators.CandleQueries.range(candles, "GAPY",
+          CandleTimeFrame.Hour, "2024-01-01 00:00:00", "2024-01-01 06:00:00"),
+        CandleTimeFrame.Hour)
+        .select(col("symbol"), col("window_start"), col("close_filled"),
+          col("is_gap"), col("volume"))
+        .orderBy(col("window_start"))
+        .collect()
+      assert(filled.count() === want.length && want.length === 5)
+      val served = filled
+        .select(col("symbol"), col("window_start"), col("close"),
+          col("is_gap"), col("volume"))
+        .orderBy(col("window_start")).collect()
+      served.zip(want).foreach { case (s, w) =>
+        assert(s.getString(0) === w.getString(0))
+        assert(s.getDouble(2) === w.getDouble(2), s"close at ${s.get(1)}")
+        assert(s.getBoolean(3) === w.getBoolean(3), s"is_gap at ${s.get(1)}")
+        assert(s.getLong(4) === w.getLong(4), s"volume at ${s.get(1)}")
+      }
+      // gap rows are flat candles carrying the prior close
+      val gaps = filled.filter(col("is_gap")).collect()
+      assert(gaps.length === 2)
+      gaps.foreach { g =>
+        val c = g.getAs[Double]("close")
+        assert(c === 11.0 &&
+          g.getAs[Double]("open") === c && g.getAs[Double]("high") === c &&
+          g.getAs[Double]("low") === c && g.getAs[Long]("n_txn") === 0L)
+      }
+
+      // MONTH fills on calendar-month steps (Feb/Mar gaps), not a
+      // fixed second width
+      val months = spark.read.json(Seq(get(
+        s"$base/candles/GAPY/MONTH?fill=true")).toDS().as[String])
+      val monthStarts = months.select("window_start")
+        .orderBy("window_start").as[String].collect()
+      assert(monthStarts.length === 4 &&
+        monthStarts.head.startsWith("2024-01-01") &&
+        monthStarts(1).startsWith("2024-02-01") &&
+        monthStarts(2).startsWith("2024-03-01") &&
+        monthStarts.last.startsWith("2024-04-01"))
+      assert(months.filter(col("is_gap")).count() === 2)
+
+      // fill composes with the cursor contract: limit+fill pages the
+      // FILLED series, cursor lands on the first unreturned slot
+      val conn = new URI(s"$url&fill=true&limit=2").toURL
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      val body = Source.fromInputStream(conn.getInputStream, "UTF-8").mkString
+      assert(spark.read.json(Seq(body).toDS().as[String]).count() === 2)
+      val next = conn.getHeaderField("X-Next-From")
+      assert(next != null && next.startsWith("2024-01-01T02:00:00"),
+        s"cursor should be the first unreturned filled slot, got $next")
     } finally server.stop(0)
   }
 }
