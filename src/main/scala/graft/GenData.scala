@@ -1,0 +1,276 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampNTZType
+
+/** Deterministic testdata generator for scale factors the driver does
+  * not ship (the driver provides sf0.001/0.01/0.1; scaling claims one
+  * decade further need an sf1 set). Matches the driver tables'
+  * schemas, value shapes and parquet encodings exactly — verified by
+  * TestdataCanarySpec's schema pin and the DuckDB oracle gate, which
+  * are both encoding-sensitive:
+  *
+  *   - every table lands as a SINGLE `<dir>/<table>.parquet` FILE
+  *     (DuckDB's reader in tools/check.py opens the path directly);
+  *   - timestamps are written as TIMESTAMP(MICROS, isAdjustedToUTC=
+  *     false) i.e. TIMESTAMP_NTZ — the encoding the driver's files
+  *     carry since round 5 (see sources/Tables.scala);
+  *   - events rows are ordered by ts with event_id in ts order.
+  *
+  * All randomness is hash-derived (xxhash64 over a per-column tag +
+  * row id) — the output is a pure function of (sf), reproducible
+  * run-to-run and independent of partitioning, with no
+  * Math.random/driver-side RNG anywhere. Generation is fully
+  * distributed: spark.range + column expressions; the only global
+  * sort is events' ts ordering (1M rows at sf1 — trivial at gen
+  * time).
+  *
+  * Usage: GenData <outDir> [sf] [srcDirForFixedTables]
+  * e.g.   GenData testdata/sf1 1.0 /root/testdata/sf0.1
+  */
+object GenData {
+
+  /** Row counts at sf=1 (10× the driver's sf0.1 counts; embeddings
+    * follows the driver's own slower 4× step per decade).
+    */
+  private val base = Map(
+    "customer" -> 150000L, "supplier" -> 10000L, "part" -> 200000L,
+    "orders" -> 1500000L, "lineitem" -> 6000000L, "events" -> 1000000L,
+    "documents" -> 50000L, "embeddings" -> 8000L)
+
+  private val Mask: Long = 1L << 40
+  /** Deterministic uniform in [0,1): hash of (tag, cols...). */
+  private def u(tag: String, cols: Column*): Column =
+    pmod(xxhash64((lit(tag) +: cols): _*), lit(Mask)) / lit(Mask.toDouble)
+  /** Deterministic uniform integer in [0, n). */
+  private def ui(tag: String, n: Int, cols: Column*): Column =
+    pmod(xxhash64((lit(tag) +: cols): _*), lit(n.toLong)).cast("int")
+  private def pick(tag: String, choices: Seq[String], cols: Column*): Column =
+    element_at(array(choices.map(lit): _*), ui(tag, choices.size, cols: _*) + 1)
+
+  def main(args: Array[String]): Unit = {
+    val outDir = args(0)
+    val sf = if (args.length > 1) args(1).toDouble else 1.0
+    val srcDir = if (args.length > 2) args(2) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .appName("graft-gendata")
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    try generate(spark, outDir, sf, srcDir) finally spark.stop()
+  }
+
+  def generate(spark: SparkSession, outDir: String, sf: Double,
+               srcDir: String): Unit = {
+    def n(t: String): Long = math.max(1L, (base(t) * sf).toLong)
+    // region/nation are fixed-size dimension tables — identical at
+    // every sf; copy them from the driver's set
+    for (t <- Seq("region", "nation"))
+      writeSingle(spark.read.parquet(s"$srcDir/$t.parquet"), outDir, t)
+    writeSingle(customer(spark, n("customer")), outDir, "customer")
+    writeSingle(supplier(spark, n("supplier")), outDir, "supplier")
+    writeSingle(part(spark, n("part")), outDir, "part")
+    writeSingle(orders(spark, n("orders"), n("customer")), outDir, "orders")
+    writeSingle(
+      lineitem(spark, n("lineitem"), n("orders"), n("part"), n("supplier")),
+      outDir, "lineitem")
+    writeSingle(events(spark, n("events")), outDir, "events")
+    writeSingle(documents(spark, n("documents")), outDir, "documents")
+    writeSingle(embeddings(spark, n("embeddings")), outDir, "embeddings")
+  }
+
+  def customer(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).select(
+      col("id").as("c_custkey"),
+      format_string("Customer#%09d", col("id")).as("c_name"),
+      ui("cnat", 25, col("id")).as("c_nationkey"),
+      round(u("cbal", col("id")) * 10999.98 - 999.99, 2).as("c_acctbal"),
+      pick("cseg", Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+        "MACHINERY"), col("id")).as("c_mktsegment"))
+
+  def supplier(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).select(
+      col("id").as("s_suppkey"),
+      format_string("Supplier#%09d", col("id")).as("s_name"),
+      ui("snat", 25, col("id")).as("s_nationkey"),
+      round(u("sbal", col("id")) * 10999.98 - 999.99, 2).as("s_acctbal"))
+
+  def part(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).select(
+      col("id").as("p_partkey"),
+      concat(
+        pick("padj", Seq("large", "small", "hot", "cold", "old", "new",
+          "blue", "red", "green", "shiny"), col("id")),
+        lit(" "),
+        pick("pnoun", Seq("ring", "bolt", "plate", "cap", "washer", "gear",
+          "pin", "rod"), col("id"))).as("p_name"),
+      format_string("Brand#%d", ui("pbrand", 25, col("id")) + 1).as("p_brand"),
+      pick("ptype", Seq("ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL",
+        "STANDARD"), col("id")).as("p_type"),
+      (ui("psize", 50, col("id")) + 1).as("p_size"),
+      // driver shape: 900.0 + (partkey mod 1000)/10 — a dense price
+      // ladder in [900, 1000)
+      round(lit(900.0) + pmod(col("id"), lit(1000L)) / 10.0, 2)
+        .as("p_retailprice"))
+
+  def orders(spark: SparkSession, n: Long, nCust: Long): DataFrame =
+    spark.range(n).select(
+      col("id").as("o_orderkey"),
+      pmod(xxhash64(lit("ocust"), col("id")), lit(nCust)).as("o_custkey"),
+      pick("ostat", Seq("F", "O", "P"), col("id")).as("o_orderstatus"),
+      round(u("oprice", col("id")) * 498998.0 + 1001.0, 2).as("o_totalprice"),
+      date_add(to_date(lit("1995-01-01")), ui("odate", 2404, col("id")))
+        .cast(TimestampNTZType).as("o_orderdate"),
+      pick("oprio", Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+        "5-LOW"), col("id")).as("o_orderpriority"))
+
+  /** Driver shape: columns drawn independently (l_orderkey is a
+    * uniform draw over the order-key space, not a per-order sequence;
+    * l_extendedprice is independent of part price).
+    */
+  def lineitem(spark: SparkSession, n: Long, nOrders: Long, nParts: Long,
+               nSupp: Long): DataFrame =
+    spark.range(n).select(
+      pmod(xxhash64(lit("lord"), col("id")), lit(nOrders)).as("l_orderkey"),
+      pmod(xxhash64(lit("lpart"), col("id")), lit(nParts)).as("l_partkey"),
+      pmod(xxhash64(lit("lsupp"), col("id")), lit(nSupp)).as("l_suppkey"),
+      (ui("lln", 7, col("id")) + 1).as("l_linenumber"),
+      (ui("lqty", 50, col("id")) + 1).cast("double").as("l_quantity"),
+      round(u("lprice", col("id")) * 104099.0 + 900.0, 2).as("l_extendedprice"),
+      (ui("ldisc", 11, col("id")) / lit(100.0)).as("l_discount"),
+      (ui("ltax", 9, col("id")) / lit(100.0)).as("l_tax"),
+      pick("lrf", Seq("A", "N", "R"), col("id")).as("l_returnflag"),
+      pick("lls", Seq("F", "O"), col("id")).as("l_linestatus"),
+      date_add(to_date(lit("1995-01-02")), ui("lship", 2499, col("id")))
+        .cast(TimestampNTZType).as("l_shipdate"))
+
+  /** Event stream: 30 days from 2024-01-01, microsecond timestamps,
+    * rows ordered by ts with event_id in ts order (the driver's
+    * layout; the repo's as-of/session logic doesn't require it, but
+    * the canary and realism do). user count scales with volume
+    * (driver: 150 @10k rows, 1500 @100k). value is Exp(mean=50) —
+    * matches the driver's observed quantiles (median ≈ 50·ln2).
+    */
+  def events(spark: SparkSession, n: Long): DataFrame = {
+    val startMicros = 1704067200000000L // 2024-01-01 00:00:00 UTC
+    val spanMicros = 30L * 86400 * 1000000
+    val nUsers = math.max(1L, n / 67) // driver ratio ≈ 15 events/user/day
+    val unordered = spark.range(n).select(
+      timestamp_micros(lit(startMicros) +
+        (u("ets", col("id")) * spanMicros).cast("long")).as("ts"),
+      pmod(xxhash64(lit("euser"), col("id")), lit(nUsers)).as("user_id"),
+      pick("etype", Seq("view", "click", "purchase", "signup", "error"),
+        col("id")).as("event_type"),
+      round(lit(-50.0) * log(lit(1.0) - u("eval", col("id"))), 2).as("value"),
+      format_string("{\"k\": %d}", ui("ek", 100, col("id"))).as("props"))
+    // event_id = rank in ts order. zipWithIndex over the sorted RDD
+    // keeps the assignment distributed (no single-partition window).
+    val sorted = unordered.repartitionByRange(32, col("ts")).sortWithinPartitions("ts")
+    val schema = sorted.schema
+    val withId = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(i +: r.toSeq)
+    }
+    spark.createDataFrame(withId,
+        org.apache.spark.sql.types.StructType(
+          org.apache.spark.sql.types.StructField("event_id",
+            org.apache.spark.sql.types.LongType, nullable = false) +: schema.fields))
+      .select(col("event_id"), col("ts").cast(TimestampNTZType).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+  }
+
+  private val Vocab = Seq("a", "agg", "batch", "big", "column", "customer",
+    "data", "dup", "fast", "filter", "group", "hash", "join", "key", "line",
+    "merge", "order", "part", "query", "row", "scan", "slow", "small",
+    "sort", "spark", "stream", "table", "the", "value", "vector", "window")
+
+  /** Documents: 10-100 words from the driver's 31-word vocab; lang
+    * en≈40% / 4×15%; 20 sources. Duplicate structure for the dedup
+    * operators: ~0.2% of rows are EXACT copies of an earlier doc and
+    * ~1% are NEAR copies (one word substituted) — text is a pure
+    * function of a SEED id, so a copy just points its seed at the
+    * earlier row (no self-join).
+    */
+  def documents(spark: SparkSession, n: Long): DataFrame = {
+    val dupKind = ui("ddup", 1000, col("id"))
+    val seed = when(col("id") > 0 && dupKind < 12,
+      pmod(xxhash64(lit("dsrc"), col("id")), col("id"))).otherwise(col("id"))
+    val nWords = (ui("dnw", 91, col("seed")) + 10).cast("long")
+    val words = transform(sequence(lit(0L), col("n_words") - 1),
+      i => element_at(array(Vocab.map(lit): _*),
+        pmod(xxhash64(lit("dw"), col("seed"), i), lit(Vocab.size.toLong))
+          .cast("int") + 1))
+    // near-dup (kind in [2,12)): substitute the word at one
+    // seed-independent position, so the copy differs in exactly one
+    // token from its source
+    val mutated = when(col("kind") >= 2 && col("seed") =!= col("id"),
+      transform(col("words"), (w, i) =>
+        when(i === pmod(xxhash64(lit("dmp"), col("id")), col("n_words"))
+            .cast("int"),
+          element_at(array(Vocab.map(lit): _*),
+            ui("dmw", Vocab.size, col("id")) + 1)).otherwise(w)))
+      .otherwise(col("words"))
+    spark.range(n)
+      .withColumn("kind", dupKind)
+      .withColumn("seed", seed)
+      .withColumn("n_words", nWords)
+      .withColumn("words", words)
+      .withColumn("text", array_join(mutated, " "))
+      .select(
+        col("id").as("doc_id"),
+        col("text"),
+        when(u("dlang", col("id")) < 0.4, "en")
+          .otherwise(pick("dlang2", Seq("de", "es", "fr", "zh"), col("id")))
+          .as("lang"),
+        format_string("src%d", ui("dsrcn", 20, col("id"))).as("source"),
+        length(col("text")).cast("long").as("n_chars"))
+  }
+
+  /** Embeddings: 64-dim unit-norm float vectors in 10 label clusters
+    * (label-deterministic center + per-row noise), plus ~1% near-
+    * duplicate rows (same seed trick as documents, tiny jitter) so
+    * the near-dup/ANN operators have true positives to find.
+    */
+  def embeddings(spark: SparkSession, n: Long): DataFrame = {
+    val dims = 64
+    val seed = when(col("id") > 0 && ui("edup", 100, col("id")) < 1,
+      pmod(xxhash64(lit("esrc"), col("id")), col("id"))).otherwise(col("id"))
+    val raw = transform(sequence(lit(0), lit(dims - 1)), i =>
+      (u("ectr", col("label"), i) * 2.0 - 1.0) +
+        (u("enz", col("seed"), i) * 2.0 - 1.0) * 0.35 +
+        when(col("seed") =!= col("id"),
+          (u("ejit", col("id"), i) * 2.0 - 1.0) * 0.01).otherwise(0.0))
+    spark.range(n)
+      .withColumn("seed", seed)
+      .withColumn("label", ui("elab", 10, col("seed")))
+      .withColumn("raw", raw)
+      .withColumn("norm",
+        sqrt(aggregate(col("raw"), lit(0.0), (acc, v) => acc + v * v)))
+      .select(
+        col("id").as("vec_id"),
+        transform(col("raw"), v => (v / col("norm")).cast("float"))
+          .as("embedding"),
+        col("label"))
+  }
+
+  /** Write `df` as the single file `<dir>/<name>.parquet` (the
+    * driver's layout — DuckDB in tools/check.py opens the file path
+    * directly, so a Spark part-file directory won't do).
+    */
+  def writeSingle(df: DataFrame, dir: String, name: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = df.sparkSession
+    val tmp = s"$dir/.gen_tmp_$name"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new Path(dir).getFileSystem(conf)
+    val part = fs.listStatus(new Path(tmp)).map(_.getPath)
+      .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(s"no part file under $tmp"))
+    val target = new Path(s"$dir/$name.parquet")
+    fs.delete(target, false)
+    fs.rename(part, target)
+    fs.delete(new Path(tmp), true)
+  }
+}

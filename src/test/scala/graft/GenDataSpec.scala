@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** The sf1 generator must be a drop-in for the driver's testdata: same
+  * schemas (the oracle gate and TestdataCanary are encoding-sensitive),
+  * same layout invariants, and bit-for-bit determinism (the scaling
+  * table is only comparable if the data is reproducible).
+  */
+class GenDataSpec extends SparkSpec {
+
+  private val driverSf = "/root/testdata/sf0.001"
+
+  private lazy val genDir = {
+    val dir = Files.createTempDirectory("gendata").toString
+    GenData.generate(spark, dir, 0.001, driverSf)
+    dir
+  }
+
+  test("generated tables carry exactly the driver tables' schemas") {
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "documents", "embeddings")) {
+      val want = spark.read.parquet(s"$driverSf/$t.parquet").schema
+      val got = spark.read.parquet(s"$genDir/$t.parquet").schema
+      assert(got === want, s"schema drift in $t")
+    }
+    // events goes through the adaptive loader on both sides (it
+    // normalizes the ts encoding the same way for both files)
+    assert(Tables.events(spark, genDir).schema ===
+      Tables.events(spark, driverSf).schema)
+  }
+
+  test("generated events keep the driver layout: ts-ordered, 30-day 2024 window") {
+    val ev = Tables.events(spark, genDir)
+    // event_id in ts order (lag over event_id order never decreases)
+    val w = org.apache.spark.sql.expressions.Window.orderBy("event_id")
+    val disordered = ev
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .filter(col("prev_ts") > col("ts")).count()
+    assert(disordered === 0L)
+    val mm = ev.agg(min(col("ts")), max(col("ts"))).head()
+    assert(mm.getTimestamp(0).toString.startsWith("2024-01-01"))
+    assert(mm.getTimestamp(1).toString.startsWith("2024-01-3"))
+  }
+
+  test("generated embeddings are 64-dim unit vectors; documents draw from the driver vocab") {
+    val emb = spark.read.parquet(s"$genDir/embeddings.parquet")
+    val bad = emb.filter(
+      size(col("embedding")) =!= 64 ||
+        abs(sqrt(aggregate(col("embedding"), lit(0.0d),
+          (a, v) => a + v * v)) - 1.0d) > 1e-5).count()
+    assert(bad === 0L)
+    val docs = spark.read.parquet(s"$genDir/documents.parquet")
+    val driverVocab = spark.read.parquet(s"$driverSf/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val genVocab = docs.select(explode(split(col("text"), " ")).as("w"))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(genVocab.subsetOf(driverVocab),
+      s"generator vocab outside driver vocab: ${genVocab -- driverVocab}")
+    assert(docs.filter(col("n_chars") =!= length(col("text"))).count() === 0L)
+  }
+
+  test("generation is deterministic: two runs produce identical bytes of data") {
+    val dir2 = Files.createTempDirectory("gendata2").toString
+    GenData.generate(spark, dir2, 0.001, driverSf)
+    for (t <- Seq("customer", "lineitem", "events", "documents", "embeddings")) {
+      val a = spark.read.parquet(s"$genDir/$t.parquet")
+      val b = spark.read.parquet(s"$dir2/$t.parquet")
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        s"nondeterministic generation in $t")
+    }
+  }
+}
