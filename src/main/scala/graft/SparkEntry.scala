@@ -2048,6 +2048,13 @@ object SparkEntry {
       // integer-unit weights hash-match the oracle exactly
       graft.operators.Curation.temperatureMix(Tables.documents(s, dir))
         .orderBy(col("source"))),
+    "q_mix_unimax" -> ((s, dir) =>
+      // UniMax epoch-capped waterfilling at E=1 over a one-corpus
+      // budget: small sources bind at their cap, the largest absorbs
+      // the rest — the fairness-motivated alternative to temperature
+      // scaling; integer-exact binding decision (multiply, not divide)
+      graft.operators.Curation.unimaxMix(Tables.documents(s, dir))
+        .orderBy(col("source"))),
     "q_chunk" -> ((s, dir) =>
       graft.operators.Corpus.chunk(Tables.documents(s, dir), chunkSize = 32, overlap = 8)
         .orderBy(col("doc_id"), col("chunk_id"))),
@@ -4297,6 +4304,42 @@ object SparkEntry {
         |  (w * 1000000) // sum_w AS weight_micro,
         |  (((w * 1000000) // sum_w) * sum_t) // n_tokens AS rel_natural_micro
         |FROM g ORDER BY source""".stripMargin,
+    "q_mix_unimax" ->
+      """WITH t AS (
+        |  SELECT source, len(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> len(x) > 0)) AS n_tok
+        |  FROM documents
+        |), p AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |    CAST(sum(n_tok) AS BIGINT) AS cap_tokens
+        |  FROM t GROUP BY source
+        |), o AS (
+        |  SELECT *,
+        |    CAST(row_number() OVER (ORDER BY cap_tokens, source) - 1 AS BIGINT) AS pos0,
+        |    CAST(coalesce(sum(cap_tokens) OVER (ORDER BY cap_tokens, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cap_pre,
+        |    CAST(count(*) OVER () AS BIGINT) AS L,
+        |    CAST(sum(n_tokens) OVER () AS BIGINT) AS B
+        |  FROM p
+        |), c AS (
+        |  SELECT *, cap_tokens * (L - pos0) < B - cap_pre AS capped FROM o
+        |), g AS (
+        |  SELECT *,
+        |    CAST(sum(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS BIGINT) AS n_capped,
+        |    CAST(coalesce(sum(CASE WHEN capped THEN cap_tokens END) OVER (), 0) AS BIGINT) AS capped_tok
+        |  FROM c
+        |), a AS (
+        |  SELECT *, L - n_capped AS slots, B - capped_tok AS lft FROM g
+        |)
+        |SELECT source, n_docs, n_tokens, cap_tokens,
+        |  CASE WHEN capped THEN cap_tokens
+        |       ELSE lft // nullif(slots, 0) +
+        |            CASE WHEN pos0 >= L - (lft % nullif(slots, 0)) THEN 1 ELSE 0 END
+        |  END AS planned_tokens,
+        |  (planned_tokens * 1000000) // n_tokens AS epochs_micro
+        |FROM a ORDER BY source""".stripMargin,
     "q_chunk" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -436,6 +436,86 @@ object Curation {
           .as("rel_natural_micro"))
   }
 
+  /** UniMax mixture planning (Chung et al. 2023): spread a total
+    * token budget across sources as uniformly as possible subject to
+    * a per-source epoch cap — no source repeats more than `epochCap`
+    * times. The closed form is waterfilling over caps sorted
+    * ascending (cap = epochCap·n_tokens, ties broken by source
+    * name): a prefix of small sources binds at its cap, everyone
+    * else splits the remaining budget evenly. "Capped" is decided by
+    * multiplication, not division — cap·(sources at or after mine) <
+    * budget − (sum of caps before mine) — so the binding decision
+    * has no rounding and replays bit-for-bit in any engine. The even
+    * split's integer remainder goes one token each to the LARGEST
+    * uncapped sources, making sum(planned_tokens) == budget exact
+    * whenever the budget is feasible (≤ epochCap·corpus); an
+    * infeasible budget caps every source and the surplus is visibly
+    * unallocated.
+    *
+    * Why "capped" is a prefix of the sort order (what lets two
+    * global aggregates find the boundary): with caps ascending,
+    * f(i) = B − capPre(i−1) − cap_i·(L−i+1) steps by
+    * f(i)−f(i+1) = (cap_{i+1}−cap_i)·(L−i) ≥ 0, so f is
+    * non-increasing and {f > 0} = {capped} is a prefix.
+    *
+    * Scale shape: ONE map-side-combined corpus aggregate down to a
+    * sources-sized frame; sort position + exclusive cap prefix ride
+    * one broadcast theta self-join on that tiny frame (O(|sources|²)
+    * compares — |sources| is catalog-bounded, not corpus-bounded);
+    * the globals are 1-row broadcasts. No corpus-sized shuffle
+    * beyond the aggregate, no global window. Integer headroom:
+    * cap·L ≤ epochCap·corpusTokens·|sources| must stay < 2⁶³ —
+    * 4 epochs × 10¹⁴ tokens (100 TB) × 10³ sources overflows, so at
+    * that extreme divide the budget into per-source units first;
+    * below ~10⁴ combined magnitude it is exact as written.
+    */
+  def unimaxMix(docs: DataFrame, epochCap: Int = 1,
+                budgetTokens: Option[Long] = None,
+                textCol: String = "text"): DataFrame = {
+    require(epochCap > 0)
+    val perSrc = docs
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col(textCol)).cast("long")).as("n_tokens"))
+      .withColumn("cap_tokens", col("n_tokens") * epochCap)
+    // position (0-based) + exclusive cap prefix along (cap, source):
+    // broadcast theta join, strictPrefixTiny shape on the tiny frame
+    val before = (col("b.cap_tokens") < col("a.cap_tokens")) ||
+      (col("b.cap_tokens") === col("a.cap_tokens") &&
+        col("b.source") < col("a.source"))
+    val pos = perSrc.as("a")
+      .join(broadcast(perSrc.as("b")), before, "left")
+      .groupBy(col("a.source").as("source"), col("a.n_docs").as("n_docs"),
+        col("a.n_tokens").as("n_tokens"),
+        col("a.cap_tokens").as("cap_tokens"))
+      .agg(count(col("b.source")).as("__pos0"),
+        coalesce(sum(col("b.cap_tokens")), lit(0L)).as("__cap_pre"))
+    val g = Ranks.withGlobalAgg(pos,
+      Seq(count(lit(1)).as("__L"), sum(col("n_tokens")).as("__corpus")))
+      .withColumn("__B",
+        budgetTokens.map(b => lit(b)).getOrElse(col("__corpus")).cast("long"))
+      .withColumn("__capped",
+        col("cap_tokens") * (col("__L") - col("__pos0")) <
+          col("__B") - col("__cap_pre"))
+    Ranks.withGlobalAgg(g,
+        Seq(sum(when(col("__capped"), 1L).otherwise(0L)).as("__n_capped"),
+          sum(when(col("__capped"), col("cap_tokens")).otherwise(0L))
+            .as("__capped_tok")))
+      .withColumn("__slots", col("__L") - col("__n_capped"))
+      .withColumn("__left", col("__B") - col("__capped_tok"))
+      // nullif keeps the all-capped case division-safe in every
+      // engine; the branch is unreachable there (__capped all true)
+      .withColumn("planned_tokens",
+        when(col("__capped"), col("cap_tokens"))
+          .otherwise(expr("__left div nullif(__slots, 0L)") +
+            when(col("__pos0") >= col("__L") - expr("__left % nullif(__slots, 0L)"),
+              1L).otherwise(0L)))
+      .withColumn("epochs_micro",
+        expr("(planned_tokens * 1000000) div n_tokens"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("cap_tokens"), col("planned_tokens"), col("epochs_micro"))
+  }
+
   /** Fixed-width histogram of per-document token counts — the corpus
     * length profile (sequence-length planning, truncation budgets).
     * One tiny aggregate: (bucket, lo_tokens, n_docs).

@@ -214,4 +214,57 @@ class CurationSpec extends SparkSpec {
       assert(math.abs(pa * qb - pb * qa) <= sumQ * math.max(qa, qb))
     }
   }
+
+  // synthetic corpus with one word per token unit: source sizes in
+  // tokens are exact and tiny, so every waterfilling branch is
+  // checkable by hand
+  private def unimaxCorpus(sizes: Map[String, Int]) = {
+    import spark.implicits._
+    sizes.toSeq.flatMap { case (src, n) =>
+      Seq((src, Seq.fill(n)("w").mkString(" ")))
+    }.toDF("source", "text")
+  }
+
+  test("unimaxMix: feasible budget -> capped prefix at cap, rest split evenly, sum == budget") {
+    // caps (E=1): a=10 b=20 c=70 d=80, budget 100
+    // a: 10*4 < 100 -> capped; b: 20*3 < 90 -> capped;
+    // c: 70*2 >= 70 -> uncapped. left=70, slots=2, share=35 rem=0
+    val d = unimaxCorpus(Map("a" -> 10, "b" -> 20, "c" -> 70, "d" -> 80))
+    val r = Curation.unimaxMix(d, epochCap = 1, budgetTokens = Some(100L))
+      .collect().map(x => x.getAs[String]("source") -> x.getAs[Long]("planned_tokens")).toMap
+    assert(r === Map("a" -> 10L, "b" -> 20L, "c" -> 35L, "d" -> 35L))
+  }
+
+  test("unimaxMix: even-split remainder lands one token each on the largest sources") {
+    // budget 101 over the same corpus: share=35 rem=1 -> d gets 36
+    val d = unimaxCorpus(Map("a" -> 10, "b" -> 20, "c" -> 70, "d" -> 80))
+    val r = Curation.unimaxMix(d, epochCap = 1, budgetTokens = Some(101L))
+      .collect().map(x => x.getAs[String]("source") -> x.getAs[Long]("planned_tokens")).toMap
+    assert(r === Map("a" -> 10L, "b" -> 20L, "c" -> 35L, "d" -> 36L))
+    assert(r.values.sum === 101L)
+  }
+
+  test("unimaxMix: infeasible budget caps every source; epochs_micro == epochCap exactly") {
+    val d = unimaxCorpus(Map("a" -> 10, "b" -> 20))
+    val r = Curation.unimaxMix(d, epochCap = 2, budgetTokens = Some(1000L)).collect()
+    r.foreach { row =>
+      assert(row.getAs[Long]("planned_tokens") ===
+        row.getAs[Long]("cap_tokens"))
+      assert(row.getAs[Long]("epochs_micro") === 2000000L)
+    }
+  }
+
+  test("unimaxMix: default one-corpus budget allocates it fully and respects the cap") {
+    val r = Curation.unimaxMix(docs).collect()
+    val budget = r.map(_.getAs[Long]("n_tokens")).sum
+    assert(r.map(_.getAs[Long]("planned_tokens")).sum === budget)
+    // E=1 with near-uniform sources: the small ones bind at exactly
+    // one epoch, nobody exceeds it by more than the remainder token
+    r.foreach { row =>
+      assert(row.getAs[Long]("planned_tokens") <=
+        row.getAs[Long]("cap_tokens") + r.length)
+    }
+    assert(r.count(row => row.getAs[Long]("planned_tokens") ===
+      row.getAs[Long]("cap_tokens")) >= 1)
+  }
 }
