@@ -2028,6 +2028,13 @@ object SparkEntry {
       // (source, lang) — one scan, one hash window, one rollup
       graft.operators.Curation.intakeReport(Tables.documents(s, dir))
         .orderBy(col("source"), col("lang"))),
+    "q_pipeline_curate" -> ((s, dir) =>
+      // the composed end-to-end funnel: quality gate -> exact dedup
+      // -> train/eval split -> eval decontamination, per-source stage
+      // counts in ONE plan (single corpus scan, one hash window, gram
+      // explode only over deduped survivors)
+      graft.operators.Curation.curatePipeline(Tables.documents(s, dir))
+        .orderBy(col("source"))),
     "q_token_hist" -> ((s, dir) =>
       graft.operators.Curation.tokenHistogram(Tables.documents(s, dir))
         .orderBy(col("bucket"))),
@@ -4222,6 +4229,69 @@ object SparkEntry {
         |       WHEN quality < 0.5 THEN 'low_quality'
         |       ELSE 'kept' END AS verdict
         |FROM m ORDER BY doc_id""".stripMargin,
+    // q_pipeline_curate: the composed funnel — each CTE replays the
+    // already-gated stage oracle verbatim (quality rule order, md5
+    // content-hash min-id keeper, md5-threshold split, distinct
+    // 5-gram sharing), so the composition is bit-exact by stages
+    "q_pipeline_curate" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, text,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                x -> len(x) > 0) AS toks
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id, source, text, toks,
+        |    round(0.4 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+        |      + 0.2 * (CASE WHEN (CASE WHEN len(toks) > 0 THEN
+        |          CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) / len(toks)
+        |          ELSE 0.0 END) BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.0 END)
+        |      + 0.2 * (CASE WHEN (CASE WHEN length(text) > 0 THEN
+        |          CAST(length(regexp_replace(text, '[^.,;:!?''"]', '', 'g')) AS DOUBLE) / length(text)
+        |          ELSE 0.0 END) BETWEEN 0.0 AND 0.2 THEN 1.0 ELSE 0.0 END)
+        |      + 0.2 * least((CASE WHEN len(toks) > 0 THEN
+        |          CAST(len(list_filter(toks, x -> list_contains(
+        |            ['the','a','an','and','of','to','in','is','it','that'], x))) AS DOUBLE)
+        |            / len(toks) ELSE 0.0 END) * 5.0, 1.0), 6) AS quality,
+        |    len(list_filter(toks, x -> list_contains(['the','and','of','is','that'], x))) AS en,
+        |    len(list_filter(toks, x -> list_contains(['el','los','las','es','y'], x))) AS es,
+        |    len(list_filter(toks, x -> list_contains(['der','die','das','und','ist'], x))) AS de,
+        |    len(list_filter(toks, x -> list_contains(['le','les','est','et','dans'], x))) AS fr,
+        |    length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS zh
+        |  FROM t
+        |), f AS (
+        |  SELECT doc_id, source, toks,
+        |    (len(toks) >= 40 AND greatest(en, es, de, fr, zh) > 0
+        |      AND quality >= 0.5) AS kept,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS hash,
+        |    CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'cccd' THEN 'train'
+        |         ELSE 'eval' END AS cohort
+        |  FROM m
+        |), u AS (
+        |  SELECT *, kept AND doc_id =
+        |    min(CASE WHEN kept THEN doc_id END) OVER (PARTITION BY hash) AS uniq
+        |  FROM f
+        |), grams AS (
+        |  SELECT doc_id, cohort,
+        |    unnest(list_distinct(list_transform(generate_series(1, len(toks) - 4),
+        |      i -> array_to_string(list_slice(toks, i, i + 4), ' ')))) AS gram
+        |  FROM u WHERE uniq AND len(toks) >= 5
+        |), ev AS (SELECT DISTINCT gram FROM grams WHERE cohort = 'eval'
+        |), dirty AS (
+        |  SELECT DISTINCT doc_id FROM grams JOIN ev USING (gram)
+        |  WHERE cohort = 'train'
+        |), c AS (
+        |  SELECT u.*, (uniq AND cohort = 'train'
+        |    AND dirty.doc_id IS NULL) AS clean
+        |  FROM u LEFT JOIN dirty ON u.doc_id = dirty.doc_id
+        |)
+        |SELECT source,
+        |  count(*) AS n_raw,
+        |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+        |  CAST(sum(CASE WHEN uniq THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+        |  CAST(sum(CASE WHEN uniq AND cohort = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+        |  CAST(sum(CASE WHEN clean THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+        |  CAST(sum(CASE WHEN clean THEN len(toks) ELSE 0 END) AS BIGINT) AS tokens_clean
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
     "q_token_hist" ->
       """WITH t AS (
         |  SELECT CAST(floor(len(list_filter(

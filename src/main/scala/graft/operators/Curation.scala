@@ -436,6 +436,74 @@ object Curation {
           .as("rel_natural_micro"))
   }
 
+  /** The composed curation pipeline in ONE job — the end-to-end
+    * funnel a training-data team runs between raw crawl and
+    * tokenizer: quality gate → exact dedup among the survivors →
+    * deterministic train/eval split → eval-decontamination of the
+    * train cohort, reported as a per-source funnel
+    * (n_raw → n_quality → n_unique → n_train → n_clean) plus the
+    * clean cohort's token count. Every stage reuses the
+    * individually-gated operator semantics (qualityFilterVerdicts'
+    * rule order, Dedup.contentHash min-id keeper, Corpus.splitLabel,
+    * contaminationReport's hashed 5-gram match), so the composition
+    * is exactly what chaining those queries would produce — the
+    * point of the query is proving the stages compose into one plan
+    * without per-stage re-scans.
+    *
+    * Plan shape at 100 TB: the corpus is scanned ONCE into profile +
+    * content-hash + cohort columns; dedup is one content-hash window
+    * exchange (partition = duplicate group, bounded); gram
+    * generation runs only over the deduped survivors, filtered by
+    * cohort BEFORE exploding (each side tokenizes once); the eval
+    * gram set is benchmark-sized and broadcast; the contaminated-id
+    * frame joins back by doc_id (ids only — AQE broadcasts it when
+    * small); the final rollup is sources-sized. Documents' bodies
+    * never shuffle — only hashes, grams and ids.
+    */
+  def curatePipeline(docs: DataFrame, minTokens: Int = 40,
+                     minQuality: Double = 0.5,
+                     trainFraction: Double = 0.8, n: Int = 5,
+                     textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val staged = docs
+      .withColumn("__p", TextAnalysis.profile(col(textCol)))
+      .withColumn("__kept", // same rule order as qualityFilterVerdicts
+        col("__p.n_tokens") >= minTokens &&
+          TextAnalysis.langIdOfP(col("__p")) =!= "unknown" &&
+          TextAnalysis.qualityScoreOfP(col("__p")) >= minQuality)
+      .withColumn("__hash", Dedup.contentHash(col(textCol)))
+      .withColumn("__keeper",
+        min(when(col("__kept"), col("doc_id")))
+          .over(Window.partitionBy(col("__hash"))))
+      .withColumn("__unique", col("__kept") && col("doc_id") === col("__keeper"))
+      .withColumn("__cohort", Corpus.splitLabel(col("doc_id"), trainFraction))
+      .persist()
+    def grams(side: DataFrame): DataFrame =
+      LshDedup.shingleHashes(side, textCol, n)
+        .select(col("doc_id"), explode(col("shingle_hashes")).as("gram"))
+    val uniq = staged.filter(col("__unique"))
+    val evalGrams = grams(uniq.filter(col("__cohort") === "eval"))
+      .select("gram").distinct()
+    val contaminated = grams(uniq.filter(col("__cohort") === "train"))
+      .join(broadcast(evalGrams), "gram")
+      .select("doc_id").distinct()
+      .withColumn("__dirty", lit(true))
+    val report = staged
+      .join(contaminated, Seq("doc_id"), "left")
+      .withColumn("__clean",
+        col("__unique") && col("__cohort") === "train" && col("__dirty").isNull)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_raw"),
+        sum(when(col("__kept"), 1L).otherwise(0L)).as("n_quality"),
+        sum(when(col("__unique"), 1L).otherwise(0L)).as("n_unique"),
+        sum(when(col("__unique") && col("__cohort") === "train", 1L)
+          .otherwise(0L)).as("n_train"),
+        sum(when(col("__clean"), 1L).otherwise(0L)).as("n_clean"),
+        sum(when(col("__clean"), col("__p.n_tokens").cast("long"))
+          .otherwise(0L)).as("tokens_clean"))
+    LshDedup.unpersistAfterFirstUse(report, staged)
+  }
+
   /** UniMax mixture planning (Chung et al. 2023): spread a total
     * token budget across sources as uniformly as possible subject to
     * a per-source epoch cap — no source repeats more than `epochCap`

@@ -215,6 +215,36 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("curatePipeline: fused report equals the stage-by-stage operator composition") {
+    val rep = Curation.curatePipeline(docs).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    // funnel is monotone per source
+    rep.values.foreach { r =>
+      val seq = Seq(r.getAs[Long]("n_raw"), r.getAs[Long]("n_quality"),
+        r.getAs[Long]("n_unique"), r.getAs[Long]("n_train"),
+        r.getAs[Long]("n_clean"))
+      assert(seq === seq.sorted.reverse, s"non-monotone funnel: $seq")
+    }
+    // stage-by-stage: quality gate, then exact dedup, then the
+    // decontaminated train cohort — same operators run separately
+    val q = Curation.qualityFilter(docs)
+    val uniq = graft.operators.Dedup.dropExactDuplicates(q)
+    val clean = Curation.decontaminate(uniq)
+    val nQuality = q.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nUnique = uniq.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nClean = clean.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rep.foreach { case (src, r) =>
+      assert(r.getAs[Long]("n_quality") === nQuality.getOrElse(src, 0L))
+      assert(r.getAs[Long]("n_unique") === nUnique.getOrElse(src, 0L))
+      assert(r.getAs[Long]("n_clean") === nClean.getOrElse(src, 0L))
+    }
+    assert(rep.values.map(_.getAs[Long]("n_clean")).sum ===
+      clean.count())
+  }
+
   // synthetic corpus with one word per token unit: source sizes in
   // tokens are exact and tiny, so every waterfilling branch is
   // checkable by hand
