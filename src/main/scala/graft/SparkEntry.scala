@@ -2035,6 +2035,13 @@ object SparkEntry {
       // explode only over deduped survivors)
       graft.operators.Curation.curatePipeline(Tables.documents(s, dir))
         .orderBy(col("source"))),
+    "q_gopher_rules" -> ((s, dir) =>
+      // the Gopher heuristic rule battery (Rae et al. 2021 A.1.1):
+      // per-doc rule stats as floor-micro integers + the conjunctive
+      // pass verdict compared on the micros — engine-exact, pure
+      // projection (scan-speed, no shuffle, no UDF)
+      graft.operators.Curation.gopherRules(Tables.documents(s, dir))
+        .orderBy(col("doc_id"))),
     "q_token_hist" -> ((s, dir) =>
       graft.operators.Curation.tokenHistogram(Tables.documents(s, dir))
         .orderBy(col("bucket"))),
@@ -2308,6 +2315,20 @@ object SparkEntry {
       // engine-portable; the oracle replicates it 1:1
       val emb = Tables.embeddings(s, dir)
       Similarity.annPq(emb, emb.filter(col("vec_id") < 3),
+        topK = 10, coarseK = 50)
+        .withColumn("sim_micro", floor(col("sim") * 1e6).cast("long"))
+        .select(col("query_id"), col("rank"), col("vec_id"), col("sim_micro"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    "q_ann_ivfpq" -> ((s, dir) => {
+      // IVF + PQ combined (the FAISS IVFADC layout): coarse cell
+      // pruning to nProbe of nCells cells, integer ADC scoring over
+      // ONLY the probed cells' code rows, exact cosine re-rank of the
+      // coarse top-coarseK. Every stage reuses a gated piece (IVF
+      // argmax assignment, md5-deterministic PQ codebook, ADC LUT),
+      // so the oracle composes the two existing replays 1:1
+      val emb = Tables.embeddings(s, dir)
+      Similarity.annIvfPq(emb, emb.filter(col("vec_id") < 3),
         topK = 10, coarseK = 50)
         .withColumn("sim_micro", floor(col("sim") * 1e6).cast("long"))
         .select(col("query_id"), col("rank"), col("vec_id"), col("sim_micro"))
@@ -4292,6 +4313,62 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN clean THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
         |  CAST(sum(CASE WHEN clean THEN len(toks) ELSE 0 END) AS BIGINT) AS tokens_clean
         |FROM c GROUP BY source ORDER BY source""".stripMargin,
+    // q_gopher_rules: every ratio is floor(num/den * 1e6) in DOUBLE
+    // with the same operand order as the operator, so the micro
+    // integers — and therefore the conjunctive verdict — replay
+    // bit-exactly
+    "q_gopher_rules" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                x -> len(x) > 0) AS toks,
+        |    list_filter(string_split(text, chr(10)),
+        |                l -> len(trim(l)) > 0) AS lines
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    CAST(len(lines) AS BIGINT) AS n_lines,
+        |    CASE WHEN len(toks) > 0 THEN CAST(floor(
+        |      CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+        |        / CAST(len(toks) AS DOUBLE) * 1000000) AS BIGINT)
+        |      ELSE 0 END AS mean_word_micro,
+        |    CASE WHEN len(toks) > 0 THEN CAST(floor(CAST(
+        |      (length(text) - length(replace(text, '#', '')))
+        |      + (length(text) - length(replace(text, '…', '')))
+        |      + len(regexp_extract_all(text, '\.\.\.')) AS DOUBLE)
+        |        / CAST(len(toks) AS DOUBLE) * 1000000) AS BIGINT)
+        |      ELSE 0 END AS symbol_micro,
+        |    CASE WHEN len(lines) > 0 THEN CAST(floor(CAST(
+        |      len(list_filter(lines, l -> starts_with(trim(l), '-')
+        |        OR starts_with(trim(l), '*')
+        |        OR starts_with(trim(l), '•'))) AS DOUBLE)
+        |        / CAST(len(lines) AS DOUBLE) * 1000000) AS BIGINT)
+        |      ELSE 0 END AS bullet_micro,
+        |    CASE WHEN len(lines) > 0 THEN CAST(floor(CAST(
+        |      len(list_filter(lines, l -> ends_with(trim(l), '...')
+        |        OR ends_with(trim(l), '…'))) AS DOUBLE)
+        |        / CAST(len(lines) AS DOUBLE) * 1000000) AS BIGINT)
+        |      ELSE 0 END AS ellipsis_micro,
+        |    CASE WHEN len(toks) > 0 THEN CAST(floor(CAST(
+        |      len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+        |        AS DOUBLE)
+        |        / CAST(len(toks) AS DOUBLE) * 1000000) AS BIGINT)
+        |      ELSE 0 END AS alpha_micro,
+        |    CAST(len(list_intersect(toks, ['the','be','to','of','and',
+        |      'that','have','with'])) AS BIGINT) AS n_stop_hits
+        |  FROM t
+        |)
+        |SELECT doc_id, n_words, mean_word_micro, symbol_micro,
+        |  bullet_micro, ellipsis_micro, alpha_micro, n_stop_hits,
+        |  (n_words >= 50 AND n_words <= 100000
+        |    AND mean_word_micro >= 3000000 AND mean_word_micro <= 10000000
+        |    AND symbol_micro <= 100000
+        |    AND bullet_micro < 900000
+        |    AND ellipsis_micro < 300000
+        |    AND alpha_micro >= 800000
+        |    AND n_stop_hits >= 2) AS pass
+        |FROM m ORDER BY doc_id""".stripMargin,
     "q_token_hist" ->
       """WITH t AS (
         |  SELECT CAST(floor(len(list_filter(
@@ -4888,6 +4965,99 @@ object SparkEntry {
         |), adc AS (
         |  SELECT l.query_id, en.vec_id, CAST(sum(l.qdot) AS BIGINT) AS adc
         |  FROM encd en JOIN lut l ON l.m = en.m AND l.code_id = en.code
+        |  GROUP BY 1, 2
+        |), cr AS (
+        |  SELECT query_id, vec_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY adc DESC, vec_id) AS crk
+        |  FROM adc
+        |), cand AS (
+        |  SELECT query_id, vec_id FROM cr WHERE crk <= 50
+        |), re AS (
+        |  SELECT c.query_id, c.vec_id,
+        |    list_cosine_similarity(ev.emb, eq.emb) AS sim
+        |  FROM cand c
+        |  JOIN e ev ON ev.vec_id = c.vec_id
+        |  JOIN e eq ON eq.vec_id = c.query_id
+        |), r AS (
+        |  SELECT query_id, vec_id, sim,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY sim DESC, vec_id) AS rank
+        |  FROM re
+        |)
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id,
+        |  CAST(floor(sim * 1000000) AS BIGINT) AS sim_micro
+        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // q_ann_ivfpq: composes annIvfSql's cent/cellof/probes replay
+    // with q_ann_pq's quantize/codebook/encode/LUT replay — the ADC
+    // scan is restricted to the probed cells' vectors, exactly the
+    // operator's codes⋈probes join
+    "q_ann_ivfpq" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+        |), cent AS (
+        |  SELECT vec_id AS cell_id, emb AS c FROM e
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+        |), asg AS (
+        |  SELECT vec_id, cell_id, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY list_cosine_similarity(emb, c) DESC, cell_id) AS rn
+        |  FROM e CROSS JOIN cent
+        |), cellof AS (
+        |  SELECT vec_id, cell_id FROM asg WHERE rn = 1
+        |), probes AS (
+        |  SELECT query_id, cell_id FROM (
+        |    SELECT q.vec_id AS query_id, cent.cell_id,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_cosine_similarity(q.emb, cent.c) DESC, cent.cell_id) AS rn
+        |    FROM e q CROSS JOIN cent WHERE q.vec_id < 3)
+        |  WHERE rn <= 4
+        |), dims AS (
+        |  SELECT i, max(abs(emb[i])) AS ma
+        |  FROM e, (SELECT unnest(generate_series(1,
+        |    (SELECT max(len(emb)) FROM e))) AS i) ix
+        |  GROUP BY i
+        |), sc AS (
+        |  SELECT list(CASE WHEN ma = 0 THEN 0.0 ELSE 127.0 / ma END
+        |              ORDER BY i) AS s
+        |  FROM dims
+        |), qv AS (
+        |  SELECT vec_id, list_transform(generate_series(1, len(emb)),
+        |    i -> CAST(greatest(-127, least(127, floor(emb[i] * s[i])))
+        |         AS BIGINT)) AS q
+        |  FROM e, sc
+        |), pick AS (
+        |  SELECT vec_id AS code_id, q FROM qv
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+        |), cb AS (
+        |  SELECT ms.m, code_id,
+        |    list_slice(q, ms.m * 8 + 1, ms.m * 8 + 8) AS cent
+        |  FROM pick, (SELECT unnest(generate_series(0, 7)) AS m) ms
+        |), subs AS (
+        |  SELECT vec_id, ms.m,
+        |    list_slice(q, ms.m * 8 + 1, ms.m * 8 + 8) AS sub
+        |  FROM qv, (SELECT unnest(generate_series(0, 7)) AS m) ms
+        |), encd AS (
+        |  SELECT vec_id, m, code_id AS code FROM (
+        |    SELECT s.vec_id, s.m, cb.code_id,
+        |      row_number() OVER (PARTITION BY s.vec_id, s.m
+        |        ORDER BY list_sum(list_transform(generate_series(1, 8),
+        |          i -> (s.sub[i] - cb.cent[i]) * (s.sub[i] - cb.cent[i]))),
+        |          cb.code_id) AS rn
+        |    FROM subs s JOIN cb ON cb.m = s.m)
+        |  WHERE rn = 1
+        |), lut AS (
+        |  SELECT qs.vec_id AS query_id, qs.m, cb.code_id,
+        |    CAST(list_sum(list_transform(generate_series(1, 8),
+        |      i -> qs.sub[i] * cb.cent[i])) AS BIGINT) AS qdot
+        |  FROM subs qs JOIN cb ON cb.m = qs.m
+        |  WHERE qs.vec_id < 3
+        |), adc AS (
+        |  SELECT l.query_id, en.vec_id, CAST(sum(l.qdot) AS BIGINT) AS adc
+        |  FROM encd en
+        |  JOIN cellof co ON co.vec_id = en.vec_id
+        |  JOIN probes p ON p.cell_id = co.cell_id
+        |  JOIN lut l ON l.m = en.m AND l.code_id = en.code
+        |             AND l.query_id = p.query_id
         |  GROUP BY 1, 2
         |), cr AS (
         |  SELECT query_id, vec_id,

@@ -177,6 +177,74 @@ object Curation {
           .otherwise(lit(0)).cast("long").as("dup_trigram_micro"))
   }
 
+  /** The Gopher document-quality rule battery (Rae et al. 2021,
+    * "Scaling Language Models", Appendix A.1.1) — the widely-reused
+    * heuristic filter set (Gopher → MassiveText → RefinedWeb →
+    * Dolma): per-doc rule stats plus the conjunctive pass verdict.
+    *
+    *   1. 50 ≤ word count ≤ 100,000
+    *   2. mean word length in [3, 10] characters
+    *   3. symbol-to-word ratio ≤ 0.1 ('#' plus ellipsis '…'/"...")
+    *   4. < 90% of lines start with a bullet ('-', '*', '•')
+    *   5. < 30% of lines end with an ellipsis
+    *   6. ≥ 80% of words contain ≥ 1 alphabetic character
+    *   7. ≥ 2 distinct Gopher stop words present
+    *      (the, be, to, of, and, that, have, with)
+    *
+    * All ratios are emitted as floor-micro integers and the verdict
+    * compares the MICROS, so pass/fail is engine-exact (the same
+    * convention as [[repetitionStats]]). Pure projection — one scan,
+    * no shuffle, no UDF; at 100 TB this is scan-speed and stacks
+    * onto any read.
+    */
+  def gopherRules(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    def micro(num: Column, den: Column): Column =
+      when(den > 0, floor(num.cast("double") / den.cast("double") * 1e6))
+        .otherwise(lit(0)).cast("long")
+    val out = docs
+      .withColumn("__toks", TextAnalysis.tokens(col(textCol)))
+      .withColumn("__lines",
+        filter(split(col(textCol), "\n"), l => length(trim(l)) > 0))
+      .withColumn("n_words", size(col("__toks")).cast("long"))
+      .withColumn("n_lines", size(col("__lines")).cast("long"))
+      .withColumn("mean_word_micro", micro(
+        aggregate(col("__toks"), lit(0L), (acc, t) => acc + length(t)),
+        col("n_words")))
+      .withColumn("symbol_micro", micro(
+        (length(col(textCol)) - length(replace(col(textCol), lit("#"), lit("")))) +
+          (length(col(textCol)) - length(replace(col(textCol), lit("…"), lit("")))) +
+          regexp_count(col(textCol), lit("\\.\\.\\.")),
+        col("n_words")))
+      .withColumn("bullet_micro", micro(
+        size(filter(col("__lines"), l => {
+          val t = trim(l)
+          t.startsWith("-") || t.startsWith("*") || t.startsWith("•")
+        })), col("n_lines")))
+      .withColumn("ellipsis_micro", micro(
+        size(filter(col("__lines"), l => {
+          val t = trim(l)
+          t.endsWith("...") || t.endsWith("…")
+        })), col("n_lines")))
+      .withColumn("alpha_micro", micro(
+        size(filter(col("__toks"), t => t.rlike("[a-z]"))),
+        col("n_words")))
+      .withColumn("n_stop_hits",
+        size(array_intersect(col("__toks"),
+          array(stops.map(lit): _*))).cast("long"))
+      .withColumn("pass",
+        col("n_words") >= 50 && col("n_words") <= 100000 &&
+          col("mean_word_micro") >= 3000000L && col("mean_word_micro") <= 10000000L &&
+          col("symbol_micro") <= 100000L &&
+          col("bullet_micro") < 900000L &&
+          col("ellipsis_micro") < 300000L &&
+          col("alpha_micro") >= 800000L &&
+          col("n_stop_hits") >= 2)
+    out.select(col("doc_id"), col("n_words"), col("mean_word_micro"),
+      col("symbol_micro"), col("bullet_micro"), col("ellipsis_micro"),
+      col("alpha_micro"), col("n_stop_hits"), col("pass"))
+  }
+
   /** Deterministic per-source sampling rate in quarters {1..4}/4,
     * derived from the source's numeric suffix — the stand-in for a
     * curated source→rate table (swap in a real broadcast table in

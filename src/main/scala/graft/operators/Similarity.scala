@@ -236,6 +236,75 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id"), col("sim"))
   }
 
+  /** IVF + PQ combined — the production billion-vector layout
+    * (FAISS's IVFADC composition, Jégou et al. TPAMI'11): the coarse
+    * IVF quantizer prunes the scan to `nProbe` of `nCells` cells,
+    * the PQ code table scores ONLY the probed cells' vectors by the
+    * integer ADC lookup-table sum, and exact float cosine re-ranks
+    * the coarse top-`coarseK`. Each stage reuses the individually
+    * gated semantics ([[ivfAssign]]'s argmax collapse, [[pqEncode]]'s
+    * deterministic codebook, [[annPq]]'s LUT), so recall knobs
+    * compose: nProbe bounds scan fraction, nCodes bounds code
+    * memory, coarseK bounds full-precision touches.
+    *
+    * Scale shape: scan cost is ~nProbe/nCells of the CODE table (n ×
+    * nSub 2-byte rows, not embeddings); probes and the per-query LUT
+    * are broadcast index artifacts; the ADC sum collapses map-side
+    * to one row per (query, vec) before the exchange; full-precision
+    * vectors are read for coarseK candidates only. At 100 TB the
+    * codes/cells frames persist as a cell-partitioned store
+    * ([[graft.operators.IvfStore]]) so the probe join becomes
+    * file-level partition pruning.
+    */
+  def annIvfPq(vectors: DataFrame, queries: DataFrame, topK: Int,
+               coarseK: Int, nCells: Int = 16, nProbe: Int = 4,
+               nSub: Int = 8, subDim: Int = 8,
+               nCodes: Int = 16): DataFrame = {
+    require(topK > 0 && coarseK >= topK && nProbe > 0 && nProbe <= nCells)
+    val centroids = ivfCentroids(vectors, nCells)
+    val cells = ivfAssign(vectors, centroids)
+      .select(col("vec_id"), col("cell_id"))
+    val scales = dimScales(vectors)
+    val qv = quantizeInt8(vectors, scales)
+    val codebook = pqCodebook(qv, nSub, subDim, nCodes)
+    val codes = pqEncode(qv, codebook, nSub, subDim).join(cells, "vec_id")
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("query_emb"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("cell_sim").desc, col("cell_id"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("cell_sim", cosine_sim(col("query_emb"), col("centroid")))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("cell_id"))
+    val qq = quantizeInt8(queries, scales)
+    val lut = subvectors(qq, nSub, subDim)
+      .withColumnRenamed("vec_id", "query_id")
+      .join(broadcast(codebook), "m")
+      .select(col("query_id").as("lut_query"), col("m"), col("code_id"),
+        int8_dot(col("sub"), col("cent")).as("qdot"))
+    val wCoarse = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("vec_id"))
+    val cand = codes.join(broadcast(probes), "cell_id")
+      .join(broadcast(lut),
+        col("query_id") === col("lut_query") && codes("m") === lut("m") &&
+          codes("code") === lut("code_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("qdot")).as("adc"))
+      .withColumn("crk", row_number().over(wCoarse))
+      .filter(col("crk") <= coarseK)
+      .select(col("query_id"), col("vec_id"))
+    val wExact = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    vectors.join(broadcast(cand), "vec_id")
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("query_emb"))), "query_id")
+      .withColumn("sim", cosine_sim(col("embedding"), col("query_emb")))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("sim"))
+  }
+
   /** Random-hyperplane signature: bit j = sign(dot(v, h_j)) with
     * deterministic ±1 hyperplane components — computed by the native
     * HyperplaneSig expression (one pass over the array for all bits;

@@ -215,6 +215,38 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("gopherRules: each rule flips on a crafted violator; clean prose passes") {
+    val good = (("the quick brown fox jumps with vigor and grace that " +
+      "nobody have seen before of late ") * 5).trim // 80 words, stops present
+    val rows = Seq(
+      (1L, good),                                        // passes all
+      (2L, "too short to count"),                        // rule 1: < 50 words
+      (3L, ("a b c d " * 20).trim + " the of"),          // rule 2: mean len < 3
+      (4L, good + " " + ("# # # # # # # # # " * 2)),     // rule 3: symbols
+      (5L, (1 to 60).map(i => s"- item $i of the set").mkString("\n")), // rule 4
+      (6L, (1 to 60).map(i => s"line $i of the story...").mkString("\n")), // rule 5
+      (7L, ("12345 67890 " * 30).trim + " the of"),      // rule 6: no alpha
+      (8L, ("zebra quokka wombat lemur fossa gecko heron ibis jackal " * 7).trim)
+    )                                                    // rule 7: no stop words
+    val df = spark.createDataFrame(rows).toDF("doc_id", "text")
+    val r = Curation.gopherRules(df).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(1L).getAs[Boolean]("pass"), "clean prose must pass")
+    assert(!r(2L).getAs[Boolean]("pass") && r(2L).getAs[Long]("n_words") < 50)
+    assert(!r(3L).getAs[Boolean]("pass") &&
+      r(3L).getAs[Long]("mean_word_micro") < 3000000L)
+    assert(!r(4L).getAs[Boolean]("pass") &&
+      r(4L).getAs[Long]("symbol_micro") > 100000L)
+    assert(!r(5L).getAs[Boolean]("pass") &&
+      r(5L).getAs[Long]("bullet_micro") >= 900000L)
+    assert(!r(6L).getAs[Boolean]("pass") &&
+      r(6L).getAs[Long]("ellipsis_micro") >= 300000L)
+    assert(!r(7L).getAs[Boolean]("pass") &&
+      r(7L).getAs[Long]("alpha_micro") < 800000L)
+    assert(!r(8L).getAs[Boolean]("pass") &&
+      r(8L).getAs[Long]("n_stop_hits") < 2)
+  }
+
   test("curatePipeline: fused report equals the stage-by-stage operator composition") {
     val rep = Curation.curatePipeline(docs).collect()
       .map(r => r.getAs[String]("source") -> r).toMap

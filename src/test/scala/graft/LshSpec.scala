@@ -212,6 +212,47 @@ class LshSpec extends SparkSpec {
     assert(full === brute)
   }
 
+  test("annIvfPq with all cells probed and corpus-sized coarseK equals brute force") {
+    // probing every cell makes the IVF stage a no-op and a
+    // corpus-sized coarseK makes the ADC stage a no-op — the exact
+    // re-rank IS brute force, so the composed index may only affect
+    // the cut, never the surviving ranks
+    val queries = emb.filter($"vec_id" < 5)
+    val n = emb.count().toInt
+    def keyed(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "rank", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val brute = keyed(Similarity.knnBrute(emb, queries, topK = 5))
+    val full = keyed(Similarity.annIvfPq(emb, queries, topK = 5,
+      coarseK = n, nCells = 8, nProbe = 8))
+    assert(full === brute)
+  }
+
+  test("annIvfPq candidates come only from probed cells; recall at modest knobs") {
+    val queries = emb.filter($"vec_id" < 10)
+    val ann = Similarity.annIvfPq(emb, queries, topK = 5,
+      coarseK = 50, nCells = 16, nProbe = 4)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every returned vector sits in one of its query's 4 probed cells:
+    // ivfSearch with a corpus-sized topK enumerates exactly the
+    // probed-cell membership per query
+    val cents = Similarity.ivfCentroids(emb, nCells = 16)
+    val probed = Similarity.ivfSearch(Similarity.ivfIndex(emb, 16), cents,
+      queries, topK = emb.count().toInt, nProbe = 4)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ann.forall(probed.contains),
+      "a returned vector was outside its query's probed cells")
+    // recall vs brute force: IVF pruning + PQ coarse cut still keep
+    // most true neighbors at these knobs on the test corpus
+    val brute = Similarity.knnBrute(emb, queries, topK = 5)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ann).size.toDouble / brute.size
+    assert(recall >= 0.4, s"IVFADC recall $recall too low")
+  }
+
   test("annPq recall at modest coarseK; codes compress to nSub small ints") {
     val queries = emb.filter($"vec_id" < 10)
     val brute = Similarity.knnBrute(emb, queries, topK = 5)
