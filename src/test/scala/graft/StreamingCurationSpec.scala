@@ -58,4 +58,31 @@ class StreamingCurationSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), (r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))).toMap
     assert(gotRedacted === wantRedacted)
   }
+
+  test("gopherRules gives batch-identical verdicts on a stream across micro-batch cuts") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sf).limit(120)
+      .select("doc_id", "text")
+      .as[(Long, String)].collect()
+
+    val input = MemoryStream[(Long, String)]
+    val streamDocs = input.toDF().toDF("doc_id", "text")
+    val q = Curation.gopherRules(streamDocs).writeStream.format("memory")
+      .queryName("cur_gopher").outputMode("append").start()
+    try {
+      input.addData(docs.take(70): _*)
+      q.processAllAvailable()
+      input.addData(docs.drop(70): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def keyed(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7), r.getBoolean(8))).toMap
+    val want = keyed(Curation.gopherRules(
+      Tables.documents(spark, sf).limit(120)).collect())
+    val got = keyed(spark.table("cur_gopher").collect())
+    assert(got === want && want.size === 120)
+  }
 }
