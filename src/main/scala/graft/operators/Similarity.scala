@@ -157,11 +157,13 @@ object Similarity {
       .select(col("sub.m").as("m"), col("code_id"),
         col("sub.cent").as("cent"))
 
-  private def subvectors(qv: DataFrame, nSub: Int, subDim: Int): DataFrame =
-    qv.select(col("vec_id"), explode(array((0 until nSub).map(m =>
+  private def subvectors(qv: DataFrame, nSub: Int, subDim: Int,
+                         carry: Seq[String] = Nil): DataFrame =
+    qv.select(col("vec_id") +: carry.map(col) :+ explode(array((0 until nSub).map(m =>
       struct(lit(m).as("m"),
-        slice(col("qvec"), m * subDim + 1, subDim).as("sub"))): _*)).as("s"))
-      .select(col("vec_id"), col("s.m").as("m"), col("s.sub").as("sub"))
+        slice(col("qvec"), m * subDim + 1, subDim).as("sub"))): _*)).as("s"): _*)
+      .select(col("vec_id") +: carry.map(col) ++: Seq(
+        col("s.m").as("m"), col("s.sub").as("sub")): _*)
 
   /** PQ encode: each vector becomes nSub small integers — the id of
     * the L2-nearest codebook centroid per subspace. All-integer
@@ -171,18 +173,23 @@ object Similarity {
     * vec × nCodes frame never shuffles — same shape as [[ivfAssign]]).
     * At nSub=8, nCodes=16 a 64-dim float vector compresses 256→4
     * bytes: the memory path that fits a 10^9-vector index in RAM.
+    * `carry` threads extra per-vector columns (e.g. an IVF cell id)
+    * through the encode so the code table is born tagged — the
+    * alternative, re-joining codes to a corpus-sized tag frame on
+    * vec_id, is a corpus×corpus shuffle.
     */
   def pqEncode(qv: DataFrame, codebook: DataFrame, nSub: Int,
-               subDim: Int): DataFrame =
-    subvectors(qv, nSub, subDim)
+               subDim: Int, carry: Seq[String] = Nil): DataFrame =
+    subvectors(qv, nSub, subDim, carry)
       .join(broadcast(codebook), "m")
       .withColumn("dist", aggregate(
         zip_with(col("sub"), col("cent"),
           (a, b) => { val d = a.cast("int") - b.cast("int"); d * d }),
         lit(0), (acc, x) => acc + x))
-      .groupBy(col("vec_id"), col("m"))
+      .groupBy(col("vec_id") +: carry.map(col) :+ col("m"): _*)
       .agg(min(struct(col("dist"), col("code_id"))).as("best"))
-      .select(col("vec_id"), col("m"), col("best.code_id").as("code"))
+      .select(col("vec_id") +: carry.map(col) ++: Seq(
+        col("m"), col("best.code_id").as("code")): _*)
 
   /** Product-quantization ANN (asymmetric distance): coarse top-
     * `coarseK` by integer ADC score — Σ_m dot(query's int8 m-th
@@ -262,12 +269,17 @@ object Similarity {
                nCodes: Int = 16): DataFrame = {
     require(topK > 0 && coarseK >= topK && nProbe > 0 && nProbe <= nCells)
     val centroids = ivfCentroids(vectors, nCells)
-    val cells = ivfAssign(vectors, centroids)
-      .select(col("vec_id"), col("cell_id"))
     val scales = dimScales(vectors)
-    val qv = quantizeInt8(vectors, scales)
-    val codebook = pqCodebook(qv, nSub, subDim, nCodes)
-    val codes = pqEncode(qv, codebook, nSub, subDim).join(cells, "vec_id")
+    // quantize the ASSIGNED frame so each code row is born with its
+    // cell id (pqEncode's carry): re-joining a corpus-sized cell tag
+    // onto the code table by vec_id would be a corpus×corpus shuffle
+    val qvCell = ivfAssign(vectors, centroids)
+      .crossJoin(broadcast(scales))
+      .select(col("vec_id"), col("cell_id"),
+        graft.functions.quantize_i8(col("embedding"), col("scales")).as("qvec"))
+    val codebook = pqCodebook(qvCell, nSub, subDim, nCodes)
+    val codes = pqEncode(qvCell, codebook, nSub, subDim,
+      carry = Seq("cell_id"))
     val q = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("query_emb"))
     val wProbe = Window.partitionBy(col("query_id"))

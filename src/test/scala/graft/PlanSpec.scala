@@ -59,6 +59,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_max"), s"no partial argmax aggregation in:\n$p")
   }
 
+  test("q_ann_ivfpq: probes and LUT broadcast to the code table; ADC collapses map-side") {
+    val p = plan("q_ann_ivfpq")
+    // the probed-cell join and the ADC lookup must both ride
+    // broadcasts (index artifacts), never shuffle the code table
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"code table shuffled by a sort-merge join in:\n$p")
+    // the ADC sum is partial-aggregatable: map-side combine collapses
+    // the (query, vec, m) frame before the exchange
+    assert(p.contains("partial_sum"), s"no partial ADC aggregation in:\n$p")
+  }
+
   test("q_grouping_sets: the Expand runs over the pre-aggregated base, not the fact scan") {
     // Spark plans GROUPING SETS as Expand BELOW the partial aggregate,
     // so the naive form triples the scanned row volume (round-4's r32
