@@ -57,7 +57,15 @@ object Bench {
           -1.0
       }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // local-iteration aid (mirrors Verify): SPARK_GRAFT_ONLY=q_a,q_b
+    // restricts the sweep; the driver never sets it
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(ks) => SparkEntry.queries.view.filterKeys(ks).toMap
+      case None => SparkEntry.queries
+    }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       // short-circuit: a timed-out/failed first run means the second
       // would almost certainly burn the same timeout for a pair that
       // gets discarded anyway
