@@ -427,76 +427,24 @@ object LshDedup {
     * chunks — any pair within the hamming budget must agree exactly on
     * at least one chunk (pigeonhole), so candidates come from chunk-
     * equality buckets, one shuffle, no n² compare.
-    *
-    * Two defenses keep the buckets sub-quadratic on real corpora,
-    * where SimHash both concentrates identical signatures (duplicate
-    * clusters — its job) and biases individual bits (majority vote
-    * over one language's token distribution):
-    *
-    *   1. The join runs over DISTINCT signatures; pairs expand from
-    *      the signature groups afterwards (cross-signature pairs from
-    *      the bucket join, identical-signature pairs locally from
-    *      each group's sorted member array — output-sized work).
-    *   2. Two-level multi-index bucketing: biased bits leave a 9-bit
-    *      chunk with far fewer than 2^9 effective values, so
-    *      single-level buckets go quadratic (measured 206 s at sf1 on
-    *      50k docs). A second pigeonhole over the OTHER bits fixes
-    *      it: if hamming ≤ h and chunk c matches exactly, the ≤ h
-    *      mismatches outside c touch at most h of h+1 disjoint
-    *      sub-chunks of the complement — some sub-chunk also matches
-    *      exactly. Joining on (chunk, sub-chunk, both values)
-    *      multiplies bucket discrimination by the sub-chunk's value
-    *      diversity; the answer is unchanged (hash-exact vs the
-    *      all-pairs oracle at sf0.01 and sf0.1).
     */
   def simhashCandidates(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val chunks = maxHamming + 1
     val bits = 64 / chunks
-    // sub-chunks of the complement (the 64-bits with chunk c's range
-    // deleted): any h+1 DISJOINT bit groups pigeonhole ≤ h mismatches
-    // regardless of whether they cover every complement bit
-    val compBits = 64 - bits
-    val subBits = compBits / chunks
-    val sigs = simhashes(docs)
-      .groupBy(col("simhash"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("members"))
-    val bucketCols = array((for (c <- 0 until chunks; s <- 0 until chunks) yield {
-      val chunkVal = shiftright(col("simhash"), c * bits)
-        .bitwiseAND(lit((1L << bits) - 1))
-      // complement = signature with chunk c's bit range spliced out
-      val low = col("simhash").bitwiseAND(lit((1L << (c * bits)) - 1))
-      val high = shiftrightunsigned(col("simhash"), (c + 1) * bits)
-      val comp = high.bitwiseAND(lit((1L << (compBits - c * bits)) - 1))
-        .multiply(lit(1L << (c * bits))).bitwiseOR(low)
-      val subVal = shiftright(comp, s * subBits)
-        .bitwiseAND(lit((1L << subBits) - 1))
-      struct(lit(c * chunks + s).as("bucket"), chunkVal.as("chunk_val"),
-        subVal.as("sub_val"))
-    }): _*)
-    val buckets = sigs
-      .select(col("simhash"), col("members"), explode(bucketCols).as("bk"))
-      .select(col("simhash"), col("members"), col("bk.bucket").as("bucket"),
-        col("bk.chunk_val").as("chunk_val"), col("bk.sub_val").as("sub_val"))
-    val a = buckets.withColumnsRenamed(Map("simhash" -> "sim_a", "members" -> "mem_a"))
-    val b = buckets.withColumnsRenamed(Map("simhash" -> "sim_b", "members" -> "mem_b"))
-    val cross = a.join(b, Seq("bucket", "chunk_val", "sub_val"))
-      .filter(col("sim_a") < col("sim_b"))
+    val sh = simhashes(docs)
+    val chunkCols = array((0 until chunks).map { c =>
+      shiftright(col("simhash"), c * bits).bitwiseAND(lit((1L << bits) - 1))
+    }: _*)
+    val buckets = sh.select(col("doc_id"), col("simhash"), posexplode(chunkCols))
+      .withColumnsRenamed(Map("pos" -> "chunk", "col" -> "chunk_val"))
+    val a = buckets.withColumnsRenamed(Map("doc_id" -> "doc_a", "simhash" -> "sim_a"))
+    val b = buckets.withColumnsRenamed(Map("doc_id" -> "doc_b", "simhash" -> "sim_b"))
+    a.join(b, Seq("chunk", "chunk_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sim_a"), col("sim_b"))
+      .distinct()
       .withColumn("hamming", hamming64(col("sim_a"), col("sim_b")))
       .filter(col("hamming") <= maxHamming)
-      .select(col("sim_a"), col("sim_b"), col("mem_a"), col("mem_b"),
-        col("hamming"))
-      .dropDuplicates("sim_a", "sim_b")
-      .select(explode(col("mem_a")).as("da"), col("mem_b"), col("hamming"))
-      .select(col("da"), explode(col("mem_b")).as("db"), col("hamming"))
-      .select(least(col("da"), col("db")).as("doc_a"),
-        greatest(col("da"), col("db")).as("doc_b"), col("hamming"))
-    val intra = sigs.filter(size(col("members")) > 1)
-      .select(col("members"), posexplode(col("members")))
-      .withColumnsRenamed(Map("pos" -> "i", "col" -> "doc_a"))
-      .select(col("doc_a"),
-        explode(slice(col("members"), col("i") + lit(2),
-          size(col("members")))).as("doc_b"),
-        hamming64(lit(0L), lit(0L)).as("hamming"))
-    cross.unionByName(intra)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 }
