@@ -132,6 +132,21 @@ class LshSpec extends SparkSpec {
     assert(c.forall(_.getAs[Int]("hamming") <= 6))
   }
 
+  test("simhashCandidates: exact recall — every true hamming<=h pair survives entropy chunking") {
+    // ground truth: brute-force hamming over all signature pairs; the
+    // pigeonhole guarantee must hold for WHATEVER bit->chunk
+    // assignment the per-bit entropy stats produce on this corpus
+    val sigs = LshDedup.simhashes(docs.limit(200)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val truth = (for {
+      (ida, sa) <- sigs; (idb, sb) <- sigs if ida < idb
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 6
+    } yield (ida, idb, h)).toSet
+    val got = LshDedup.simhashCandidates(docs.limit(200), maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === truth, s"missing=${(truth -- got).take(3)} extra=${(got -- truth).take(3)}")
+  }
+
   test("knnBrute: rank 1 is the vector itself; sims sorted descending") {
     val knn = Similarity.knnBrute(emb, emb.filter($"vec_id" < 2), topK = 5).collect()
     val byQ = knn.groupBy(_.getAs[Long]("query_id"))
