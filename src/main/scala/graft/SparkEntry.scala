@@ -2220,6 +2220,14 @@ object SparkEntry {
     "q_dedup_simhash" -> ((s, dir) =>
       LshDedup.simhashCandidates(Tables.documents(s, dir), maxHamming = 6)
         .orderBy(col("doc_a"), col("doc_b"))),
+    "q_dedup_simhash_capped" -> ((s, dir) =>
+      // the skew-capped sibling (maxBucket drop guard + columnar
+      // in-bucket pair combos, no bucket self-join): work bounded by
+      // buckets × cap² under any corpus skew; answer equals the exact
+      // form whenever no bucket exceeds the cap — certified by the
+      // SAME all-pairs oracle
+      LshDedup.simhashCandidatesCapped(Tables.documents(s, dir), maxHamming = 6)
+        .orderBy(col("doc_a"), col("doc_b"))),
     "q_dedup_health" -> ((s, dir) =>
       // per-source skew-cap observability: maxBucket deliberately low
       // here so the guard actually fires at test SF and the oracle
@@ -4832,6 +4840,9 @@ object SparkEntry {
     "q_dedup_health" -> SketchOracles.dedupHealthSql,
     "q_minhash_est" -> SketchOracles.minhashEstSql,
     "q_dedup_simhash" -> SketchOracles.simhashSql,
+    // same all-pairs ground truth: the cap is not binding at verify
+    // SFs, so the capped plan must reproduce the exact answer
+    "q_dedup_simhash_capped" -> SketchOracles.simhashSql,
     "q_ann_lsh" -> SketchOracles.annLshSql,
     "q_ann_ivf" -> SketchOracles.annIvfSql,
     // store-backed probe must be value-exact vs the inline build

@@ -453,6 +453,33 @@ object LshDedup {
     * compute it from the persisted signature table.
     */
   def simhashCandidates(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val buckets = simhashBuckets(docs, maxHamming)
+    val a = buckets.withColumnsRenamed(Map("doc_id" -> "doc_a", "simhash" -> "sim_a"))
+    val b = buckets.withColumnsRenamed(Map("doc_id" -> "doc_b", "simhash" -> "sim_b"))
+    // a pair agreeing on several chunks lands in several buckets; the
+    // distinct() dedupes them. (A measured dead end, kept as a note:
+    // replacing the distinct with a "keep only the first agreeing
+    // chunk" per-row predicate recomputed from the two signatures
+    // looks cheaper — no exchange — but timed out at sf1 where the
+    // distinct form takes 91 s: the predicate defeats the map-side
+    // partial-distinct that collapses duplicate candidates inside the
+    // hot buckets before they shuffle.)
+    a.join(b, Seq("chunk", "chunk_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sim_a"), col("sim_b"))
+      .distinct()
+      .withColumn("hamming", hamming64(col("sim_a"), col("sim_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  /** The entropy-balanced pigeonhole bucket table behind
+    * [[simhashCandidates]]: (doc_id, simhash, chunk, chunk_val), one
+    * row per doc·chunk. Runs the per-bit ones-rate aggregate (one
+    * 65-column row, map-side combined) and deals bits round-robin in
+    * descending p(1-p) order into the maxHamming+1 chunks.
+    */
+  private def simhashBuckets(docs: DataFrame, maxHamming: Int): DataFrame = {
     val chunks = maxHamming + 1
     require(chunks <= 64, s"maxHamming=$maxHamming needs more chunks than bits")
     val sh = simhashes(docs)
@@ -474,24 +501,52 @@ object LshDedup {
         shiftright(sig, b).bitwiseAND(lit(1L)).multiply(lit(1L << i))
       }.reduce(_.bitwiseOR(_))
     val chunkCols = array(chunkBits.map(chunkVal(col("simhash"), _)): _*)
-    val buckets = sh.select(col("doc_id"), col("simhash"), posexplode(chunkCols))
+    sh.select(col("doc_id"), col("simhash"), posexplode(chunkCols))
       .withColumnsRenamed(Map("pos" -> "chunk", "col" -> "chunk_val"))
-    val a = buckets.withColumnsRenamed(Map("doc_id" -> "doc_a", "simhash" -> "sim_a"))
-    val b = buckets.withColumnsRenamed(Map("doc_id" -> "doc_b", "simhash" -> "sim_b"))
-    // a pair agreeing on several chunks lands in several buckets; the
-    // distinct() dedupes them. (A measured dead end, kept as a note:
-    // replacing the distinct with a "keep only the first agreeing
-    // chunk" per-row predicate recomputed from the two signatures
-    // looks cheaper — no exchange — but timed out at sf1 where the
-    // distinct form takes 91 s: the predicate defeats the map-side
-    // partial-distinct that collapses duplicate candidates inside the
-    // hot buckets before they shuffle.)
-    a.join(b, Seq("chunk", "chunk_val"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sim_a"), col("sim_b"))
-      .distinct()
-      .withColumn("hamming", hamming64(col("sim_a"), col("sim_b")))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
+
+  /** The skew-capped sibling of [[simhashCandidates]] — the same
+    * maxBucket drop guard the MinHash path ships ([[candidatePairs]]):
+    * buckets larger than `maxBucket` are dropped entirely (a
+    * quadratic-size signature bucket means exact-duplicate or
+    * boilerplate spam, which exact dedup catches at linear cost), and
+    * pairs are emitted columnar-side from each kept bucket's sorted
+    * member array — no bucket self-join, so worst-case work is
+    * bounded by buckets × maxBucket² regardless of corpus skew.
+    * Answer EQUALS [[simhashCandidates]] whenever no bucket exceeds
+    * the cap; [[simhashDropStats]] is the observability gate that
+    * says whether that held.
+    */
+  def simhashCandidatesCapped(docs: DataFrame, maxHamming: Int = 3,
+                              maxBucket: Int = 2000): DataFrame = {
+    import org.apache.spark.sql.Column
+    def combos(ids: Column): Column =
+      flatten(transform(ids, (x, i) =>
+        transform(slice(ids, i + 2, size(ids)),
+          y => struct(x.as("a"), y.as("b")))))
+    simhashBuckets(docs, maxHamming)
+      .groupBy(col("chunk"), col("chunk_val"))
+      .agg(array_distinct(sort_array(collect_list(
+        struct(col("doc_id"), col("simhash"))))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(combos(col("ids"))).as("p"))
+      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+        hamming64(col("p.a.simhash"), col("p.b.simhash")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** One-row summary of what [[simhashCandidatesCapped]]'s skew cap
+    * drops: (n_buckets_dropped, n_doc_slots_dropped) — the simhash
+    * analogue of [[dropStats]]. Non-zero means the capped answer may
+    * under-report pairs and the dropped docs belong in exact dedup.
+    */
+  def simhashDropStats(docs: DataFrame, maxHamming: Int = 3,
+                       maxBucket: Int = 2000): DataFrame =
+    simhashBuckets(docs, maxHamming)
+      .groupBy(col("chunk"), col("chunk_val"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > maxBucket)
+      .agg(count(lit(1)).as("n_buckets_dropped"),
+        coalesce(sum(col("n_docs")), lit(0L)).as("n_doc_slots_dropped"))
 }

@@ -147,6 +147,27 @@ class LshSpec extends SparkSpec {
     assert(got === truth, s"missing=${(truth -- got).take(3)} extra=${(got -- truth).take(3)}")
   }
 
+  test("simhashCandidatesCapped: equals exact form when cap not binding; drops degenerate buckets") {
+    // real corpus, generous cap: identical answer to the exact miner
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val exact = key(LshDedup.simhashCandidates(docs.limit(200), maxHamming = 6))
+    val capped = key(LshDedup.simhashCandidatesCapped(docs.limit(200),
+      maxHamming = 6, maxBucket = 2000))
+    assert(capped === exact)
+    // degenerate spam corpus: 40 identical docs, cap 10 — every chunk
+    // bucket holds all 40, so all are dropped and the report says so
+    val spam = spark.createDataFrame(
+      (1L to 40L).map(i => (i, "the same spam text repeated verbatim")))
+      .toDF("doc_id", "text")
+    assert(LshDedup.simhashCandidatesCapped(spam, maxHamming = 6,
+      maxBucket = 10).count() === 0)
+    val st = LshDedup.simhashDropStats(spam, maxHamming = 6, maxBucket = 10)
+      .head()
+    assert(st.getAs[Long]("n_buckets_dropped") === 7L)
+    assert(st.getAs[Long]("n_doc_slots_dropped") === 280L)
+  }
+
   test("knnBrute: rank 1 is the vector itself; sims sorted descending") {
     val knn = Similarity.knnBrute(emb, emb.filter($"vec_id" < 2), topK = 5).collect()
     val byQ = knn.groupBy(_.getAs[Long]("query_id"))
