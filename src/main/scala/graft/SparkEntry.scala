@@ -584,6 +584,46 @@ object SparkEntry {
          |WHERE bit_count(xor(a.s, b.s)) <= 6
          |ORDER BY doc_a, doc_b""".stripMargin
     }
+
+    /** Composed exact-dedup → simhash recall report: survivors are
+      * the min-doc_id content-hash keepers, the pair counts are the
+      * same all-pairs hamming≤6 ground truth as [[simhashSql]]
+      * restricted to survivors. The capped count is certified equal
+      * to the exact count — valid at gate SF because no survivor
+      * bucket exceeds the default cap (the identical certification
+      * strategy as q_dedup_simhash_capped); the sf1 run where the
+      * cap may bind is the measured-recall evidence in NOTES, not a
+      * DuckDB compare (all-pairs simhash is the documented
+      * oracle-cost exclusion class there).
+      */
+    val simhashComposedSql: String = {
+      val pw = (0 until 64).map(b => BigInt(1) << b).mkString("[", ",", "]")
+      s"""$tokenHashCte, keep AS (
+         |  SELECT min(doc_id) AS doc_id FROM documents
+         |  GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+         |), pws AS (SELECT CAST($pw AS HUGEINT[]) AS pw
+         |), sims AS (
+         |  SELECT th.doc_id,
+         |    list_sum(list_transform(generate_series(0, 63), b ->
+         |      CASE WHEN 2 * len(list_filter(tkh, h -> (h // pw[b+1]) % 2 = 1)) > len(tkh)
+         |           THEN pw[b+1] ELSE 0::HUGEINT END)) AS su
+         |  FROM th JOIN keep USING (doc_id) CROSS JOIN pws
+         |), ss AS (
+         |  SELECT doc_id, CAST(CASE WHEN su >= $Bias
+         |    THEN su - $M ELSE su END AS BIGINT) AS s
+         |  FROM sims
+         |), pairs AS (
+         |  SELECT count(*) AS n FROM ss a JOIN ss b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.s, b.s)) <= 6
+         |)
+         |SELECT (SELECT count(*) FROM documents) AS n_docs,
+         |  (SELECT count(*) FROM keep) AS n_survivors,
+         |  n AS n_pairs_exact, n AS n_pairs_capped,
+         |  CASE WHEN n = 0 THEN CAST(1000000 AS BIGINT)
+         |       ELSE CAST(floor(CAST(n AS DOUBLE) / CAST(n AS DOUBLE)
+         |         * 1000000) AS BIGINT) END AS recall_micro
+         |FROM pairs""".stripMargin
+    }
   }
 
   // ---- driver contract ------------------------------------------------
@@ -2228,6 +2268,14 @@ object SparkEntry {
       // SAME all-pairs oracle
       LshDedup.simhashCandidatesCapped(Tables.documents(s, dir), maxHamming = 6)
         .orderBy(col("doc_a"), col("doc_b"))),
+    "q_dedup_capped_recall" -> ((s, dir) =>
+      // the composed-pipeline recall gate: exact content dedup FIRST
+      // (the order a real pipeline runs), capped simhash over the
+      // survivors, pair recall vs the exact miner on the same
+      // survivors — the measured answer to "the cap's dropped pairs
+      // are exact-dup territory" (round-7 audit: asserted, not gated)
+      LshDedup.simhashCappedRecallReport(Tables.documents(s, dir),
+        maxHamming = 6)),
     "q_dedup_health" -> ((s, dir) =>
       // per-source skew-cap observability: maxBucket deliberately low
       // here so the guard actually fires at test SF and the oracle
@@ -4359,7 +4407,7 @@ object SparkEntry {
         |        / CAST(len(lines) AS DOUBLE) * 1000000) AS BIGINT)
         |      ELSE 0 END AS ellipsis_micro,
         |    CASE WHEN len(toks) > 0 THEN CAST(floor(CAST(
-        |      len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+        |      len(list_filter(toks, x -> regexp_matches(x, '\p{L}')))
         |        AS DOUBLE)
         |        / CAST(len(toks) AS DOUBLE) * 1000000) AS BIGINT)
         |      ELSE 0 END AS alpha_micro,
@@ -4372,8 +4420,8 @@ object SparkEntry {
         |  (n_words >= 50 AND n_words <= 100000
         |    AND mean_word_micro >= 3000000 AND mean_word_micro <= 10000000
         |    AND symbol_micro <= 100000
-        |    AND bullet_micro < 900000
-        |    AND ellipsis_micro < 300000
+        |    AND bullet_micro <= 900000
+        |    AND ellipsis_micro <= 300000
         |    AND alpha_micro >= 800000
         |    AND n_stop_hits >= 2) AS pass
         |FROM m ORDER BY doc_id""".stripMargin,
@@ -4493,7 +4541,8 @@ object SparkEntry {
         |       ELSE lft // nullif(slots, 0) +
         |            CASE WHEN pos0 >= L - (lft % nullif(slots, 0)) THEN 1 ELSE 0 END
         |  END AS planned_tokens,
-        |  (planned_tokens * 1000000) // n_tokens AS epochs_micro
+        |  coalesce((planned_tokens * 1000000) // nullif(n_tokens, 0), 0)
+        |    AS epochs_micro
         |FROM a ORDER BY source""".stripMargin,
     "q_chunk" ->
       """WITH t AS (
@@ -4840,6 +4889,9 @@ object SparkEntry {
     "q_dedup_health" -> SketchOracles.dedupHealthSql,
     "q_minhash_est" -> SketchOracles.minhashEstSql,
     "q_dedup_simhash" -> SketchOracles.simhashSql,
+    // q_dedup_capped_recall: composed exact-dedup → simhash recall
+    // gate; all-pairs ground truth over the content-hash keepers
+    "q_dedup_capped_recall" -> SketchOracles.simhashComposedSql,
     // same all-pairs ground truth: the cap is not binding at verify
     // SFs, so the capped plan must reproduce the exact answer
     "q_dedup_simhash_capped" -> SketchOracles.simhashSql,

@@ -185,9 +185,14 @@ object Curation {
     *   1. 50 ≤ word count ≤ 100,000
     *   2. mean word length in [3, 10] characters
     *   3. symbol-to-word ratio ≤ 0.1 ('#' plus ellipsis '…'/"...")
-    *   4. < 90% of lines start with a bullet ('-', '*', '•')
-    *   5. < 30% of lines end with an ellipsis
-    *   6. ≥ 80% of words contain ≥ 1 alphabetic character
+    *   4. ≤ 90% of lines start with a bullet ('-', '*', '•')
+    *      (the paper REMOVES docs with more than 90%, so exactly
+    *      90% passes)
+    *   5. ≤ 30% of lines end with an ellipsis (same boundary rule)
+    *   6. ≥ 80% of words contain ≥ 1 alphabetic character — any
+    *      Unicode letter (\p{L}): café, naïve and Cyrillic words all
+    *      count as alphabetic, matching the paper's intent (tokens
+    *      are already lower-cased upstream)
     *   7. ≥ 2 distinct Gopher stop words present
     *      (the, be, to, of, and, that, have, with)
     *
@@ -227,7 +232,7 @@ object Curation {
           t.endsWith("...") || t.endsWith("…")
         })), col("n_lines")))
       .withColumn("alpha_micro", micro(
-        size(filter(col("__toks"), t => t.rlike("[a-z]"))),
+        size(filter(col("__toks"), t => t.rlike("\\p{L}"))),
         col("n_words")))
       .withColumn("n_stop_hits",
         size(array_intersect(col("__toks"),
@@ -236,8 +241,8 @@ object Curation {
         col("n_words") >= 50 && col("n_words") <= 100000 &&
           col("mean_word_micro") >= 3000000L && col("mean_word_micro") <= 10000000L &&
           col("symbol_micro") <= 100000L &&
-          col("bullet_micro") < 900000L &&
-          col("ellipsis_micro") < 300000L &&
+          col("bullet_micro") <= 900000L &&
+          col("ellipsis_micro") <= 300000L &&
           col("alpha_micro") >= 800000L &&
           col("n_stop_hits") >= 2)
     out.select(col("doc_id"), col("n_words"), col("mean_word_micro"),
@@ -523,10 +528,16 @@ object Curation {
     * exchange (partition = duplicate group, bounded); gram
     * generation runs only over the deduped survivors, filtered by
     * cohort BEFORE exploding (each side tokenizes once); the eval
-    * gram set is benchmark-sized and broadcast; the contaminated-id
-    * frame joins back by doc_id (ids only — AQE broadcasts it when
-    * small); the final rollup is sources-sized. Documents' bodies
-    * never shuffle — only hashes, grams and ids.
+    * cohort here is split-derived (~1-trainFraction of the corpus),
+    * so its distinct gram set is corpus-proportional — the
+    * gram-match join shuffles on gram and is left to AQE, which
+    * broadcasts only when the eval side measures small (a forced
+    * broadcast would OOM the driver at 100 TB; for a genuinely
+    * benchmark-sized eval set, [[contaminationReportBloom]] is the
+    * constant-memory prefilter); the contaminated-id frame joins
+    * back by doc_id (ids only — AQE broadcasts it when small); the
+    * final rollup is sources-sized. Documents' bodies never shuffle
+    * — only hashes, grams and ids.
     */
   def curatePipeline(docs: DataFrame, minTokens: Int = 40,
                      minQuality: Double = 0.5,
@@ -553,7 +564,7 @@ object Curation {
     val evalGrams = grams(uniq.filter(col("__cohort") === "eval"))
       .select("gram").distinct()
     val contaminated = grams(uniq.filter(col("__cohort") === "train"))
-      .join(broadcast(evalGrams), "gram")
+      .join(evalGrams, "gram")
       .select("doc_id").distinct()
       .withColumn("__dirty", lit(true))
     val report = staged
@@ -646,8 +657,11 @@ object Curation {
           .otherwise(expr("__left div nullif(__slots, 0L)") +
             when(col("__pos0") >= col("__L") - expr("__left % nullif(__slots, 0L)"),
               1L).otherwise(0L)))
+      // nullif: a source whose docs are all empty/whitespace has
+      // n_tokens = 0 (and planned 0) — report 0 epochs, not a
+      // division error (the slots division above has the same guard)
       .withColumn("epochs_micro",
-        expr("(planned_tokens * 1000000) div n_tokens"))
+        expr("coalesce((planned_tokens * 1000000) div nullif(n_tokens, 0L), 0L)"))
       .select(col("source"), col("n_docs"), col("n_tokens"),
         col("cap_tokens"), col("planned_tokens"), col("epochs_micro"))
   }

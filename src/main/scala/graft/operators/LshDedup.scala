@@ -449,11 +449,15 @@ object LshDedup {
     * few bits, which no exact bucketing can stretch further).
     *
     * The stats aggregate is one extra corpus scan collapsing to a
-    * single 65-column row (map-side combined); at production scale
-    * compute it from the persisted signature table.
+    * single 65-column row (map-side combined) — memoized per input
+    * plan ([[simhashBitOrder]]), so candidates + capped + dropStats
+    * in one session share ONE scan; pass `bitOrder` explicitly
+    * (precomputed from a persisted signature table, or fixed) to
+    * keep construction fully lazy.
     */
-  def simhashCandidates(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val buckets = simhashBuckets(docs, maxHamming)
+  def simhashCandidates(docs: DataFrame, maxHamming: Int = 3,
+                        bitOrder: Option[Seq[Int]] = None): DataFrame = {
+    val buckets = simhashBuckets(docs, maxHamming, bitOrder)
     val a = buckets.withColumnsRenamed(Map("doc_id" -> "doc_a", "simhash" -> "sim_a"))
     val b = buckets.withColumnsRenamed(Map("doc_id" -> "doc_b", "simhash" -> "sim_b"))
     // a pair agreeing on several chunks lands in several buckets; the
@@ -473,26 +477,60 @@ object LshDedup {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
+  /** Per-input memo for [[simhashBitOrder]], keyed by the analyzed
+    * canonicalized plan. The order is a PERF-only choice (any
+    * disjoint bit partition preserves pigeonhole recall, and the
+    * final hamming filter makes answers chunking-invariant), so a
+    * stale entry after an in-place data rewrite costs bucket
+    * balance, never correctness.
+    */
+  private val bitOrderCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Int]]()
+  /** Test hook: how many ones-rate stats scans actually ran. */
+  private[graft] val statsScans = new java.util.concurrent.atomic.AtomicLong
+
+  /** The 64 simhash bit indices in descending p(1-p) ones-rate
+    * entropy order for `docs` — the data-dependent chunk-assignment
+    * input of [[simhashCandidates]]. One 65-column aggregate scan,
+    * memoized per (session, input plan) so iterative simhash runs
+    * don't rescan the corpus for stats; streaming inputs (no batch
+    * action possible at plan time) fall back to the identity order,
+    * keeping construction lazy there.
+    */
+  def simhashBitOrder(docs: DataFrame): Seq[Int] =
+    if (docs.isStreaming) 0 until 64
+    else {
+      val key = docs.sparkSession.hashCode().toString + "/" +
+        docs.queryExecution.analyzed.canonicalized.semanticHash().toString
+      bitOrderCache.computeIfAbsent(key, _ => {
+        statsScans.incrementAndGet()
+        val sh = simhashes(docs)
+        val bitCols = (0 until 64).map(b =>
+          sum(shiftright(col("simhash"), b).bitwiseAND(lit(1L))).as(s"b$b"))
+        val stats = sh.agg(count(lit(1)).as("n"), bitCols: _*).head()
+        val n = stats.getLong(0).toDouble
+        if (n == 0) 0 until 64
+        else (0 until 64).map { b =>
+          val p = stats.getLong(b + 1) / n
+          (b, p * (1.0 - p))
+        }.sortBy { case (b, e) => (-e, b) }.map(_._1)
+      })
+    }
+
   /** The entropy-balanced pigeonhole bucket table behind
     * [[simhashCandidates]]: (doc_id, simhash, chunk, chunk_val), one
-    * row per doc·chunk. Runs the per-bit ones-rate aggregate (one
-    * 65-column row, map-side combined) and deals bits round-robin in
-    * descending p(1-p) order into the maxHamming+1 chunks.
+    * row per doc·chunk. Bit order comes from the caller or the
+    * memoized [[simhashBitOrder]]; bits are dealt round-robin in
+    * that order into the maxHamming+1 chunks.
     */
-  private def simhashBuckets(docs: DataFrame, maxHamming: Int): DataFrame = {
+  private def simhashBuckets(docs: DataFrame, maxHamming: Int,
+                             bitOrder: Option[Seq[Int]]): DataFrame = {
     val chunks = maxHamming + 1
     require(chunks <= 64, s"maxHamming=$maxHamming needs more chunks than bits")
+    val entropyOrder = bitOrder.getOrElse(simhashBitOrder(docs))
+    require(entropyOrder.sorted == (0 until 64),
+      "bitOrder must be a permutation of 0..63")
     val sh = simhashes(docs)
-    val bitCols = (0 until 64).map(b =>
-      sum(shiftright(col("simhash"), b).bitwiseAND(lit(1L))).as(s"b$b"))
-    val stats = sh.agg(count(lit(1)).as("n"), bitCols: _*).head()
-    val n = stats.getLong(0).toDouble
-    val entropyOrder: Seq[Int] =
-      if (n == 0) 0 until 64
-      else (0 until 64).map { b =>
-        val p = stats.getLong(b + 1) / n
-        (b, p * (1.0 - p))
-      }.sortBy { case (b, e) => (-e, b) }.map(_._1)
     val chunkBits: Seq[Seq[Int]] = (0 until chunks).map(c =>
       entropyOrder.zipWithIndex.collect { case (b, i) if i % chunks == c => b })
     def chunkVal(sig: org.apache.spark.sql.Column,
@@ -518,13 +556,14 @@ object LshDedup {
     * says whether that held.
     */
   def simhashCandidatesCapped(docs: DataFrame, maxHamming: Int = 3,
-                              maxBucket: Int = 2000): DataFrame = {
+                              maxBucket: Int = 2000,
+                              bitOrder: Option[Seq[Int]] = None): DataFrame = {
     import org.apache.spark.sql.Column
     def combos(ids: Column): Column =
       flatten(transform(ids, (x, i) =>
         transform(slice(ids, i + 2, size(ids)),
           y => struct(x.as("a"), y.as("b")))))
-    simhashBuckets(docs, maxHamming)
+    simhashBuckets(docs, maxHamming, bitOrder)
       .groupBy(col("chunk"), col("chunk_val"))
       .agg(array_distinct(sort_array(collect_list(
         struct(col("doc_id"), col("simhash"))))).as("ids"))
@@ -542,11 +581,52 @@ object LshDedup {
     * under-report pairs and the dropped docs belong in exact dedup.
     */
   def simhashDropStats(docs: DataFrame, maxHamming: Int = 3,
-                       maxBucket: Int = 2000): DataFrame =
-    simhashBuckets(docs, maxHamming)
+                       maxBucket: Int = 2000,
+                       bitOrder: Option[Seq[Int]] = None): DataFrame =
+    simhashBuckets(docs, maxHamming, bitOrder)
       .groupBy(col("chunk"), col("chunk_val"))
       .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") > maxBucket)
       .agg(count(lit(1)).as("n_buckets_dropped"),
         coalesce(sum(col("n_docs")), lit(0L)).as("n_doc_slots_dropped"))
+
+  /** The composed-pipeline recall gate for
+    * [[simhashCandidatesCapped]] — the measured answer to "are the
+    * cap's dropped pairs really exact-dup territory?" (the claim the
+    * round-7 audit flagged as asserted, not gated): run EXACT content
+    * dedup FIRST (Dedup.dropExactDuplicates — linear cost, the order
+    * a real pipeline uses), then mine simhash pairs over the
+    * survivors both ways, and report one row
+    *
+    *   (n_docs, n_survivors, n_pairs_exact, n_pairs_capped,
+    *    recall_micro = floor(capped / exact * 1e6))
+    *
+    * capped ⊆ exact by construction (the cap only DROPS buckets), so
+    * the count ratio IS pair recall; exact = 0 reports the vacuous
+    * 1e6. Context for the number: capped-alone on the RAW sf1 corpus
+    * measured 46.5% pair recall (NOTES_r7) — the composition's
+    * recall is the figure that decides whether the default cap
+    * stands. Cost is dominated by the exact miner over the deduped
+    * corpus (the ground-truth denominator), so this is a GATE query,
+    * not a production path.
+    */
+  def simhashCappedRecallReport(docs: DataFrame, maxHamming: Int = 3,
+                                maxBucket: Int = 2000): DataFrame = {
+    val surv = Dedup.dropExactDuplicates(docs)
+      .select(col("doc_id"), col("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val order = Some(simhashBitOrder(surv))
+    val nRaw = docs.agg(count(lit(1)).as("n_docs"))
+    val nSurv = surv.agg(count(lit(1)).as("n_survivors"))
+    val exact = simhashCandidates(surv, maxHamming, order)
+      .agg(count(lit(1)).as("n_pairs_exact"))
+    val capped = simhashCandidatesCapped(surv, maxHamming, maxBucket, order)
+      .agg(count(lit(1)).as("n_pairs_capped"))
+    val report = nRaw.crossJoin(nSurv).crossJoin(exact).crossJoin(capped)
+      .withColumn("recall_micro",
+        when(col("n_pairs_exact") === 0L, lit(1000000L))
+          .otherwise(floor(col("n_pairs_capped").cast("double") /
+            col("n_pairs_exact").cast("double") * 1e6).cast("long")))
+    unpersistAfterFirstUse(report, surv)
+  }
 }

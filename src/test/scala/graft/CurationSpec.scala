@@ -226,7 +226,19 @@ class CurationSpec extends SparkSpec {
       (5L, (1 to 60).map(i => s"- item $i of the set").mkString("\n")), // rule 4
       (6L, (1 to 60).map(i => s"line $i of the story...").mkString("\n")), // rule 5
       (7L, ("12345 67890 " * 30).trim + " the of"),      // rule 6: no alpha
-      (8L, ("zebra quokka wombat lemur fossa gecko heron ibis jackal " * 7).trim)
+      (8L, ("zebra quokka wombat lemur fossa gecko heron ibis jackal " * 7).trim),
+      // rule 4/5 BOUNDARY (Rae et al. remove only strictly-above):
+      // exactly 90% bullet lines / exactly 30% ellipsis lines sit ON
+      // the thresholds (both IEEE products round to the exact
+      // integer micro) and must pass under the <= rule
+      (9L, ((1 to 54).map(_ => "- item of the good set with extra words here") ++
+        (1 to 6).map(_ => "plain line of the tale that goes on")).mkString("\n")),
+      (10L, ((1 to 18).map(i => s"line $i of the story that ends...") ++
+        (1 to 42).map(i => s"plain line $i of the tale with")).mkString("\n")),
+      // rule 6 charset: words with NO ASCII letter are still
+      // alphabetic under \p{L} (Cyrillic here; [a-z] would fail them)
+      (11L, ("привет мир это хорошо очень да нет слово книга дом " * 6).trim +
+        " the of and that have with")
     )                                                    // rule 7: no stop words
     val df = spark.createDataFrame(rows).toDF("doc_id", "text")
     val r = Curation.gopherRules(df).collect()
@@ -245,6 +257,15 @@ class CurationSpec extends SparkSpec {
       r(7L).getAs[Long]("alpha_micro") < 800000L)
     assert(!r(8L).getAs[Boolean]("pass") &&
       r(8L).getAs[Long]("n_stop_hits") < 2)
+    assert(r(9L).getAs[Boolean]("pass") &&
+      r(9L).getAs[Long]("bullet_micro") === 900000L,
+      "exactly 90% bullet lines must pass (paper removes only > 90%)")
+    assert(r(10L).getAs[Boolean]("pass") &&
+      r(10L).getAs[Long]("ellipsis_micro") === 300000L,
+      "exactly 30% ellipsis lines must pass (paper removes only > 30%)")
+    assert(r(11L).getAs[Boolean]("pass") &&
+      r(11L).getAs[Long]("alpha_micro") === 1000000L,
+      "Cyrillic-only words are alphabetic under \\p{L}")
   }
 
   test("curatePipeline: fused report equals the stage-by-stage operator composition") {

@@ -168,6 +168,57 @@ class LshSpec extends SparkSpec {
     assert(st.getAs[Long]("n_doc_slots_dropped") === 280L)
   }
 
+  test("simhashCappedRecallReport: exact dedup first recovers the pairs the raw cap drops") {
+    val base = docs.limit(150).select($"doc_id", $"text")
+    val spamText = "the same spam text repeated verbatim across the corpus"
+    val spam = spark.range(10000, 10300)
+      .select($"id".as("doc_id"), lit(spamText).as("text"))
+    val corpus = base.union(spam)
+    val cap = 50
+    // capped-alone on the RAW corpus: the 300-copy spam cluster blows
+    // every one of its chunk buckets past the cap, dropping its 44850
+    // pairs (plus any real pairs sharing those buckets)
+    val exactRaw = LshDedup.simhashCandidates(corpus, maxHamming = 6).count()
+    val cappedRaw = LshDedup.simhashCandidatesCapped(corpus,
+      maxHamming = 6, maxBucket = cap).count()
+    assert(cappedRaw < exactRaw, "cap must bind on the raw spam corpus")
+    val rawRecallMicro =
+      math.floor(cappedRaw.toDouble / exactRaw * 1e6).toLong
+    // composed: exact dedup collapses the spam to one survivor, so
+    // the capped miner over survivors loses nothing the raw cap lost
+    val rep = LshDedup.simhashCappedRecallReport(corpus,
+      maxHamming = 6, maxBucket = cap).head()
+    assert(rep.getAs[Long]("n_docs") === 450L)
+    assert(rep.getAs[Long]("n_survivors") <= 151L)
+    assert(rep.getAs[Long]("n_pairs_capped") <= rep.getAs[Long]("n_pairs_exact"))
+    assert(rep.getAs[Long]("recall_micro") >= rawRecallMicro,
+      s"composition recall ${rep.getAs[Long]("recall_micro")} must be >= " +
+        s"capped-alone recall $rawRecallMicro")
+  }
+
+  test("simhashBitOrder: one stats scan per input shared across simhash calls; explicit order is lazy") {
+    val d = docs.limit(150)
+    val before = LshDedup.statsScans.get()
+    val a = LshDedup.simhashCandidates(d, maxHamming = 6)
+    val b = LshDedup.simhashCandidatesCapped(d, maxHamming = 6, maxBucket = 2000)
+    val c = LshDedup.simhashDropStats(d, maxHamming = 6, maxBucket = 2000)
+    a.collect(); b.collect(); c.collect()
+    // memo: the three calls share at most ONE ones-rate scan (zero if
+    // an earlier test already cached this exact input plan)
+    assert(LshDedup.statsScans.get() - before <= 1)
+    // an explicitly supplied order runs no stats job at construction
+    // OR execution — the streaming/plan-only path
+    val mid = LshDedup.statsScans.get()
+    val fixed = LshDedup.simhashCandidates(d, maxHamming = 6,
+      bitOrder = Some(0 until 64))
+    val key = (df: org.apache.spark.sql.DataFrame) => df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val fk = key(fixed)
+    assert(LshDedup.statsScans.get() === mid)
+    // chunking-invariance: any disjoint bit partition, same answer
+    assert(fk === key(a))
+  }
+
   test("knnBrute: rank 1 is the vector itself; sims sorted descending") {
     val knn = Similarity.knnBrute(emb, emb.filter($"vec_id" < 2), topK = 5).collect()
     val byQ = knn.groupBy(_.getAs[Long]("query_id"))

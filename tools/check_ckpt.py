@@ -1,0 +1,137 @@
+#!/usr/bin/env python3
+"""Checkpointable DuckDB oracle compare — the sf1 edition of check.py.
+
+Usage: python3 tools/check_ckpt.py <sfDir> <outDir> <ckpt.json> \
+           [--only q_a,q_b] [--timeout-s N] [--threads N]
+
+Same compare as tools/check.py (schema-sorted columns, row-sorted
+values, NaN/None normalized), but each query's verdict and wall time
+are appended to <ckpt.json> as they finish, queries already recorded
+there are skipped on re-run, and a per-query wall-clock budget lets a
+long round run the expensive oracles incrementally across sessions.
+A query whose ORACLE exceeds the budget is recorded as
+"skip_oracle_cost" with the measured time — the documented exclusion
+class from NOTES_r7 — and is retried only if the budget grows.
+"""
+import sys, json, glob, os, time
+
+
+def load_ckpt(path):
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    return {}
+
+
+def save_ckpt(path, ckpt):
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(ckpt, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)
+
+
+def norm(df):
+    def f(v):
+        if v is None or (isinstance(v, float) and v != v):
+            return "<NULL>"
+        return v
+    return sorted((tuple(f(v) for v in row)
+                   for row in df.itertuples(index=False)),
+                  key=lambda t: [repr(x) for x in t])
+
+
+def main(argv):
+    import duckdb
+    sf_dir, out_dir, ckpt_path = argv[1], argv[2], argv[3]
+    only, timeout_s, threads = None, None, None
+    i = 4
+    while i < len(argv):
+        if argv[i] == "--only":
+            only = set(argv[i + 1].split(",")); i += 2
+        elif argv[i] == "--timeout-s":
+            timeout_s = float(argv[i + 1]); i += 2
+        elif argv[i] == "--threads":
+            threads = int(argv[i + 1]); i += 2
+        else:
+            raise SystemExit(f"unknown arg {argv[i]}")
+    con = duckdb.connect()
+    if threads:
+        con.execute(f"SET threads TO {threads}")
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    ckpt = load_ckpt(ckpt_path)
+    todo = [n for n in sorted(oracle)
+            if (only is None or n in only)
+            and not (n in ckpt and (
+                ckpt[n]["status"] == "pass"
+                or (ckpt[n]["status"] == "skip_oracle_cost"
+                    and timeout_s is not None
+                    and ckpt[n].get("budget_s", 0) >= timeout_s)))]
+    print(f"[ckpt] {len(ckpt)} recorded, {len(todo)} to run", flush=True)
+    for name in todo:
+        t0 = time.time()
+        rec = {"status": "fail", "t_oracle_s": None, "detail": ""}
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            rec["detail"] = "no spark output"
+        else:
+            try:
+                # oracle first, under the budget: duckdb 1.0 has no
+                # statement_timeout, so a watchdog thread interrupts
+                # the connection when the budget blows
+                timer = None
+                if timeout_s is not None:
+                    import threading
+                    timer = threading.Timer(timeout_s, con.interrupt)
+                    timer.start()
+                try:
+                    want = con.execute(oracle[name]).fetchdf()
+                finally:
+                    if timer is not None:
+                        timer.cancel()
+                rec["t_oracle_s"] = round(time.time() - t0, 2)
+                mine = con.execute(
+                    f"SELECT * FROM read_parquet({files!r})").fetchdf()
+                mine = mine[sorted(mine.columns)]
+                want = want[sorted(want.columns)]
+                if list(mine.columns) != list(want.columns):
+                    rec["detail"] = (f"cols {list(mine.columns)}"
+                                     f" vs {list(want.columns)}")
+                else:
+                    mv, wv = norm(mine), norm(want)
+                    if mv == wv:
+                        rec["status"] = "pass"
+                        rec["detail"] = f"{len(mv)} rows"
+                    else:
+                        rec["detail"] = f"rows {len(mv)} vs {len(wv)}"
+                        for a, b in zip(mv, wv):
+                            if a != b:
+                                rec["detail"] += (f"; first diff: mine "
+                                                  f"{a} want {b}"[:400])
+                                break
+            except Exception as e:
+                msg = str(e)
+                if "INTERRUPT" in msg.upper() or "timeout" in msg.lower():
+                    rec["status"] = "skip_oracle_cost"
+                    rec["budget_s"] = timeout_s
+                    rec["detail"] = f"oracle exceeded {timeout_s}s budget"
+                else:
+                    rec["detail"] = msg[:400]
+        rec["t_total_s"] = round(time.time() - t0, 2)
+        ckpt[name] = rec
+        save_ckpt(ckpt_path, ckpt)
+        print(f"[{rec['status'].upper():>16}] {name} "
+              f"({rec['t_total_s']}s) {rec['detail'][:120]}", flush=True)
+    counts = {}
+    for rec in ckpt.values():
+        counts[rec["status"]] = counts.get(rec["status"], 0) + 1
+    print(f"== {counts} ==")
+    return 1 if counts.get("fail", 0) else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv))
