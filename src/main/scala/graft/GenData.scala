@@ -49,21 +49,47 @@ object GenData {
   private def pick(tag: String, choices: Seq[String], cols: Column*): Column =
     element_at(array(choices.map(lit): _*), ui(tag, choices.size, cols: _*) + 1)
 
+  /** Deterministic Zipf(≈1) rank in [0, n): log-uniform inverse CDF
+    * over [1, n+1), so P(k) ∝ 1/(k+1) and rank 0 absorbs
+    * ln2/ln(n+1) of all rows (7.2% of 1M events on ONE user at sf1,
+    * 38.7% of transactions on ONE symbol, vs 1/n uniform). This is
+    * the hot-key generator for the skewed testdata variant — the
+    * shape real traffic has and the uniform driver set never
+    * exercises.
+    */
+  private def zipf(tag: String, n: Long, cols: Column*): Column =
+    (exp(u(tag, cols: _*) * log(lit((n + 1).toDouble))) - 1.0).cast("long")
+
+  /** Uniform or Zipf key depending on the generator's skew mode. */
+  private def key(skewed: Boolean, tag: String, n: Long,
+                  cols: Column*): Column =
+    if (skewed) zipf(tag, n, cols: _*)
+    else pmod(xxhash64((lit(tag) +: cols): _*), lit(n))
+
   def main(args: Array[String]): Unit = {
     val outDir = args(0)
     val sf = if (args.length > 1) args(1).toDouble else 1.0
     val srcDir = if (args.length > 2) args(2) else "/root/testdata/sf0.1"
+    val skewed = args.length > 3 && args(3) == "skew"
     val spark = SparkSession.builder()
       .appName("graft-gendata")
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
-    try generate(spark, outDir, sf, srcDir) finally spark.stop()
+    try generate(spark, outDir, sf, srcDir, skewed) finally spark.stop()
   }
 
+  /** `skewed = true` swaps every relationship/grouping key draw
+    * (events.user_id + event_type, documents.source, lineitem's
+    * order/part/supp keys, orders.o_custkey) from uniform to the
+    * [[zipf]] hot-key distribution, leaving every OTHER column's
+    * value distribution and all schemas/encodings identical — the
+    * uniform-vs-skew A/B the AQE skew-join claims are measured on
+    * (graft.SkewBench).
+    */
   def generate(spark: SparkSession, outDir: String, sf: Double,
-               srcDir: String): Unit = {
+               srcDir: String, skewed: Boolean = false): Unit = {
     def n(t: String): Long = math.max(1L, (base(t) * sf).toLong)
     // region/nation are fixed-size dimension tables — identical at
     // every sf; copy them from the driver's set
@@ -72,12 +98,14 @@ object GenData {
     writeSingle(customer(spark, n("customer")), outDir, "customer")
     writeSingle(supplier(spark, n("supplier")), outDir, "supplier")
     writeSingle(part(spark, n("part")), outDir, "part")
-    writeSingle(orders(spark, n("orders"), n("customer")), outDir, "orders")
+    writeSingle(orders(spark, n("orders"), n("customer"), skewed),
+      outDir, "orders")
     writeSingle(
-      lineitem(spark, n("lineitem"), n("orders"), n("part"), n("supplier")),
+      lineitem(spark, n("lineitem"), n("orders"), n("part"), n("supplier"),
+        skewed),
       outDir, "lineitem")
-    writeSingle(events(spark, n("events")), outDir, "events")
-    writeSingle(documents(spark, n("documents")), outDir, "documents")
+    writeSingle(events(spark, n("events"), skewed), outDir, "events")
+    writeSingle(documents(spark, n("documents"), skewed), outDir, "documents")
     writeSingle(embeddings(spark, n("embeddings")), outDir, "embeddings")
   }
 
@@ -115,10 +143,11 @@ object GenData {
       round(lit(900.0) + pmod(col("id"), lit(1000L)) / 10.0, 2)
         .as("p_retailprice"))
 
-  def orders(spark: SparkSession, n: Long, nCust: Long): DataFrame =
+  def orders(spark: SparkSession, n: Long, nCust: Long,
+             skewed: Boolean = false): DataFrame =
     spark.range(n).select(
       col("id").as("o_orderkey"),
-      pmod(xxhash64(lit("ocust"), col("id")), lit(nCust)).as("o_custkey"),
+      key(skewed, "ocust", nCust, col("id")).as("o_custkey"),
       pick("ostat", Seq("F", "O", "P"), col("id")).as("o_orderstatus"),
       round(u("oprice", col("id")) * 498998.0 + 1001.0, 2).as("o_totalprice"),
       date_add(to_date(lit("1995-01-01")), ui("odate", 2404, col("id")))
@@ -131,11 +160,11 @@ object GenData {
     * l_extendedprice is independent of part price).
     */
   def lineitem(spark: SparkSession, n: Long, nOrders: Long, nParts: Long,
-               nSupp: Long): DataFrame =
+               nSupp: Long, skewed: Boolean = false): DataFrame =
     spark.range(n).select(
-      pmod(xxhash64(lit("lord"), col("id")), lit(nOrders)).as("l_orderkey"),
-      pmod(xxhash64(lit("lpart"), col("id")), lit(nParts)).as("l_partkey"),
-      pmod(xxhash64(lit("lsupp"), col("id")), lit(nSupp)).as("l_suppkey"),
+      key(skewed, "lord", nOrders, col("id")).as("l_orderkey"),
+      key(skewed, "lpart", nParts, col("id")).as("l_partkey"),
+      key(skewed, "lsupp", nSupp, col("id")).as("l_suppkey"),
       (ui("lln", 7, col("id")) + 1).as("l_linenumber"),
       (ui("lqty", 50, col("id")) + 1).cast("double").as("l_quantity"),
       round(u("lprice", col("id")) * 104099.0 + 900.0, 2).as("l_extendedprice"),
@@ -153,16 +182,19 @@ object GenData {
     * (driver: 150 @10k rows, 1500 @100k). value is Exp(mean=50) —
     * matches the driver's observed quantiles (median ≈ 50·ln2).
     */
-  def events(spark: SparkSession, n: Long): DataFrame = {
+  def events(spark: SparkSession, n: Long,
+             skewed: Boolean = false): DataFrame = {
     val startMicros = 1704067200000000L // 2024-01-01 00:00:00 UTC
     val spanMicros = 30L * 86400 * 1000000
     val nUsers = math.max(1L, n / 67) // driver ratio ≈ 15 events/user/day
+    val types = Seq("view", "click", "purchase", "signup", "error")
     val unordered = spark.range(n).select(
       timestamp_micros(lit(startMicros) +
         (u("ets", col("id")) * spanMicros).cast("long")).as("ts"),
-      pmod(xxhash64(lit("euser"), col("id")), lit(nUsers)).as("user_id"),
-      pick("etype", Seq("view", "click", "purchase", "signup", "error"),
-        col("id")).as("event_type"),
+      key(skewed, "euser", nUsers, col("id")).as("user_id"),
+      element_at(array(types.map(lit): _*),
+        key(skewed, "etype", types.size, col("id")).cast("int") + 1)
+        .as("event_type"),
       round(lit(-50.0) * log(lit(1.0) - u("eval", col("id"))), 2).as("value"),
       format_string("{\"k\": %d}", ui("ek", 100, col("id"))).as("props"))
     // event_id = rank in ts order. zipWithIndex over the sorted RDD
@@ -192,7 +224,8 @@ object GenData {
     * function of a SEED id, so a copy just points its seed at the
     * earlier row (no self-join).
     */
-  def documents(spark: SparkSession, n: Long): DataFrame = {
+  def documents(spark: SparkSession, n: Long,
+                skewed: Boolean = false): DataFrame = {
     val dupKind = ui("ddup", 1000, col("id"))
     val seed = when(col("id") > 0 && dupKind < 12,
       pmod(xxhash64(lit("dsrc"), col("id")), col("id"))).otherwise(col("id"))
@@ -223,7 +256,8 @@ object GenData {
         when(u("dlang", col("id")) < 0.4, "en")
           .otherwise(pick("dlang2", Seq("de", "es", "fr", "zh"), col("id")))
           .as("lang"),
-        format_string("src%d", ui("dsrcn", 20, col("id"))).as("source"),
+        format_string("src%d",
+          key(skewed, "dsrcn", 20, col("id")).cast("int")).as("source"),
         length(col("text")).cast("long").as("n_chars"))
   }
 

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Uniform-vs-skew A/B for the keyed shuffles — measures what the
+  * injected-toy skew lock (ScaleJoinsSpec) cannot: real AQE behavior
+  * when a generated corpus carries Zipf hot keys (GenData's `skew`
+  * mode: one user takes ~7% of all events, one symbol ~39% of all
+  * transactions, one order key ~4% of 6M lineitems).
+  *
+  * Runs a fixed set of keyed queries on ONE sfDir (point it at the
+  * uniform and the skewed set in two invocations), two timed runs
+  * each keeping the min (Bench's convention), and — the part a timer
+  * can't show — reports whether the EXECUTED adaptive plan carries a
+  * `skew=true` sort-merge join split, i.e. whether AQE actually
+  * rebalanced the hot partition rather than one straggler task
+  * eating it.
+  *
+  * Output: one JSON line
+  *   {"sf":dir,"queries":{name:{"sec":s,"skew_join":bool}}}
+  */
+object SkewBench {
+  /** Keyed on the columns GenData skews: symbol/event_type (candle
+    * family), user_id (funnel/session/retention), l_orderkey /
+    * l_suppkey / o_custkey joins, documents.source rollups, plus the
+    * minhash band shuffle whose buckets inherit document skew.
+    */
+  val Keys: Seq[String] = Seq(
+    "q_candle_minute", "q_candle_day", "q_movers",
+    "q_sessionize", "q_funnel", "q_retention",
+    "q3_join", "q_top_supplier", "q_supplier_profit", "q_custdist",
+    "q_dup_rate", "q_corpus_mix", "q_dedup_minhash")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      // local[32] partitions are small; drop the skew-split floor so
+      // AQE's skewedPartitionFactor logic is exercised at test scale
+      // (cluster deployments keep the 256m default)
+      .config("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_SKEW_THRESHOLD", "8m"))
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_ADVISORY_SIZE", "4m"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(0, 2000000).selectExpr("sum(id)", "avg(id)").collect()
+
+    val results = Keys.map { name =>
+      val fn = SparkEntry.queries(name)
+      def once(): (Double, Boolean) = {
+        val t0 = System.nanoTime()
+        val df = fn(spark, sfDir)
+        df.write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        (sec, df.queryExecution.executedPlan.toString.contains("skew=true"))
+      }
+      val (a, sk1) = once()
+      val (b, sk2) = once()
+      name -> (math.min(a, b), sk1 || sk2)
+    }
+    val qs = results.map { case (k, (s, sk)) =>
+      "\"" + k + "\":{\"sec\":" + f"$s%.2f" + ",\"skew_join\":" + sk + "}"
+    }.mkString("{", ",", "}")
+    println(s"""{"sf":"$sfDir","queries":$qs}""")
+    spark.stop()
+  }
+}

@@ -75,4 +75,41 @@ class GenDataSpec extends SparkSpec {
         s"nondeterministic generation in $t")
     }
   }
+
+  test("skew mode: same schemas, Zipf hot keys; non-key columns untouched") {
+    val dir = Files.createTempDirectory("gendata-skew").toString
+    GenData.generate(spark, dir, 0.001, driverSf, skewed = true)
+    for (t <- Seq("orders", "lineitem", "documents")) {
+      assert(spark.read.parquet(s"$dir/$t.parquet").schema ===
+        spark.read.parquet(s"$genDir/$t.parquet").schema,
+        s"skew mode drifted the $t schema")
+    }
+    assert(Tables.events(spark, dir).schema === Tables.events(spark, genDir).schema)
+    // hot key 0 absorbs ~ln2/ln(n+1) of rows (log-uniform Zipf);
+    // uniform gives 1/n. events: n_users = 1000/67 = 14 → expect
+    // ~25.6% on user 0 vs ~7% uniform; event_type: ~38.7% on the
+    // hot symbol vs 20%
+    val ev = Tables.events(spark, dir)
+    val n = ev.count().toDouble
+    val hotUser = ev.groupBy("user_id").count()
+      .orderBy(col("count").desc).head()
+    assert(hotUser.getLong(0) === 0L, "rank 0 must be the hot user")
+    assert(hotUser.getLong(1) / n > 0.15, "user skew must be real")
+    val hotType = ev.groupBy("event_type").count()
+      .orderBy(col("count").desc).head()
+    assert(hotType.getString(0) === "view" && hotType.getLong(1) / n > 0.30)
+    // non-key columns keep their uniform-mode values row-for-row:
+    // same id → same ts/value (the A/B isolates KEY distribution)
+    val u = Tables.events(spark, genDir).select("event_id", "value")
+    val s = ev.select("event_id", "value")
+    // note event_id is a ts-rank, and ts is id-hash-derived and
+    // unchanged by skew, so the event_id↔value pairing must agree
+    assert(u.exceptAll(s).isEmpty && s.exceptAll(u).isEmpty)
+    // lineitem: hot l_orderkey exists and uniform mode has none
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val hotOrd = li.groupBy("l_orderkey").count()
+      .orderBy(col("count").desc).head()
+    assert(hotOrd.getLong(0) === 0L &&
+      hotOrd.getLong(1) > li.count() / 50, "order-key skew must be real")
+  }
 }
