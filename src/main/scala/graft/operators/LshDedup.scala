@@ -523,6 +523,25 @@ object LshDedup {
     * memoized [[simhashBitOrder]]; bits are dealt round-robin in
     * that order into the maxHamming+1 chunks.
     */
+  /** Deal an ordered bit list round-robin into `parts` disjoint
+    * groups, preserving the given (entropy) order within each group.
+    */
+  private def dealBits(ordered: Seq[Int], parts: Int): Seq[Seq[Int]] =
+    (0 until parts).map(p =>
+      ordered.zipWithIndex.collect { case (b, i) if i % parts == p => b })
+
+  /** Pack the signature's bits at positions `bs` into one long (bit
+    * j of the result = signature bit bs(j)); an empty list packs to
+    * 0 (every signature trivially agrees — see the 64-chunk edge in
+    * [[simhashCandidatesCapped]]'s split).
+    */
+  private def packBits(sig: org.apache.spark.sql.Column,
+                       bs: Seq[Int]): org.apache.spark.sql.Column =
+    if (bs.isEmpty) lit(0L)
+    else bs.zipWithIndex.map { case (b, i) =>
+      shiftright(sig, b).bitwiseAND(lit(1L)).multiply(lit(1L << i))
+    }.reduce(_.bitwiseOR(_))
+
   private def simhashBuckets(docs: DataFrame, maxHamming: Int,
                              bitOrder: Option[Seq[Int]]): DataFrame = {
     val chunks = maxHamming + 1
@@ -531,64 +550,126 @@ object LshDedup {
     require(entropyOrder.sorted == (0 until 64),
       "bitOrder must be a permutation of 0..63")
     val sh = simhashes(docs)
-    val chunkBits: Seq[Seq[Int]] = (0 until chunks).map(c =>
-      entropyOrder.zipWithIndex.collect { case (b, i) if i % chunks == c => b })
-    def chunkVal(sig: org.apache.spark.sql.Column,
-                 bs: Seq[Int]): org.apache.spark.sql.Column =
-      bs.zipWithIndex.map { case (b, i) =>
-        shiftright(sig, b).bitwiseAND(lit(1L)).multiply(lit(1L << i))
-      }.reduce(_.bitwiseOR(_))
-    val chunkCols = array(chunkBits.map(chunkVal(col("simhash"), _)): _*)
+    val chunkCols = array(dealBits(entropyOrder, chunks)
+      .map(packBits(col("simhash"), _)): _*)
     sh.select(col("doc_id"), col("simhash"), posexplode(chunkCols))
       .withColumnsRenamed(Map("pos" -> "chunk", "col" -> "chunk_val"))
   }
 
-  /** The skew-capped sibling of [[simhashCandidates]] — the same
-    * maxBucket drop guard the MinHash path ships ([[candidatePairs]]):
-    * buckets larger than `maxBucket` are dropped entirely (a
-    * quadratic-size signature bucket means exact-duplicate or
-    * boilerplate spam, which exact dedup catches at linear cost), and
-    * pairs are emitted columnar-side from each kept bucket's sorted
-    * member array — no bucket self-join, so worst-case work is
-    * bounded by buckets × maxBucket² regardless of corpus skew.
-    * Answer EQUALS [[simhashCandidates]] whenever no bucket exceeds
-    * the cap; [[simhashDropStats]] is the observability gate that
-    * says whether that held.
+  private def combos(ids: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + 2, size(ids)),
+        y => struct(x.as("a"), y.as("b")))))
+
+  /** The kept (level-1 small + level-2 split) bucket member rows and
+    * the still-oversized level-2 bucket sizes behind
+    * [[simhashCandidatesCapped]] / [[simhashDropStats]].
+    *
+    * Two-level pigeonhole: a bucket larger than the cap is NOT
+    * dropped outright — its members, which already agree on chunk c,
+    * are re-bucketed by a SECOND pigeonhole over the 64−|c| bits c
+    * does not cover (dealt into maxHamming+1 sub-chunks in the same
+    * entropy order). A pair within the hamming budget has ≤ h
+    * mismatches among those complement bits, so at least one of the
+    * h+1 sub-chunks agrees — recall through the split is EXACT, and
+    * sub-buckets split well precisely where the parent was
+    * degenerate (the parent collapsed because chunk c carried no
+    * entropy; the complement holds the bits that do). Only
+    * sub-buckets STILL larger than the cap are dropped — and a
+    * bucket that an entropy-ordered second pigeonhole cannot split
+    * is a near-identical-signature cluster (measured at sf1:
+    * post-split drops are signature-duplicate spam), which is what
+    * exact/content dedup removes at linear cost.
+    *
+    * Memory discipline: bucket sizes come from a constant-memory
+    * count aggregate joined back to member rows, so no task ever
+    * materializes an oversized bucket's member array — collect_list
+    * runs only on buckets already ≤ cap. Work bound: combos ≤
+    * buckets × cap²; the split explodes oversized members by
+    * (h+1)× once.
+    */
+  private def cappedMembers(docs: DataFrame, maxHamming: Int,
+                            maxBucket: Int, bitOrder: Option[Seq[Int]])
+      : (DataFrame, DataFrame) = {
+    val chunks = maxHamming + 1
+    val order = bitOrder.getOrElse(simhashBitOrder(docs))
+    val members = simhashBuckets(docs, maxHamming, Some(order))
+    val bkey = Seq("chunk", "chunk_val")
+    val sizes = members.groupBy(bkey.map(col): _*).agg(count(lit(1)).as("n"))
+    val tagged = members.join(sizes, bkey)
+    val lvl1 = tagged.filter(col("n").between(2, maxBucket))
+      .select(col("chunk"), col("chunk_val"),
+        lit(-1).as("sub"), lit(0L).as("sub_val"),
+        col("doc_id"), col("simhash"))
+    // complement sub-chunk values, parent-chunk-dependent
+    val chunkBits = dealBits(order, chunks)
+    val subValArr = (0 until chunks).map { c =>
+      val comp = order.filterNot(chunkBits(c).toSet)
+      (c, array(dealBits(comp, chunks)
+        .map(packBits(col("simhash"), _)): _*))
+    }.foldLeft(lit(null).cast("array<bigint>")) { case (acc, (c, arr)) =>
+      when(col("chunk") === lit(c), arr).otherwise(acc)
+    }
+    val exploded = tagged.filter(col("n") > maxBucket)
+      .select(col("chunk"), col("chunk_val"), col("doc_id"), col("simhash"),
+        posexplode(subValArr))
+      .withColumnsRenamed(Map("pos" -> "sub", "col" -> "sub_val"))
+    val skey = Seq("chunk", "chunk_val", "sub", "sub_val")
+    val subSizes = exploded.groupBy(skey.map(col): _*)
+      .agg(count(lit(1)).as("n2"))
+    val lvl2 = exploded.join(subSizes, skey)
+      .filter(col("n2").between(2, maxBucket))
+      .select(col("chunk"), col("chunk_val"), col("sub"), col("sub_val"),
+        col("doc_id"), col("simhash"))
+    (lvl1.union(lvl2), subSizes.filter(col("n2") > maxBucket))
+  }
+
+  /** The skew-capped sibling of [[simhashCandidates]] — the maxBucket
+    * guard the MinHash path ships ([[candidatePairs]]), refined with
+    * a second-level pigeonhole: oversized buckets are split by the
+    * complement bits (exact recall through the split — see
+    * [[cappedMembers]]) and only sub-buckets STILL above the cap are
+    * dropped. Measured at sf1 (50k docs, cap 2000): the one-level
+    * drop lost 53% of true pairs (the hot buckets were DISTINCT
+    * signatures agreeing on a low-entropy chunk, not dup clusters —
+    * the round-7 claim this gate refuted); the split recovers them
+    * at bounded work, and what still drops is genuine
+    * identical-signature spam. Pairs are emitted columnar-side from
+    * each kept bucket's sorted member array — no bucket self-join —
+    * so worst-case combo work is buckets × maxBucket² under any
+    * corpus skew. Answer EQUALS [[simhashCandidates]] whenever no
+    * post-split bucket exceeds the cap; [[simhashDropStats]] is the
+    * observability gate that says whether that held.
     */
   def simhashCandidatesCapped(docs: DataFrame, maxHamming: Int = 3,
                               maxBucket: Int = 2000,
-                              bitOrder: Option[Seq[Int]] = None): DataFrame = {
-    import org.apache.spark.sql.Column
-    def combos(ids: Column): Column =
-      flatten(transform(ids, (x, i) =>
-        transform(slice(ids, i + 2, size(ids)),
-          y => struct(x.as("a"), y.as("b")))))
-    simhashBuckets(docs, maxHamming, bitOrder)
-      .groupBy(col("chunk"), col("chunk_val"))
+                              bitOrder: Option[Seq[Int]] = None): DataFrame =
+    cappedMembers(docs, maxHamming, maxBucket, bitOrder)._1
+      .groupBy(col("chunk"), col("chunk_val"), col("sub"), col("sub_val"))
       .agg(array_distinct(sort_array(collect_list(
         struct(col("doc_id"), col("simhash"))))).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
       .select(explode(combos(col("ids"))).as("p"))
       .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
         hamming64(col("p.a.simhash"), col("p.b.simhash")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
-  }
 
   /** One-row summary of what [[simhashCandidatesCapped]]'s skew cap
-    * drops: (n_buckets_dropped, n_doc_slots_dropped) — the simhash
-    * analogue of [[dropStats]]. Non-zero means the capped answer may
-    * under-report pairs and the dropped docs belong in exact dedup.
+    * drops AFTER the second-level split: (n_buckets_dropped,
+    * n_doc_slots_dropped) over the still-oversized sub-buckets — the
+    * simhash analogue of [[dropStats]]. Non-zero means the capped
+    * answer may under-report pairs, and the dropped docs are
+    * near-identical-signature clusters that belong in exact dedup.
+    * (Slots count doc·sub-bucket memberships, so one doc in k
+    * dropped sub-buckets contributes k — the same slot convention
+    * as the MinHash report.)
     */
   def simhashDropStats(docs: DataFrame, maxHamming: Int = 3,
                        maxBucket: Int = 2000,
                        bitOrder: Option[Seq[Int]] = None): DataFrame =
-    simhashBuckets(docs, maxHamming, bitOrder)
-      .groupBy(col("chunk"), col("chunk_val"))
-      .agg(count(lit(1)).as("n_docs"))
-      .filter(col("n_docs") > maxBucket)
+    cappedMembers(docs, maxHamming, maxBucket, bitOrder)._2
       .agg(count(lit(1)).as("n_buckets_dropped"),
-        coalesce(sum(col("n_docs")), lit(0L)).as("n_doc_slots_dropped"))
+        coalesce(sum(col("n2")), lit(0L)).as("n_doc_slots_dropped"))
 
   /** The composed-pipeline recall gate for
     * [[simhashCandidatesCapped]] — the measured answer to "are the

@@ -155,8 +155,13 @@ class LshSpec extends SparkSpec {
     val capped = key(LshDedup.simhashCandidatesCapped(docs.limit(200),
       maxHamming = 6, maxBucket = 2000))
     assert(capped === exact)
-    // degenerate spam corpus: 40 identical docs, cap 10 — every chunk
-    // bucket holds all 40, so all are dropped and the report says so
+    // degenerate spam corpus: 40 IDENTICAL docs, cap 10 — identical
+    // signatures defeat the second-level split (every complement
+    // sub-chunk value is identical too), so all 7 parent buckets ×
+    // 7 sub-chunks stay oversized, every pair is dropped, and the
+    // report says so. This is the exact case the cap is FOR: an
+    // un-splittable bucket is an identical-signature cluster, which
+    // exact content dedup removes at linear cost.
     val spam = spark.createDataFrame(
       (1L to 40L).map(i => (i, "the same spam text repeated verbatim")))
       .toDF("doc_id", "text")
@@ -164,8 +169,25 @@ class LshSpec extends SparkSpec {
       maxBucket = 10).count() === 0)
     val st = LshDedup.simhashDropStats(spam, maxHamming = 6, maxBucket = 10)
       .head()
-    assert(st.getAs[Long]("n_buckets_dropped") === 7L)
-    assert(st.getAs[Long]("n_doc_slots_dropped") === 280L)
+    assert(st.getAs[Long]("n_buckets_dropped") === 49L)
+    assert(st.getAs[Long]("n_doc_slots_dropped") === 1960L)
+  }
+
+  test("simhash two-level split: distinct-signature hot buckets are split, not dropped") {
+    // a corpus whose signatures are DISTINCT but agree on the
+    // low-entropy chunks (the measured sf1 failure shape): real docs
+    // with a tiny cap that the one-level guard would trip on
+    val d = docs.limit(200)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val exact = key(LshDedup.simhashCandidates(d, maxHamming = 6))
+    // cap 40 << 200: level-1 buckets on a 31-word-vocab corpus blow
+    // the cap, but the complement split rescues the true pairs
+    val capped = key(LshDedup.simhashCandidatesCapped(d, maxHamming = 6,
+      maxBucket = 40))
+    assert(capped.subsetOf(exact))
+    assert(capped.size >= (exact.size * 9) / 10,
+      s"split recall ${capped.size}/${exact.size} must be >= 90%")
   }
 
   test("simhashCappedRecallReport: exact dedup first recovers the pairs the raw cap drops") {
