@@ -55,22 +55,31 @@ object GenData {
     * 38.7% of transactions on ONE symbol, vs 1/n uniform). This is
     * the hot-key generator for the skewed testdata variant — the
     * shape real traffic has and the uniform driver set never
-    * exercises.
+    * exercises. `sharp > 1` raises the uniform draw to that power
+    * before the inverse CDF, concentrating extra mass on rank 0
+    * (sharp=2: rank 0 takes sqrt(ln2/ln(n+1)) — ~22% of 6M lineitem
+    * rows on ONE order key at sf1, the single-whale shape that
+    * crosses AQE's skew-split bar; measured: Zipf-1's 4.9% hot key
+    * yields a ~2.7 MB partition that AQE correctly declines to
+    * split).
     */
-  private def zipf(tag: String, n: Long, cols: Column*): Column =
-    (exp(u(tag, cols: _*) * log(lit((n + 1).toDouble))) - 1.0).cast("long")
+  private def zipf(tag: String, n: Long, sharp: Int,
+                   cols: Column*): Column =
+    (exp(pow(u(tag, cols: _*), sharp.toDouble) *
+      log(lit((n + 1).toDouble))) - 1.0).cast("long")
 
-  /** Uniform or Zipf key depending on the generator's skew mode. */
-  private def key(skewed: Boolean, tag: String, n: Long,
+  /** Uniform (skewExp=0) or Zipf key with the given sharpness. */
+  private def key(skewExp: Int, tag: String, n: Long,
                   cols: Column*): Column =
-    if (skewed) zipf(tag, n, cols: _*)
+    if (skewExp > 0) zipf(tag, n, skewExp, cols: _*)
     else pmod(xxhash64((lit(tag) +: cols): _*), lit(n))
 
   def main(args: Array[String]): Unit = {
     val outDir = args(0)
     val sf = if (args.length > 1) args(1).toDouble else 1.0
     val srcDir = if (args.length > 2) args(2) else "/root/testdata/sf0.1"
-    val skewed = args.length > 3 && args(3) == "skew"
+    val skewed = if (args.length > 3 && args(3) == "skew") 1
+      else if (args.length > 3 && args(3) == "skew2") 2 else 0
     val spark = SparkSession.builder()
       .appName("graft-gendata")
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
@@ -80,16 +89,17 @@ object GenData {
     try generate(spark, outDir, sf, srcDir, skewed) finally spark.stop()
   }
 
-  /** `skewed = true` swaps every relationship/grouping key draw
+  /** `skewed > 0` swaps every relationship/grouping key draw
     * (events.user_id + event_type, documents.source, lineitem's
     * order/part/supp keys, orders.o_custkey) from uniform to the
-    * [[zipf]] hot-key distribution, leaving every OTHER column's
-    * value distribution and all schemas/encodings identical — the
-    * uniform-vs-skew A/B the AQE skew-join claims are measured on
-    * (graft.SkewBench).
+    * [[zipf]] hot-key distribution at that sharpness, leaving every
+    * OTHER column's value distribution and all schemas/encodings
+    * identical — the uniform-vs-skew A/B the AQE skew-join claims
+    * are measured on (graft.SkewBench). 1 = realistic Zipf traffic;
+    * 2 = single-whale key for exercising the AQE skew-split bar.
     */
   def generate(spark: SparkSession, outDir: String, sf: Double,
-               srcDir: String, skewed: Boolean = false): Unit = {
+               srcDir: String, skewed: Int = 0): Unit = {
     def n(t: String): Long = math.max(1L, (base(t) * sf).toLong)
     // region/nation are fixed-size dimension tables — identical at
     // every sf; copy them from the driver's set
@@ -144,7 +154,7 @@ object GenData {
         .as("p_retailprice"))
 
   def orders(spark: SparkSession, n: Long, nCust: Long,
-             skewed: Boolean = false): DataFrame =
+             skewed: Int = 0): DataFrame =
     spark.range(n).select(
       col("id").as("o_orderkey"),
       key(skewed, "ocust", nCust, col("id")).as("o_custkey"),
@@ -160,7 +170,7 @@ object GenData {
     * l_extendedprice is independent of part price).
     */
   def lineitem(spark: SparkSession, n: Long, nOrders: Long, nParts: Long,
-               nSupp: Long, skewed: Boolean = false): DataFrame =
+               nSupp: Long, skewed: Int = 0): DataFrame =
     spark.range(n).select(
       key(skewed, "lord", nOrders, col("id")).as("l_orderkey"),
       key(skewed, "lpart", nParts, col("id")).as("l_partkey"),
@@ -183,7 +193,7 @@ object GenData {
     * matches the driver's observed quantiles (median ≈ 50·ln2).
     */
   def events(spark: SparkSession, n: Long,
-             skewed: Boolean = false): DataFrame = {
+             skewed: Int = 0): DataFrame = {
     val startMicros = 1704067200000000L // 2024-01-01 00:00:00 UTC
     val spanMicros = 30L * 86400 * 1000000
     val nUsers = math.max(1L, n / 67) // driver ratio ≈ 15 events/user/day
@@ -225,7 +235,7 @@ object GenData {
     * earlier row (no self-join).
     */
   def documents(spark: SparkSession, n: Long,
-                skewed: Boolean = false): DataFrame = {
+                skewed: Int = 0): DataFrame = {
     val dupKind = ui("ddup", 1000, col("id"))
     val seed = when(col("id") > 0 && dupKind < 12,
       pmod(xxhash64(lit("dsrc"), col("id")), col("id"))).otherwise(col("id"))

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Uniform-vs-skew A/B for the keyed shuffles — measures what the
   * injected-toy skew lock (ScaleJoinsSpec) cannot: real AQE behavior
@@ -49,25 +50,74 @@ object SkewBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the noop write runs its OWN QueryExecution (the DataFrame's is
+    // never executed, so its adaptive plan stays isFinalPlan=false) —
+    // capture the FINALIZED plan of each completed action through a
+    // QueryExecutionListener instead
+    @volatile var lastPlan = ""
+    spark.listenerManager.register(
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit =
+          lastPlan = qe.executedPlan.toString
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      })
     spark.range(0, 2000000).selectExpr("sum(id)", "avg(id)").collect()
 
     val results = Keys.map { name =>
       val fn = SparkEntry.queries(name)
       def once(): (Double, Boolean) = {
+        lastPlan = ""
         val t0 = System.nanoTime()
         val df = fn(spark, sfDir)
         df.write.format("noop").mode("overwrite").save()
         val sec = (System.nanoTime() - t0) / 1e9
-        (sec, df.queryExecution.executedPlan.toString.contains("skew=true"))
+        // listener delivery is async; the plan string arrives within
+        // a few scheduler ticks of save() returning
+        val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+        while (lastPlan.isEmpty && System.nanoTime() < deadline)
+          Thread.sleep(20)
+        (sec, lastPlan.contains("skew=true"))
       }
       val (a, sk1) = once()
       val (b, sk2) = once()
       name -> (math.min(a, b), sk1 || sk2)
     }
+    // AQE skew-split demonstration. Two layout facts local testing
+    // hides: (1) AQE can only split a skewed reduce partition along
+    // MAP-OUTPUT boundaries, and (2) the single-file testdata parquet
+    // is one row group = ONE map task — so on the stock layout the
+    // split can never fire no matter how skewed the key (measured at
+    // sf1skew2: a 13.2 MB whale partition vs 291 KB median was
+    // declared unsplittable). repartition(32) stands in for the
+    // multi-task scan any production multi-file table has; with it
+    // the same join splits the whale (skew=true in the final plan).
+    // Scale lesson: shard table files (Corpus.shardPlan exists for
+    // exactly this) or AQE's skew insurance silently lapses.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1m")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "1m")
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet").repartition(32)
+    val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+    lastPlan = ""
+    val t0 = System.nanoTime()
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(sum("l_extendedprice").as("rev"))
+      .write.format("noop").mode("overwrite").save()
+    val demoSec = (System.nanoTime() - t0) / 1e9
+    val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+    while (lastPlan.isEmpty && System.nanoTime() < deadline)
+      Thread.sleep(20)
+    val demo = "{\"sec\":" + f"$demoSec%.2f" +
+      ",\"skew_join\":" + lastPlan.contains("skew=true") + "}"
+
     val qs = results.map { case (k, (s, sk)) =>
       "\"" + k + "\":{\"sec\":" + f"$s%.2f" + ",\"skew_join\":" + sk + "}"
     }.mkString("{", ",", "}")
-    println(s"""{"sf":"$sfDir","queries":$qs}""")
+    println(s"""{"sf":"$sfDir","queries":$qs,"skew_split_demo":$demo}""")
     spark.stop()
   }
 }

@@ -78,7 +78,7 @@ class GenDataSpec extends SparkSpec {
 
   test("skew mode: same schemas, Zipf hot keys; non-key columns untouched") {
     val dir = Files.createTempDirectory("gendata-skew").toString
-    GenData.generate(spark, dir, 0.001, driverSf, skewed = true)
+    GenData.generate(spark, dir, 0.001, driverSf, skewed = 1)
     for (t <- Seq("orders", "lineitem", "documents")) {
       assert(spark.read.parquet(s"$dir/$t.parquet").schema ===
         spark.read.parquet(s"$genDir/$t.parquet").schema,
