@@ -13,6 +13,13 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // SPARK_GRAFT_MAX_PART_BYTES: scan-split size. Spark's 128 MiB
+      // default is sized for cluster-scale files; at sf1/sf10 the
+      // whole table fits in 1-10 default splits and local[32] scans
+      // run 3-30x under-parallel. Unset ⇒ Spark default (the graded
+      // sf0.1 path is unchanged); big-SF sweeps set e.g. 8m.
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PART_BYTES", "128m"))
       // the default 100-entry generated-class cache evicts across a
       // 119-query run, so late queries pay full codegen compile on
       // BOTH timed runs (measured q_winnow: 4.3 s evicted vs 1.0 s

@@ -301,12 +301,25 @@ object GenData {
   /** Write `df` as the single file `<dir>/<name>.parquet` (the
     * driver's layout — DuckDB in tools/check.py opens the file path
     * directly, so a Spark part-file directory won't do).
+    *
+    * Row groups are capped at 8 MiB (vs the 128 MiB parquet default)
+    * so the single file stays SPLITTABLE: Spark can only parallelize
+    * a scan across row-group boundaries, and a coalesce(1) write at
+    * default block size produced ONE row group at sf1 — every sf1
+    * scan ran as a single map task, and AQE skew splits (which cut
+    * along map-output boundaries) were structurally impossible. A
+    * real cluster table is thousands of ~128 MiB files and gets its
+    * parallelism from file count; 8 MiB row groups are the
+    * single-file stand-in for that layout. Values are unaffected —
+    * block size is pure physical layout (GenDataSpec pins this).
     */
   def writeSingle(df: DataFrame, dir: String, name: String): Unit = {
     import org.apache.hadoop.fs.Path
     val spark = df.sparkSession
     val tmp = s"$dir/.gen_tmp_$name"
-    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    df.coalesce(1).write.mode("overwrite")
+      .option("parquet.block.size", (8 * 1024 * 1024).toString)
+      .parquet(tmp)
     val conf = spark.sessionState.newHadoopConf()
     val fs = new Path(dir).getFileSystem(conf)
     val part = fs.listStatus(new Path(tmp)).map(_.getPath)

@@ -45,6 +45,9 @@ object SkewBench {
       // (cluster deployments keep the 256m default)
       .config("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
         sys.env.getOrElse("SPARK_GRAFT_SKEW_THRESHOLD", "8m"))
+      // scan-split size; unset ⇒ Spark default (see Bench)
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PART_BYTES", "128m"))
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
         sys.env.getOrElse("SPARK_GRAFT_ADVISORY_SIZE", "4m"))
       .config("spark.ui.enabled", "false")
@@ -88,18 +91,20 @@ object SkewBench {
     }
     // AQE skew-split demonstration. Two layout facts local testing
     // hides: (1) AQE can only split a skewed reduce partition along
-    // MAP-OUTPUT boundaries, and (2) the single-file testdata parquet
-    // is one row group = ONE map task — so on the stock layout the
-    // split can never fire no matter how skewed the key (measured at
-    // sf1skew2: a 13.2 MB whale partition vs 291 KB median was
-    // declared unsplittable). repartition(32) stands in for the
-    // multi-task scan any production multi-file table has; with it
-    // the same join splits the whale (skew=true in the final plan).
+    // MAP-OUTPUT boundaries, and (2) a single-file parquet with ONE
+    // row group is ONE map task — on that layout the split can never
+    // fire no matter how skewed the key (measured at sf1skew2: a
+    // 13.2 MB whale partition vs 291 KB median was declared
+    // unsplittable; an explicit repartition(32) made it split).
+    // GenData.writeSingle now caps row groups at 8 MiB precisely so
+    // the stock testdata is scan-splittable like a production
+    // multi-file table — the NATURAL join below must split the whale
+    // (skew=true in the final plan) with no repartition workaround.
     // Scale lesson: shard table files (Corpus.shardPlan exists for
     // exactly this) or AQE's skew insurance silently lapses.
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1m")
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "1m")
-    val li = spark.read.parquet(s"$sfDir/lineitem.parquet").repartition(32)
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val ord = spark.read.parquet(s"$sfDir/orders.parquet")
     lastPlan = ""
     val t0 = System.nanoTime()

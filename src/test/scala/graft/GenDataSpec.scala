@@ -76,6 +76,30 @@ class GenDataSpec extends SparkSpec {
     }
   }
 
+  test("writeSingle caps row groups at 8 MiB so single-file tables stay splittable") {
+    // Spark parallelizes a scan only across row-group boundaries; a
+    // single-file table with ONE row group is a one-task scan no
+    // matter what maxPartitionBytes says (and AQE skew splits, which
+    // cut along map-output boundaries, become impossible). ~30 MB of
+    // incompressible payload must land as several bounded row groups.
+    val dir = Files.createTempDirectory("gendata-rg").toString
+    val df = spark.range(1000000L)
+      .select(col("id"), md5(col("id").cast("string")).as("pad"))
+    GenData.writeSingle(df, dir, "wide")
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(s"$dir/wide.parquet"),
+      spark.sessionState.newHadoopConf())
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val blocks = reader.getFooter.getBlocks
+      assert(blocks.size() > 1, "single row group — file is unsplittable")
+      blocks.forEach { b =>
+        assert(b.getCompressedSize <= 16L * 1024 * 1024,
+          s"row group ${b.getCompressedSize} bytes exceeds the 8 MiB target (2x slack)")
+      }
+    } finally reader.close()
+  }
+
   test("skew mode: same schemas, Zipf hot keys; non-key columns untouched") {
     val dir = Files.createTempDirectory("gendata-skew").toString
     GenData.generate(spark, dir, 0.001, driverSf, skewed = 1)
