@@ -31,6 +31,27 @@ object TransactionSimulator {
     shape(spark.readStream.format("rate")
       .option("rowsPerSecond", rowsPerSecond).load())
 
+  /** Deterministic throughput-bench source: `rate-micro-batch` emits
+    * exactly `ticksPerBatch` ticks per trigger (machine-speed
+    * independent, unlike the wall-clock `rate` source), and event
+    * time is derived from the tick id at `ticksPerEventSecond` ticks
+    * per event-second — so each micro-batch advances event time by
+    * the same fixed span, watermarks march deterministically, and
+    * windows close on a fixed per-batch cadence. One txn per symbol
+    * per tick, like [[stream]] (graft.StreamBench is the consumer).
+    */
+  def streamMicroBatch(spark: SparkSession, ticksPerBatch: Long,
+                       ticksPerEventSecond: Long = 2048,
+                       startEpoch: Long = 1704067200L): DataFrame =
+    shape(spark.readStream.format("rate-micro-batch")
+      .option("rowsPerBatch", ticksPerBatch)
+      .option("numPartitions", spark.sparkContext.defaultParallelism)
+      .load()
+      .select(
+        timestamp_seconds(lit(startEpoch)
+          + col("value") / lit(ticksPerEventSecond.toDouble)).as("timestamp"),
+        col("value")))
+
   /** Bounded batch variant for tests: `n` ticks starting at epoch
     * second `startEpoch`.
     */
