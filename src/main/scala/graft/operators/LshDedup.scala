@@ -340,7 +340,11 @@ object LshDedup {
 
   /** Count-based inverted-index join: count shared shingles per pair,
     * derive the union from set sizes. Touches every shared-shingle
-    * co-occurrence — right at low thresholds where little prunes.
+    * co-occurrence — right at low thresholds where little prunes. The
+    * PPJoin length filter (J ≥ t ⟹ min ≥ t·max of the set sizes)
+    * rides the join condition so size-incompatible co-occurrences die
+    * before the per-pair count shuffle; the 1e-9 slack means double
+    * rounding can only admit rows the final jaccard filter rejects.
     */
   def exactJaccardPairsCounted(docs: DataFrame, threshold: Double,
                                n: Int = 3,
@@ -352,11 +356,15 @@ object LshDedup {
         "jaccardVerified (LSH banding)", maxExactRows, force), n = n)
       .filter(size(col("shingle_hashes")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val exploded = sh.select(col("doc_id"), explode(col("shingle_hashes")).as("s"))
+    val exploded = sh.select(col("doc_id"),
+      size(col("shingle_hashes")).as("len"),
+      explode(col("shingle_hashes")).as("s"))
     val sizes = sh.select(col("doc_id"), size(col("shingle_hashes")).as("n_sh"))
+    val lenOk = least(col("a.len"), col("b.len")).cast("double") >=
+      lit(threshold - 1e-9) * greatest(col("a.len"), col("b.len"))
     unpersistAfterFirstUse(exploded.as("a")
       .join(exploded.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") && lenOk)
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_int"))
       .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_a", "n_sh" -> "n_a")), "doc_a")
@@ -382,6 +390,25 @@ object LshDedup {
     * (shingle, doc) table to rank by frequency — the standard trade
     * of distributed set-similarity joins, amortized at scale by the
     * candidate collapse.
+    *
+    * Two further PPJoin filters run INSIDE the join condition, so
+    * pruned pairs never reach the distinct/verify shuffles; both only
+    * ever remove pairs the verify step would reject, so exactness is
+    * untouched (the equality spec locks all three paths at every
+    * threshold):
+    *  - length filter: J ≥ t ⟹ min(|x|,|y|) ≥ t·max(|x|,|y|)
+    *    (intersection ≤ min, union ≥ max).
+    *  - positional filter: both arrays share the global order, so the
+    *    FIRST common element (which the prefix theorem guarantees
+    *    lies in both prefixes when J ≥ t) has no common element
+    *    before it in either set; the overlap is then bounded by
+    *    1 + min(elements-after) at its positions, and
+    *    J ≥ t ⟺ overlap ≥ t/(1+t)·(|x|+|y|). Later common elements
+    *    only see tighter bounds, so OR-over-matches (what a join
+    *    naturally computes, made set-like by the distinct) keeps the
+    *    candidate set complete.
+    * Comparisons carry a 1e-9 slack so double rounding can only ADMIT
+    * extra candidates (caught by verify), never drop a true pair.
     */
   def exactJaccardPairsPrefix(docs: DataFrame, threshold: Double,
                               n: Int = 3,
@@ -397,18 +424,29 @@ object LshDedup {
       .groupBy(col("doc_id"))
       .agg(transform(sort_array(collect_list(struct(col("df"), col("s")))),
         x => x.getField("s")).as("sh"))
+      .withColumn("len", size(col("sh")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val prefLen = (size(col("sh")) -
-      ceil(lit(threshold) * size(col("sh"))) + 1).cast("int")
-    val pref = ordered.select(col("doc_id"),
-      explode(slice(col("sh"), lit(1), prefLen)).as("s"))
+    val prefLen = (col("len") -
+      ceil(lit(threshold) * col("len")) + 1).cast("int")
+    // pos is 0-based into the full ordered array (the slice starts at 1)
+    val pref = ordered.select(col("doc_id"), col("len"),
+        posexplode(slice(col("sh"), lit(1), prefLen)))
+      .withColumnRenamed("col", "s")
+    val eps = 1e-9
+    val lenOk = least(col("a.len"), col("b.len")).cast("double") >=
+      lit(threshold - eps) * greatest(col("a.len"), col("b.len"))
+    val posOk = (lit(1) + least(col("a.len") - col("a.pos") - 1,
+        col("b.len") - col("b.pos") - 1)).cast("double") >=
+      lit(threshold / (1.0 + threshold)) * (col("a.len") + col("b.len")) - lit(eps)
+    val verify = ordered.select(col("doc_id"), col("sh"))
     unpersistAfterFirstUse(pref.as("a")
       .join(pref.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+          lenOk && posOk)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-      .join(ordered.withColumnsRenamed(Map("doc_id" -> "doc_a", "sh" -> "sh_a")), "doc_a")
-      .join(ordered.withColumnsRenamed(Map("doc_id" -> "doc_b", "sh" -> "sh_b")), "doc_b")
+      .join(verify.withColumnsRenamed(Map("doc_id" -> "doc_a", "sh" -> "sh_a")), "doc_a")
+      .join(verify.withColumnsRenamed(Map("doc_id" -> "doc_b", "sh" -> "sh_b")), "doc_b")
       .withColumn("jaccard", Dedup.jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard")), ordered)
