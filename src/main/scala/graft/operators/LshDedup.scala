@@ -323,18 +323,23 @@ object LshDedup {
     * for mining and keep this as the verification/ground-truth path.
     */
   def exactJaccardPairs(docs: DataFrame, threshold: Double, n: Int = 3,
-                        prefixFilter: Boolean = false,
+                        prefixFilter: Boolean = true,
                         maxExactRows: Long = ExactScale.DefaultMaxExactRows,
                         force: Boolean = false): DataFrame =
-    // both paths are exact. Counted touches every shared-shingle
-    // co-occurrence (volume Σ cnt(s)² over all shingles) but needs the
-    // fewest shuffles — it wins up to mid-size corpora (measured ~3 s
-    // vs ~7 s at sf0.1). Prefix-filtered only indexes each set's
-    // rarest (1-t) fraction, collapsing the quadratic common-shingle
-    // term — the large-corpus/boilerplate-heavy path, at the price of
-    // two extra shuffles to rank shingles by frequency. Flip
-    // prefixFilter when co-occurrence volume, not shuffle count, is
-    // the bottleneck.
+    // both paths are exact (LshSpec locks equality at every
+    // threshold). Counted touches every shared-shingle co-occurrence
+    // (volume Σ cnt(s)² over all shingles) but needs the fewest
+    // shuffles, so it wins on SMALL corpora where the extra
+    // frequency-ranking shuffles dominate. Prefix-filtered indexes
+    // only each set's rarest (1-t) fraction and prunes by the PPJoin
+    // length+positional bounds inside the join, collapsing the
+    // quadratic common-shingle term. Measured A/B (graft.JaccardBench,
+    // sf1 = 50k docs, quiet machine, min-of-two): t=0.8 counted
+    // 61.0 s vs prefix 7.3 s (8.4×), t=0.2 counted 140.4 s vs prefix
+    // 63.4 s (2.2×); at sf0.1 counted wins by ≤ 0.9 s. The default is
+    // the path that survives corpus scale — flip prefixFilter=false
+    // only for small-corpus loops where sub-second shuffle overhead
+    // matters.
     if (prefixFilter) exactJaccardPairsPrefix(docs, threshold, n, maxExactRows, force)
     else exactJaccardPairsCounted(docs, threshold, n, maxExactRows, force)
 
