@@ -57,33 +57,53 @@ object SkewBench {
     // never executed, so its adaptive plan stays isFinalPlan=false) —
     // capture the FINALIZED plan of each completed action through a
     // QueryExecutionListener instead
-    @volatile var lastPlan = ""
+    // listener delivery is ASYNC, and queries that run intermediate
+    // actions (e.g. the simhash ones-rate stats scan) fire onSuccess
+    // for those too — a single last-plan slot could hold a stale or
+    // intermediate plan. Collect EVERY plan delivered since the reset
+    // and OR the skew check over them; the timed action's plan is
+    // guaranteed to be among them once the buffer is non-empty after
+    // the action returns.
+    val plans = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
     spark.listenerManager.register(
       new org.apache.spark.sql.util.QueryExecutionListener {
         override def onSuccess(funcName: String,
             qe: org.apache.spark.sql.execution.QueryExecution,
             durationNs: Long): Unit =
-          lastPlan = qe.executedPlan.toString
+          plans.add(qe.executedPlan.toString)
         override def onFailure(funcName: String,
             qe: org.apache.spark.sql.execution.QueryExecution,
             exception: Exception): Unit = ()
       })
     spark.range(0, 2000000).selectExpr("sum(id)", "avg(id)").collect()
 
+    // wait for the post-action plan deliveries to drain: non-empty
+    // AND size stable for a settle window (≤ deadline). Then any
+    // skew=true across the delivered set counts — an intermediate
+    // action's plan can no longer mask or stand in for the final one.
+    def drainPlans(): Seq[String] = {
+      val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+      var last = -1
+      var stableSince = System.nanoTime()
+      while (System.nanoTime() < deadline &&
+             (plans.size() == 0 ||
+              System.nanoTime() - stableSince < 500L * 1000 * 1000)) {
+        if (plans.size() != last) { last = plans.size(); stableSince = System.nanoTime() }
+        Thread.sleep(20)
+      }
+      import scala.jdk.CollectionConverters._
+      plans.synchronized(plans.asScala.toList)
+    }
     val results = Keys.map { name =>
       val fn = SparkEntry.queries(name)
       def once(): (Double, Boolean) = {
-        lastPlan = ""
+        plans.clear()
         val t0 = System.nanoTime()
         val df = fn(spark, sfDir)
         df.write.format("noop").mode("overwrite").save()
         val sec = (System.nanoTime() - t0) / 1e9
-        // listener delivery is async; the plan string arrives within
-        // a few scheduler ticks of save() returning
-        val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
-        while (lastPlan.isEmpty && System.nanoTime() < deadline)
-          Thread.sleep(20)
-        (sec, lastPlan.contains("skew=true"))
+        (sec, drainPlans().exists(_.contains("skew=true")))
       }
       val (a, sk1) = once()
       val (b, sk2) = once()
@@ -106,18 +126,15 @@ object SkewBench {
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "1m")
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val ord = spark.read.parquet(s"$sfDir/orders.parquet")
-    lastPlan = ""
+    plans.clear()
     val t0 = System.nanoTime()
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
       .groupBy("o_orderpriority")
       .agg(sum("l_extendedprice").as("rev"))
       .write.format("noop").mode("overwrite").save()
     val demoSec = (System.nanoTime() - t0) / 1e9
-    val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
-    while (lastPlan.isEmpty && System.nanoTime() < deadline)
-      Thread.sleep(20)
     val demo = "{\"sec\":" + f"$demoSec%.2f" +
-      ",\"skew_join\":" + lastPlan.contains("skew=true") + "}"
+      ",\"skew_join\":" + drainPlans().exists(_.contains("skew=true")) + "}"
 
     val qs = results.map { case (k, (s, sk)) =>
       "\"" + k + "\":{\"sec\":" + f"$s%.2f" + ",\"skew_join\":" + sk + "}"

@@ -43,10 +43,22 @@ object Verify {
     import scala.concurrent.ExecutionContext.Implicits.global
     val timeoutS = sys.env.getOrElse("SPARK_GRAFT_TIMEOUT_S", "1800").toLong
     val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // An ExactScale refusal is the DESIGNED outcome when a corpus-sized
+    // input reaches an exact Θ(n²) ground-truth path (sf10: documents
+    // 500k / embeddings 250k vs the 100k guard) — record it separately
+    // so a big-SF gate can be "clean modulo itemized guards" without
+    // hiding genuine crashes. The driver's SF never trips a guard, so
+    // its contract (_failures.json + exit code) is unchanged.
+    val guarded = scala.collection.mutable.LinkedHashMap.empty[String, String]
     def fail(name: String, msg: String): Unit = {
-      System.err.println(s"[verify] $name failed: $msg")
-      failures(name) = msg
-      Files.writeString(Paths.get(s"$outDir/$name.err.txt"), msg)
+      if (msg != null && msg.contains("exact all-pairs (quadratic)")) {
+        System.err.println(s"[verify] $name guarded (by design): $msg")
+        guarded(name) = msg
+      } else {
+        System.err.println(s"[verify] $name failed: $msg")
+        failures(name) = msg
+        Files.writeString(Paths.get(s"$outDir/$name.err.txt"), msg)
+      }
     }
     selected.foreach { case (name, fn) =>
       val group = s"verify-$name"
@@ -86,6 +98,13 @@ object Verify {
     val failJson = failures
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/_failures.json"), failJson)
+    val guardJson = guarded
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_guarded.json"), guardJson)
+    if (guarded.nonEmpty)
+      System.err.println(
+        s"[verify] ${guarded.size} queries refused by the ExactScale " +
+          s"guard (designed at this SF): ${guarded.keys.mkString(", ")}")
     spark.stop()
     if (failures.nonEmpty) {
       System.err.println(

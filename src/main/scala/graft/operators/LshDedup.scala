@@ -431,8 +431,15 @@ object LshDedup {
         x => x.getField("s")).as("sh"))
       .withColumn("len", size(col("sh")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // prefix length p = len - ceil(t·len) + 1. The 1e-9 slack inside
+    // the ceil mirrors lenOk/posOk's: at mathematically-integer t·len
+    // (t=0.2, len=10) the double product can land one ulp ABOVE the
+    // integer, which would inflate the ceil and silently SHORTEN the
+    // prefix — the one direction that drops true pairs. Subtracting
+    // the slack means rounding can only LENGTHEN the prefix; the
+    // extra candidates are removed by the exact verify step.
     val prefLen = (col("len") -
-      ceil(lit(threshold) * col("len")) + 1).cast("int")
+      ceil(lit(threshold) * col("len") - lit(1e-9)) + 1).cast("int")
     // pos is 0-based into the full ordered array (the slice starts at 1)
     val pref = ordered.select(col("doc_id"), col("len"),
         posexplode(slice(col("sh"), lit(1), prefLen)))
@@ -497,6 +504,16 @@ object LshDedup {
     * in one session share ONE scan; pass `bitOrder` explicitly
     * (precomputed from a persisted signature table, or fixed) to
     * keep construction fully lazy.
+    *
+    * Guard status: deliberately NOT ExactScale-guarded — the join is
+    * bucketed (chunk-equality), never all-pairs, so corpus-sized
+    * inputs are legal; cost tracks bucket diversity, which the
+    * entropy-balanced assignment maximizes. On a corpus whose
+    * signature entropy concentrates in few bits the candidate volume
+    * can still grow super-linearly — production pipelines should use
+    * [[simhashCandidatesCapped]] (work ≤ buckets × cap², recall
+    * gated by [[simhashCappedRecallReport]]) and watch
+    * [[simhashDropStats]]/[[dedupHealth]].
     */
   def simhashCandidates(docs: DataFrame, maxHamming: Int = 3,
                         bitOrder: Option[Seq[Int]] = None): DataFrame = {
@@ -525,10 +542,26 @@ object LshDedup {
     * disjoint bit partition preserves pigeonhole recall, and the
     * final hamming filter makes answers chunking-invariant), so a
     * stale entry after an in-place data rewrite costs bucket
-    * balance, never correctness.
+    * balance, never correctness — and so the SIZE BOUND below may
+    * evict freely: past [[BitOrderCacheMax]] entries the map is
+    * cleared before inserting (a long-lived session mining many
+    * distinct corpora would otherwise leak ~64 ints per plan
+    * forever). Losing the memo costs one extra 65-column stats scan
+    * on the next call, nothing else.
     */
   private val bitOrderCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[Int]]()
+  private[graft] val BitOrderCacheMax = 256
+  /** Test hook: current memo population (bound asserted in LshSpec). */
+  private[graft] def bitOrderCacheSize: Int = bitOrderCache.size
+  /** Bounded insert-or-get: clears the memo before admitting a new
+    * key once the population reaches [[BitOrderCacheMax]].
+    */
+  private[graft] def bitOrderCached(key: String)(compute: => Seq[Int]): Seq[Int] = {
+    if (bitOrderCache.size >= BitOrderCacheMax &&
+        !bitOrderCache.containsKey(key)) bitOrderCache.clear()
+    bitOrderCache.computeIfAbsent(key, _ => compute)
+  }
   /** Test hook: how many ones-rate stats scans actually ran. */
   private[graft] val statsScans = new java.util.concurrent.atomic.AtomicLong
 
@@ -543,9 +576,13 @@ object LshDedup {
   def simhashBitOrder(docs: DataFrame): Seq[Int] =
     if (docs.isStreaming) 0 until 64
     else {
+      // semanticHash is 32-bit; folding in the schema string keeps a
+      // hash collision from silently sharing a bit order across
+      // differently-shaped inputs (still perf-only if it ever did)
       val key = docs.sparkSession.hashCode().toString + "/" +
-        docs.queryExecution.analyzed.canonicalized.semanticHash().toString
-      bitOrderCache.computeIfAbsent(key, _ => {
+        docs.queryExecution.analyzed.canonicalized.semanticHash().toString + "/" +
+        docs.schema.catalogString.hashCode.toString
+      bitOrderCached(key) {
         statsScans.incrementAndGet()
         val sh = simhashes(docs)
         val bitCols = (0 until 64).map(b =>
@@ -557,7 +594,7 @@ object LshDedup {
           val p = stats.getLong(b + 1) / n
           (b, p * (1.0 - p))
         }.sortBy { case (b, e) => (-e, b) }.map(_._1)
-      })
+      }
     }
 
   /** The entropy-balanced pigeonhole bucket table behind

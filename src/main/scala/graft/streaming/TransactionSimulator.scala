@@ -52,6 +52,31 @@ object TransactionSimulator {
           + col("value") / lit(ticksPerEventSecond.toDouble)).as("timestamp"),
         col("value")))
 
+  /** User-grain source for state-cardinality benchmarks
+    * (graft.StateBench): one event per tick, `user_id = tick mod
+    * nUsers` so exactly `min(nUsers, ticksPerBatch)` distinct state
+    * keys are touched each micro-batch — the key-cardinality regime a
+    * user-grain 100 TB stream puts on the state store (millions of
+    * keys, every batch touching most of them), which the 5-symbol
+    * candle workloads never exercise. Event time marches like
+    * [[streamMicroBatch]] (pure function of tick id → deterministic
+    * watermark advance, machine-speed independent).
+    */
+  def userStreamMicroBatch(spark: SparkSession, ticksPerBatch: Long,
+                           nUsers: Long,
+                           ticksPerEventSecond: Long = 2048,
+                           startEpoch: Long = 1704067200L): DataFrame =
+    spark.readStream.format("rate-micro-batch")
+      .option("rowsPerBatch", ticksPerBatch)
+      .option("numPartitions", spark.sparkContext.defaultParallelism)
+      .load()
+      .select(
+        timestamp_seconds(lit(startEpoch)
+          + col("value") / lit(ticksPerEventSecond.toDouble)).as("ts"),
+        pmod(col("value"), lit(nUsers)).as("user_id"),
+        // a payload column so the agg does real work per event
+        (pmod(xxhash64(col("value")), lit(10000L)) / lit(100.0)).as("amount"))
+
   /** Bounded batch variant for tests: `n` ticks starting at epoch
     * second `startEpoch`.
     */

@@ -403,6 +403,42 @@ class LshSpec extends SparkSpec {
     }
   }
 
+  test("prefix filter survives integer-boundary threshold·len double rounding") {
+    // t=0.55, len=100 is a point where double(0.55)*100 =
+    // 55.00000000000001 — without the 1e-9 slack inside the ceil the
+    // prefix shrinks from 46 to 45 and this pair is silently dropped.
+    // Geometry: doc 2's tokens are a contiguous suffix of doc 1's, so
+    // its 55 shingles are exactly the shared set; doc 1 adds 45
+    // unique (df=1) shingles which sort FIRST in the rarest-first
+    // order and fill prefix slots 0..44 — the one shared element a
+    // join can match sits exactly at slot 45, the slot the rounding
+    // bug cuts. Jaccard = 55/100 = exactly the threshold.
+    val sTok = (1 to 57).map(i => s"sh$i").mkString(" ")
+    val xTok = (1 to 45).map(i => s"xa$i").mkString(" ") + " " + sTok
+    val d2 = Seq((1L, xTok), (2L, sTok)).toDF("doc_id", "text")
+    val pref = LshDedup.exactJaccardPairsPrefix(d2, threshold = 0.55)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cnt = LshDedup.exactJaccardPairsCounted(d2, threshold = 0.55)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cnt === Set((1L, 2L)))
+    assert(pref === cnt)
+  }
+
+  test("bitOrderCache stays bounded across many distinct inputs") {
+    // a long-lived session mining many distinct corpora must not
+    // accumulate memo entries without bound: past BitOrderCacheMax
+    // the map clears before admitting a new key (losing a memo costs
+    // one stats re-scan, never correctness — the order is perf-only)
+    for (i <- 0 until LshDedup.BitOrderCacheMax * 2) {
+      LshDedup.bitOrderCached(s"lshspec-bound-$i")(0 until 64)
+      assert(LshDedup.bitOrderCacheSize <= LshDedup.BitOrderCacheMax)
+    }
+    // a key already present is NOT evicted by re-access at the bound
+    val k = "lshspec-bound-present"
+    LshDedup.bitOrderCached(k)(Seq(1, 2, 3))
+    assert(LshDedup.bitOrderCached(k)(sys.error("must be memoized")) === Seq(1, 2, 3))
+  }
+
   test("blockedNearDupPairs == cosineNearDupPairs exactly (all block counts)") {
     val exact = Similarity.cosineNearDupPairs(emb, 0.4)
       .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

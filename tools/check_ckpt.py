@@ -64,11 +64,15 @@ def main(argv):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     ckpt = load_ckpt(ckpt_path)
+    # A skip_oracle_cost record whose t_oracle_s was RECORDED is the
+    # signature of the old watchdog race (the interrupt landed after
+    # the oracle finished) — always re-run those.
     todo = [n for n in sorted(oracle)
             if (only is None or n in only)
             and not (n in ckpt and (
                 ckpt[n]["status"] == "pass"
                 or (ckpt[n]["status"] == "skip_oracle_cost"
+                    and ckpt[n].get("t_oracle_s") is None
                     and timeout_s is not None
                     and ckpt[n].get("budget_s", 0) >= timeout_s)))]
     print(f"[ckpt] {len(ckpt)} recorded, {len(todo)} to run", flush=True)
@@ -82,16 +86,30 @@ def main(argv):
             try:
                 # oracle first, under the budget: duckdb 1.0 has no
                 # statement_timeout, so a watchdog thread interrupts
-                # the connection when the budget blows
+                # the connection when the budget blows. The callback
+                # checks a done flag UNDER A LOCK so a timer that
+                # fires between fetchdf returning and cancel() cannot
+                # land its interrupt on the following read_parquet
+                # (which would misclassify a within-budget oracle as
+                # skip_oracle_cost).
                 timer = None
                 if timeout_s is not None:
                     import threading
-                    timer = threading.Timer(timeout_s, con.interrupt)
+                    lock = threading.Lock()
+                    oracle_done = [False]
+
+                    def _interrupt():
+                        with lock:
+                            if not oracle_done[0]:
+                                con.interrupt()
+                    timer = threading.Timer(timeout_s, _interrupt)
                     timer.start()
                 try:
                     want = con.execute(oracle[name]).fetchdf()
                 finally:
                     if timer is not None:
+                        with lock:
+                            oracle_done[0] = True
                         timer.cancel()
                 rec["t_oracle_s"] = round(time.time() - t0, 2)
                 mine = con.execute(
