@@ -367,6 +367,36 @@ object SparkEntry {
       s"""$minhashCtes
          |SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b""".stripMargin
 
+    /** DSIR importance weights (Curation.dsirWeights): FNV token
+      * hashes mod 256 bucket the corpus; per-bucket Laplace-smoothed
+      * target/raw log-ratios snap to integer micro units BEFORE the
+      * per-doc sum, so the document weight is an exact integer sum —
+      * summation order (which neither engine pins) cannot move it.
+      * `z % 256` on the HUGEINT u64 equals the engine's signed pmod
+      * because 256 divides 2^64.
+      */
+    val dsirSql: String =
+      s"""$tokenHashCte, tb AS (
+         |  SELECT th.doc_id, d.source = 'src0' AS is_t,
+         |    unnest(list_transform(tkh, z -> z % 256)) AS b
+         |  FROM th JOIN documents d ON th.doc_id = d.doc_id
+         |), st AS (
+         |  SELECT b, sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS n_t,
+         |    sum(CASE WHEN NOT is_t THEN 1 ELSE 0 END) AS n_r
+         |  FROM tb GROUP BY 1
+         |), tot AS (SELECT sum(n_t) AS tot_t, sum(n_r) AS tot_r FROM st),
+         |r AS (
+         |  SELECT b, CAST(floor(ln(
+         |      CAST((n_t + 1) * (tot_r + 256) AS DOUBLE) /
+         |      ((n_r + 1) * (tot_t + 256))) * 1000000) AS BIGINT) AS r_micro
+         |  FROM st CROSS JOIN tot
+         |)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(r_micro) AS BIGINT) AS weight_micro
+         |FROM tb JOIN r USING (b) WHERE NOT is_t
+         |GROUP BY doc_id
+         |ORDER BY weight_micro DESC, doc_id LIMIT 100""".stripMargin
+
     /** Exact-Jaccard pairs → reachability closure → min-label
       * clusters, over the full corpus. Shared by q_dedup_cluster and
       * q_dedup_cluster_incr: the incremental assignment-merge must
@@ -2297,6 +2327,23 @@ object SparkEntry {
         .withColumn("jaccard_micro", floor(col("jaccard") * 1e6).cast("long"))
         .select(col("doc_a"), col("doc_b"), col("jaccard_micro"))
         .orderBy(col("doc_a"), col("doc_b"))),
+    "q_containment" -> ((s, dir) =>
+      // asymmetric near-containment (quote-in-article dups that
+      // symmetric Jaccard + its length filters structurally miss):
+      // prefix-probe / full-index exact overlap join
+      LshDedup.containmentPairs(Tables.documents(s, dir), threshold = 0.5)
+        .withColumn("containment_micro", floor(col("containment") * 1e6).cast("long"))
+        .select(col("doc_a"), col("doc_b"), col("containment_micro"))
+        .orderBy(col("doc_a"), col("doc_b"))),
+    "q_dsir" -> ((s, dir) =>
+      // DSIR importance resampling pool: hashed-unigram importance
+      // weights vs the src0 target slice, top-100 most target-like
+      // raw docs (integer-micro weights — engine-independent)
+      graft.operators.Curation.dsirWeights(Tables.documents(s, dir),
+          isTarget = col("source") === "src0")
+        .orderBy(col("weight_micro").desc, col("doc_id"))
+        .limit(100)
+        .select(col("doc_id"), col("n_tokens"), col("weight_micro"))),
     "q_embed_neardup" -> ((s, dir) =>
       Similarity.blockedNearDupPairs(Tables.embeddings(s, dir), threshold = 0.45)
         .withColumn("sim_micro", floor(col("sim") * 1e6).cast("long"))
@@ -5196,6 +5243,33 @@ object SparkEntry {
         |JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE CAST(n_int AS DOUBLE) / (sa.n_sh + sb.n_sh - n_int) >= 0.2
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // q_containment: all-ordered-pairs ground truth — the Spark side's
+    // prefix-probe/full-index join must reproduce exact asymmetric
+    // containment |sh(a)∩sh(b)|/|sh(a)| at any size ratio
+    "q_containment" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |    t -> len(t) > 0) AS tk
+        |  FROM documents
+        |), shset AS (
+        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(tk) - 2),
+        |    i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS sh
+        |  FROM toks WHERE len(tk) >= 3
+        |), ex AS (SELECT doc_id, unnest(sh) AS s FROM shset),
+        |sizes AS (SELECT doc_id, len(sh) AS n_sh FROM shset),
+        |pair_int AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_int
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT doc_a, doc_b,
+        |  CAST(floor(CAST(n_int AS DOUBLE) / sa.n_sh * 1000000) AS BIGINT)
+        |    AS containment_micro
+        |FROM pair_int
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |WHERE CAST(n_int AS DOUBLE) / sa.n_sh >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dsir" -> SketchOracles.dsirSql,
     "q_dedup_cluster" -> SketchOracles.clusterCcSql,
     // the incremental assignment-merge must equal the full recompute
     // over the whole corpus, so it shares the same oracle verbatim

@@ -666,6 +666,61 @@ object Curation {
         col("cap_tokens"), col("planned_tokens"), col("epochs_micro"))
   }
 
+  /** DSIR-style importance weights over hashed token features (Xie et
+    * al. 2023, "Data Selection for Language Models via Importance
+    * Resampling"): score every raw document by how target-like its
+    * hashed-unigram bucket distribution is, w(doc) = Σ_tokens
+    * log p̂_target(b(tok)) − log p̂_raw(b(tok)), with Laplace(+1)
+    * smoothed bucket probabilities and b(tok) = fnv1a64(tok) mod
+    * `buckets`. High-weight raw docs are the ones importance
+    * resampling keeps.
+    *
+    * Engine-independence: the per-bucket log-ratio is snapped to
+    * integer micro units FIRST (one double ln per bucket — the
+    * q_tfidf convention), so each document's weight is an exact
+    * INTEGER sum — summation order, which no distributed engine pins,
+    * can't move the result (the q_fluency technique).
+    *
+    * Scale design: the token explode is a scan-side projection;
+    * bucket stats collapse map-side to ≤ `buckets` rows; the
+    * log-ratio table is `buckets` rows and broadcast; the only
+    * corpus-sized shuffle is the per-doc weight aggregate (map-side
+    * combined on doc_id). Fully linear — no pairwise anything.
+    *
+    * Returns raw docs only (the resampling pool): (doc_id, n_tokens,
+    * weight_micro).
+    */
+  def dsirWeights(docs: DataFrame, isTarget: Column,
+                  buckets: Int = 256, textCol: String = "text"): DataFrame = {
+    require(buckets > 0 && Integer.bitCount(buckets) == 1,
+      s"buckets must be a power of two (divides 2^64, so signed pmod ≡ unsigned mod): $buckets")
+    val tb = docs
+      .select(col("doc_id"), isTarget.as("is_t"),
+        explode(graft.functions.token_fnv_hashes(lower(trim(col(textCol)))))
+          .as("h"))
+      // signed pmod equals unsigned mod 2^64 residue for any divisor
+      // of 2^64 — the hash column is the engine's signed view of u64
+      .select(col("doc_id"), col("is_t"),
+        pmod(col("h"), lit(buckets.toLong)).as("b"))
+    val stats = tb.groupBy(col("b")).agg(
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("n_t"),
+      sum(when(!col("is_t"), 1L).otherwise(0L)).as("n_r"))
+    val tot = stats.agg(sum(col("n_t")).as("tot_t"), sum(col("n_r")).as("tot_r"))
+    // ln argument is a ratio of EXACT integer products (< 2^53), so
+    // the double input to ln is identical in any engine; floor(1e6·ln)
+    // then matches everywhere glibc-grade ln agrees (q_tfidf precedent)
+    val ratio = stats.crossJoin(broadcast(tot))
+      .select(col("b"),
+        floor(log(((col("n_t") + 1L) * (col("tot_r") + buckets)).cast("double") /
+            ((col("n_r") + 1L) * (col("tot_t") + buckets))) * 1e6)
+          .cast("long").as("r_micro"))
+    tb.filter(!col("is_t"))
+      .join(broadcast(ratio), "b")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("r_micro")).as("weight_micro"))
+  }
+
   /** Fixed-width histogram of per-document token counts — the corpus
     * length profile (sequence-length planning, truncation budgets).
     * One tiny aggregate: (bucket, lo_tokens, n_docs).

@@ -464,6 +464,78 @@ object LshDedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard")), ordered)
   }
 
+  /** Exact asymmetric CONTAINMENT join: ordered pairs (doc_a, doc_b)
+    * with |sh(a) ∩ sh(b)| / |sh(a)| ≥ `threshold` — doc_a's shingle
+    * set is (near-)contained in doc_b's. This is the near-dup class
+    * Jaccard structurally misses: a quote embedded in a 10× larger
+    * article has tiny Jaccard (union is the big doc) but containment
+    * ≈ 1, and symmetric-length filters would prune exactly the pairs
+    * of interest. Asymmetric by design: no length filter can apply
+    * (any size ratio is admissible — that's the semantics).
+    *
+    * Exact, via the prefix-probe / full-index overlap join: overlap
+    * ≥ ⌈t·|a|⌉ forces a common element among a's rarest
+    * |a| − ⌈t·|a|⌉ + 1 shingles (prefix-filtering principle under the
+    * global rarest-first order), so only the probe side prunes to its
+    * (1−t) fraction while the index side posts every shingle.
+    * Rarest-first ordering keeps the join off the quadratic common-
+    * shingle buckets: common shingles almost never appear in probe
+    * prefixes, so Σ_s prefix_count(s)·posting_count(s) stays near the
+    * posting volume instead of its square. A positional filter rides
+    * the join condition — overlap ≤ 1 + min(remaining_a, remaining_b)
+    * at the FIRST common element (both arrays share one global
+    * order), pruning before the distinct/verify shuffles; the 1e-9
+    * slack keeps every comparison admit-only, and each candidate is
+    * verified with one exact array intersection, so the output is
+    * exact at any data shape. Guarded by [[ExactScale.check]] like
+    * the other ground-truth miners — candidate volume is index-side
+    * posting-bounded, not all-pairs, but a corpus-sized probe should
+    * go through LSH mining first.
+    */
+  def containmentPairs(docs: DataFrame, threshold: Double, n: Int = 3,
+                       maxExactRows: Long = ExactScale.DefaultMaxExactRows,
+                       force: Boolean = false): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1]: $threshold")
+    val sh = shingleHashes(ExactScale.check(docs, "containmentPairs",
+        "minhashCandidates (LSH banding)", maxExactRows, force), n = n)
+      .filter(size(col("shingle_hashes")) > 0)
+    val exploded = sh.select(col("doc_id"), explode(col("shingle_hashes")).as("s"))
+    val dfreq = exploded.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val ordered = exploded.join(dfreq, "s")
+      .groupBy(col("doc_id"))
+      .agg(transform(sort_array(collect_list(struct(col("df"), col("s")))),
+        x => x.getField("s")).as("sh"))
+      .withColumn("len", size(col("sh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // probe prefix p = len − ⌈t·len⌉ + 1; the 1e-9 inside the ceil is
+    // the admit-only direction (rounding can only LENGTHEN the prefix)
+    val prefLen = (col("len") -
+      ceil(lit(threshold) * col("len") - lit(1e-9)) + 1).cast("int")
+    val pref = ordered.select(col("doc_id"), col("len"),
+        posexplode(slice(col("sh"), lit(1), prefLen)))
+      .withColumnRenamed("col", "s")
+    val post = ordered.select(col("doc_id"), col("len"),
+        posexplode(col("sh")))
+      .withColumnRenamed("col", "s")
+    val eps = 1e-9
+    val posOk = (lit(1) + least(col("a.len") - col("a.pos") - 1,
+        col("b.len") - col("b.pos") - 1)).cast("double") >=
+      lit(threshold) * col("a.len") - lit(eps)
+    val verify = ordered.select(col("doc_id"), col("sh"))
+    unpersistAfterFirstUse(pref.as("a")
+      .join(post.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id") && posOk)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .join(verify.withColumnsRenamed(Map("doc_id" -> "doc_a", "sh" -> "sh_a")), "doc_a")
+      .join(verify.withColumnsRenamed(Map("doc_id" -> "doc_b", "sh" -> "sh_b")), "doc_b")
+      .withColumn("containment",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(col("sh_a")))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("containment")), ordered)
+  }
+
   /** 64-bit SimHash per doc (over token hashes, not shingles — the
     * classic Charikar construction).
     */

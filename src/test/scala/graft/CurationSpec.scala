@@ -28,6 +28,36 @@ class CurationSpec extends SparkSpec {
       "clean text with short 123 and word99 untouched"))
   }
 
+  test("dsirWeights ranks target-like raw docs above unlike ones, integer-exact") {
+    // target slice speaks "zebra quark"-ish vocabulary; raw doc 10
+    // shares it, raw doc 11 is disjoint — importance weighting must
+    // order 10 above 11, exclude the target docs, and produce an
+    // INTEGER weight that is invariant to partitioning (the summation
+    // order no engine pins)
+    val target = (0L until 5L).map(i => (i, "zebra quark boson lepton gluon", true))
+    val raw = Seq(
+      (10L, "zebra quark boson photon", false),
+      (11L, "apple banana cherry melon grape", false))
+    val d = (target ++ raw).toDF("doc_id", "text", "is_t")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Curation.dsirWeights(df, isTarget = col("is_t"))
+        .orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    val got = run(d)
+    assert(got.map(_._1) === List(10L, 11L)) // raw pool only
+    assert(got(0)._2 === 4L && got(1)._2 === 5L) // token counts
+    assert(got(0)._3 > got(1)._3) // target-like ranks above unlike
+    assert(got(0)._3 > 0L && got(1)._3 < 0L) // signs match intuition
+    assert(run(d.repartition(7)) === got) // order-independence is exact
+  }
+
+  test("dsirWeights rejects non-power-of-two bucket counts") {
+    val d = Seq((1L, "a b c", false)).toDF("doc_id", "text", "is_t")
+    intercept[IllegalArgumentException] {
+      Curation.dsirWeights(d, isTarget = col("is_t"), buckets = 100)
+    }
+  }
+
   test("contamination: identical corpus -> every train doc flagged; disjoint -> none") {
     val ids = (0L until 20L)
     val text = "alpha beta gamma delta epsilon zeta eta theta"

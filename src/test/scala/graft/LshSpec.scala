@@ -424,6 +424,46 @@ class LshSpec extends SparkSpec {
     assert(pref === cnt)
   }
 
+  test("containmentPairs finds the quote-in-article pair Jaccard misses") {
+    // doc 2 is verbatim inside doc 1, which is ~7× larger: containment
+    // (2 in 1) = 1.0 but Jaccard ≈ 1/7 — under the symmetric miner's
+    // t=0.5 length filter this pair could never even form
+    val quote = (1 to 12).map(i => s"q$i").mkString(" ")
+    val article = (1 to 70).map(i => s"w$i").mkString(" ") + " " + quote
+    val d = Seq((1L, article), (2L, quote)).toDF("doc_id", "text")
+    val got = LshDedup.containmentPairs(d, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    assert(got === List((2L, 1L, 1.0))) // asymmetric: only quote→article
+    val jac = LshDedup.exactJaccardPairs(d, threshold = 0.5)
+      .collect()
+    assert(jac.isEmpty)
+  }
+
+  test("containmentPairs == brute-force all-ordered-pairs containment (incl. boundary)") {
+    // deterministic mini corpus with overlapping token windows so
+    // many partial containments exist; includes exact-boundary ratios
+    val docs = (0L until 24L).map { i =>
+      val start = (i * 7) % 40
+      val len = 5 + (i % 13)
+      val toks = (start until (start + len)).map(j => s"t${j % 52}")
+      (i, toks.mkString(" "))
+    }
+    val d = docs.toDF("doc_id", "text")
+    val t = 0.5
+    val got = LshDedup.containmentPairs(d, threshold = t)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val sets = LshDedup.shingleHashes(d).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val want = (for {
+      (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq
+      if a != b && sa.nonEmpty
+      c = (sa & sb).size.toDouble / sa.size
+      if c >= t
+    } yield (a, b, c)).toSet
+    assert(want.nonEmpty)
+    assert(got === want)
+  }
+
   test("bitOrderCache stays bounded across many distinct inputs") {
     // a long-lived session mining many distinct corpora must not
     // accumulate memo entries without bound: past BitOrderCacheMax
