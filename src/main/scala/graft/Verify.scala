@@ -60,7 +60,19 @@ object Verify {
         Files.writeString(Paths.get(s"$outDir/$name.err.txt"), msg)
       }
     }
+    // Crash-resume aid for multi-hour big-SF gates (a 170-query sf10
+    // dump is hours of recompute after an OOM kill): skip queries whose
+    // output dir already holds a parquet success marker. Skipped
+    // queries keep their prior dump verbatim — the DuckDB compare is
+    // what decides correctness, so a stale dump can only FAIL, never
+    // falsely pass. The driver never sets it; contract unchanged.
+    val resume = sys.env.get("SPARK_GRAFT_RESUME").contains("1")
+    def alreadyDumped(name: String): Boolean =
+      Files.exists(Paths.get(s"$outDir/$name/_SUCCESS"))
     selected.foreach { case (name, fn) =>
+      if (resume && alreadyDumped(name)) {
+        System.err.println(s"[verify] $name skipped (resume: dump exists)")
+      } else {
       val group = s"verify-$name"
       val run = Future {
         // job group is thread-local: set it on the thread that fires
@@ -77,6 +89,7 @@ object Verify {
           fail(name, s"timed out after ${timeoutS}s (job group cancelled)")
         case e: Throwable =>
           fail(name, Option(e.getMessage).getOrElse(e.getClass.getName))
+      }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
