@@ -681,11 +681,20 @@ object Curation {
     * INTEGER sum — summation order, which no distributed engine pins,
     * can't move the result (the q_fluency technique).
     *
-    * Scale design: the token explode is a scan-side projection;
-    * bucket stats collapse map-side to ≤ `buckets` rows; the
-    * log-ratio table is `buckets` rows and broadcast; the only
-    * corpus-sized shuffle is the per-doc weight aggregate (map-side
-    * combined on doc_id). Fully linear — no pairwise anything.
+    * Scale design: ONE tokenization pass. The scan-side explode
+    * collapses map-side into a compact (doc_id, bucket) count table
+    * (≲ one row per token, usually far fewer), which is persisted
+    * while it feeds both the bucket-stats branch and the weight
+    * branch, then released after the first action (the jaccardVerified
+    * caching contract — at cluster scale the equivalent move is
+    * materializing the count table between the passes; a two-pass
+    * normalization is DSIR's inherent shape). Bucket stats collapse
+    * to ≤ `buckets` rows, their corpus totals ride
+    * [[Ranks.withGlobalAgg]] (1-row broadcast, no second-scan
+    * re-aggregate), the log-ratio table is `buckets` rows and
+    * broadcast — so beyond the count-table build, nothing
+    * corpus-sized shuffles twice. Fully linear — no pairwise
+    * anything.
     *
     * Returns raw docs only (the resampling pool): (doc_id, n_tokens,
     * weight_micro).
@@ -694,7 +703,7 @@ object Curation {
                   buckets: Int = 256, textCol: String = "text"): DataFrame = {
     require(buckets > 0 && Integer.bitCount(buckets) == 1,
       s"buckets must be a power of two (divides 2^64, so signed pmod ≡ unsigned mod): $buckets")
-    val tb = docs
+    val dbc = docs
       .select(col("doc_id"), isTarget.as("is_t"),
         explode(graft.functions.token_fnv_hashes(lower(trim(col(textCol)))))
           .as("h"))
@@ -702,23 +711,28 @@ object Curation {
       // of 2^64 — the hash column is the engine's signed view of u64
       .select(col("doc_id"), col("is_t"),
         pmod(col("h"), lit(buckets.toLong)).as("b"))
-    val stats = tb.groupBy(col("b")).agg(
-      sum(when(col("is_t"), 1L).otherwise(0L)).as("n_t"),
-      sum(when(!col("is_t"), 1L).otherwise(0L)).as("n_r"))
-    val tot = stats.agg(sum(col("n_t")).as("tot_t"), sum(col("n_r")).as("tot_r"))
+      .groupBy(col("doc_id"), col("is_t"), col("b"))
+      .agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = dbc.groupBy(col("b")).agg(
+      sum(when(col("is_t"), col("n")).otherwise(0L)).as("n_t"),
+      sum(when(!col("is_t"), col("n")).otherwise(0L)).as("n_r"))
     // ln argument is a ratio of EXACT integer products (< 2^53), so
     // the double input to ln is identical in any engine; floor(1e6·ln)
     // then matches everywhere glibc-grade ln agrees (q_tfidf precedent)
-    val ratio = stats.crossJoin(broadcast(tot))
+    val ratio = Ranks.withGlobalAgg(stats,
+        Seq(sum(col("n_t")).as("tot_t"), sum(col("n_r")).as("tot_r")))
       .select(col("b"),
         floor(log(((col("n_t") + 1L) * (col("tot_r") + buckets)).cast("double") /
             ((col("n_r") + 1L) * (col("tot_t") + buckets))) * 1e6)
           .cast("long").as("r_micro"))
-    tb.filter(!col("is_t"))
-      .join(broadcast(ratio), "b")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(col("r_micro")).as("weight_micro"))
+    LshDedup.unpersistAfterFirstUse(
+      dbc.filter(!col("is_t"))
+        .join(broadcast(ratio), "b")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("n")).as("n_tokens"),
+          sum(col("n") * col("r_micro")).as("weight_micro")),
+      dbc)
   }
 
   /** Fixed-width histogram of per-document token counts — the corpus
