@@ -98,6 +98,11 @@ object SkewBench {
     val results = Keys.map { name =>
       val fn = SparkEntry.queries(name)
       def once(): (Double, Boolean) = {
+        // drain the async listener bus BEFORE the reset: a delivery
+        // from the PREVIOUS query stalled past its settle window
+        // would otherwise land after clear() and be attributed to
+        // THIS query's skew verdict
+        org.apache.spark.graft.BusFlush.drain(spark.sparkContext)
         plans.clear()
         val t0 = System.nanoTime()
         val df = fn(spark, sfDir)

@@ -44,8 +44,17 @@ class StreamStateSpec extends SparkSpec {
       .map(p => p.stateOperators.map(_.numRowsTotal).sum)
     val removed = progress.map(p => p.stateOperators.map(_.numRowsRemoved).sum).sum
     assert(stateRows.nonEmpty)
+    // the deadline bounds wall-clock, not batch count: on a loaded
+    // machine fewer than nBatches complete, and eviction needs a few
+    // watermark advances (one window per batch, 30s watermark) before
+    // it can fire at all — asserting removed>0 on 1-2 batches would be
+    // timing-flaky, not a product failure. Cancel (don't fail) below 3
+    // completed batches; the assertions run on whatever completed.
+    assume(progress.length >= 3,
+      s"only ${progress.length} batches completed in 120s (loaded machine)")
     // eviction actually fires: closed windows leave the store
-    assert(removed > 0, s"no state rows evicted across $nBatches batches")
+    assert(removed > 0,
+      s"no state rows evicted across ${progress.length} completed batches")
     // the plateau: live rows never exceed keys × a small
     // windows-in-flight factor (1 open + 1 awaiting watermark + the
     // batch-boundary window = 3; 4 leaves slack for trigger phasing) —
