@@ -367,6 +367,80 @@ object SparkEntry {
       s"""$minhashCtes
          |SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b""".stripMargin
 
+    /** Shared CTE chain for the df-capped prefix-probe containment
+      * miner (LshDedup.containmentPairsCapped): the capped candidate
+      * semantics — ∃ shared shingle in the probe's rarest-first
+      * prefix with df ≤ cap — depends on the global (df, signed
+      * hash) order, so the oracle reproduces the FNV shingle hashes
+      * and breaks df ties by the SIGNED 64-bit value, exactly the
+      * order the engine's sort_array over (df, s) structs uses.
+      * Ends inside the WITH list at `pair_int` (full exact
+      * intersection over the capped candidate set).
+      */
+    private def containmentCappedCtes(t: Double, cap: Int): String =
+      s"""$tokenHashCte, shs AS (
+         |  SELECT doc_id, list_distinct(${mixStages(shingleFold)}) AS sh
+         |  FROM th WHERE len(tkh) >= 3
+         |), ex AS (SELECT doc_id, unnest(sh) AS h FROM shs),
+         |sizes AS (SELECT doc_id, len(sh) AS n_sh FROM shs),
+         |dfq AS (SELECT h, count(*) AS df FROM ex GROUP BY h),
+         |ord AS (
+         |  SELECT e.doc_id, e.h, d.df,
+         |    row_number() OVER (PARTITION BY e.doc_id ORDER BY d.df,
+         |      CASE WHEN e.h >= $Bias THEN e.h - $M ELSE e.h END) AS rk
+         |  FROM ex e JOIN dfq d USING (h)
+         |), pref AS (
+         |  SELECT o.doc_id, o.h FROM ord o JOIN sizes sz USING (doc_id)
+         |  WHERE o.rk <= sz.n_sh - ceil($t * sz.n_sh - 1e-9) + 1 AND o.df <= $cap
+         |), cand AS (
+         |  SELECT DISTINCT p.doc_id AS doc_a, e.doc_id AS doc_b
+         |  FROM pref p JOIN ex e ON e.h = p.h AND e.doc_id <> p.doc_id
+         |), pair_int AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS n_int
+         |  FROM cand c JOIN ex ea ON ea.doc_id = c.doc_a
+         |  JOIN ex eb ON eb.doc_id = c.doc_b AND eb.h = ea.h
+         |  GROUP BY 1, 2
+         |)""".stripMargin
+
+    val containmentCappedSql: String =
+      s"""${containmentCappedCtes(0.5, 4)}
+         |SELECT doc_a, doc_b,
+         |  CAST(floor(CAST(n_int AS DOUBLE) / sa.n_sh * 1000000) AS BIGINT)
+         |    AS containment_micro
+         |FROM pair_int JOIN sizes sa ON sa.doc_id = doc_a
+         |WHERE CAST(n_int AS DOUBLE) / sa.n_sh >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin
+
+    /** Recall gate: capped pair count vs the exact all-ordered-pairs
+      * count (capped ⊆ exact, so the ratio is pair recall), plus the
+      * number of grams the cap removed — recall 1.0 with zero capped
+      * grams would be a vacuous gate.
+      */
+    val containmentRecallSql: String =
+      s"""${containmentCappedCtes(0.5, 4)}, capped AS (
+         |  SELECT count(*) AS n_pairs_capped FROM pair_int
+         |  JOIN sizes sa ON sa.doc_id = doc_a
+         |  WHERE CAST(n_int AS DOUBLE) / sa.n_sh >= 0.5
+         |), allpair AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_int
+         |  FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2
+         |), exact_cnt AS (
+         |  SELECT count(*) AS n_pairs_exact FROM allpair
+         |  JOIN sizes sa ON sa.doc_id = doc_a
+         |  WHERE CAST(n_int AS DOUBLE) / sa.n_sh >= 0.5
+         |), grams AS (SELECT count(*) AS n_grams_capped FROM dfq WHERE df > 4),
+         |nd AS (SELECT count(*) AS n_docs FROM documents)
+         |SELECT CAST(n_docs AS BIGINT) AS n_docs,
+         |  CAST(n_pairs_exact AS BIGINT) AS n_pairs_exact,
+         |  CAST(n_pairs_capped AS BIGINT) AS n_pairs_capped,
+         |  CAST(n_grams_capped AS BIGINT) AS n_grams_capped,
+         |  CASE WHEN n_pairs_exact = 0 THEN CAST(1000000 AS BIGINT)
+         |       ELSE CAST(floor(CAST(n_pairs_capped AS DOUBLE)
+         |         / n_pairs_exact * 1000000) AS BIGINT)
+         |  END AS recall_micro
+         |FROM nd, exact_cnt, capped, grams""".stripMargin
+
     /** DSIR importance weights (Curation.dsirWeights): FNV token
       * hashes mod 256 bucket the corpus; per-bucket Laplace-smoothed
       * target/raw log-ratios snap to integer micro units BEFORE the
@@ -2335,6 +2409,26 @@ object SparkEntry {
         .withColumn("containment_micro", floor(col("containment") * 1e6).cast("long"))
         .select(col("doc_a"), col("doc_b"), col("containment_micro"))
         .orderBy(col("doc_a"), col("doc_b"))),
+    "q_containment_scale" -> ((s, dir) =>
+      // the containment-class SCALE path: df-capped prefix-probe
+      // banding — per-shingle work ≤ cap², no exact quadratic join,
+      // no ExactScale guard needed. maxDf deliberately low here so
+      // the cap BINDS at test SF (sf0.01 max df = 7; 151 grams capped
+      // at maxDf=4) and the oracle certifies the cap semantics, not
+      // just the uncapped join; production keeps the 1000 default and
+      // watches containmentDropStats
+      LshDedup.containmentPairsCapped(Tables.documents(s, dir),
+          threshold = 0.5, maxDf = 4L)
+        .withColumn("containment_micro", floor(col("containment") * 1e6).cast("long"))
+        .select(col("doc_a"), col("doc_b"), col("containment_micro"))
+        .orderBy(col("doc_a"), col("doc_b"))),
+    "q_containment_recall" -> ((s, dir) =>
+      // the recall gate wiring q_containment_scale to its exact
+      // ground truth (the q_dedup_capped_recall pattern): capped ⊆
+      // exact by construction, so the count ratio is pair recall;
+      // n_grams_capped certifies the cap actually fired
+      LshDedup.containmentCappedRecallReport(Tables.documents(s, dir),
+        threshold = 0.5, maxDf = 4L)),
     "q_dsir" -> ((s, dir) =>
       // DSIR importance resampling pool: hashed-unigram importance
       // weights vs the src0 target slice, top-100 most target-like
@@ -5269,6 +5363,12 @@ object SparkEntry {
         |JOIN sizes sa ON sa.doc_id = doc_a
         |WHERE CAST(n_int AS DOUBLE) / sa.n_sh >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // q_containment_scale / q_containment_recall: the df-capped
+    // prefix-probe miner's output depends on the rarest-first (df,
+    // signed hash) order and the cap, so the oracle replicates the
+    // FNV shingle chain (SketchOracles) rather than string grams
+    "q_containment_scale" -> SketchOracles.containmentCappedSql,
+    "q_containment_recall" -> SketchOracles.containmentRecallSql,
     "q_dsir" -> SketchOracles.dsirSql,
     "q_dedup_cluster" -> SketchOracles.clusterCcSql,
     // the incremental assignment-merge must equal the full recompute

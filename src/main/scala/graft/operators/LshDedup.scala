@@ -489,15 +489,17 @@ object LshDedup {
     * verified with one exact array intersection, so the output is
     * exact at any data shape. Guarded by [[ExactScale.check]] like
     * the other ground-truth miners — candidate volume is index-side
-    * posting-bounded, not all-pairs, but a corpus-sized probe should
-    * go through LSH mining first.
+    * posting-bounded, not all-pairs, and the corpus-scale sibling
+    * that finds the SAME pair class at bounded cost is
+    * [[containmentPairsCapped]] (recall gated by
+    * [[containmentCappedRecallReport]]).
     */
   def containmentPairs(docs: DataFrame, threshold: Double, n: Int = 3,
                        maxExactRows: Long = ExactScale.DefaultMaxExactRows,
                        force: Boolean = false): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1]: $threshold")
     val sh = shingleHashes(ExactScale.check(docs, "containmentPairs",
-        "minhashCandidates (LSH banding)", maxExactRows, force), n = n)
+        "containmentPairsCapped (df-capped prefix-probe)", maxExactRows, force), n = n)
       .filter(size(col("shingle_hashes")) > 0)
     val exploded = sh.select(col("doc_id"), explode(col("shingle_hashes")).as("s"))
     val dfreq = exploded.groupBy(col("s")).agg(count(lit(1)).as("df"))
@@ -534,6 +536,153 @@ object LshDedup {
           size(col("sh_a")))
       .filter(col("containment") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("containment")), ordered)
+  }
+
+  /** The CORPUS-SCALE sibling of [[containmentPairs]] — the asymmetric
+    * near-dup miner that does NOT require the exact quadratic join.
+    * Symmetric MinHash banding structurally misses the
+    * quote-in-article class (the union is the big doc, and the length
+    * filter prunes exactly the interesting size ratios — see
+    * [[containmentPairs]]), so until this method the exact containment
+    * join had no scale path at all: its ExactScale redirect pointed at
+    * a miner that cannot find its pair class.
+    *
+    * Semantics (deterministic, engine-independent — the DuckDB oracle
+    * replicates it bit-for-bit):
+    *
+    *   candidates = { (a, b) : a ≠ b, ∃ shingle s ∈ prefix_t(a) ∩
+    *                  sh(b) with df(s) ≤ maxDf }
+    *   output     = candidates verified exactly:
+    *                |sh(a) ∩ sh(b)| / |sh(a)| ≥ threshold
+    *
+    * where prefix_t(a) is a's first |a| − ⌈t·|a|⌉ + 1 shingles under
+    * the global rarest-first order (document frequency ascending,
+    * signed shingle hash as tiebreak — the same order the exact join
+    * uses), i.e. the probe prefix the prefix-filtering theorem says
+    * every true pair must hit.
+    *
+    * What the df cap buys: the exact join's cost driver is common
+    * shingles — one shingle shared by d docs contributes up to
+    * prefix_count(s)·d join rows, unbounded under Zipf vocabulary.
+    * Capping the posting list at `maxDf` bounds per-shingle work at
+    * maxDf² and total work at Σ_{df(s) ≤ maxDf} prefix_count(s)·df(s)
+    * ≈ the posting volume — fully linear-class, one shuffle keyed on
+    * the shingle, the same guard family as [[candidatePairs]]'
+    * maxBucket.
+    *
+    * What it costs (the recall contract): a true pair is missed ONLY
+    * when every shingle of a's prefix that b shares has df > maxDf —
+    * i.e. when the probe doc's RAREST (1−t) fraction consists
+    * entirely of corpus-common phrases. That is the spam regime
+    * (boilerplate quotes), which exact dedup removes at linear cost;
+    * on natural corpora the rarest-first prefix is precisely the part
+    * of the doc that stays under any sane cap.
+    * [[containmentCappedRecallReport]] measures the actual recall
+    * against the exact miner on guard-sized data, and
+    * [[containmentDropStats]] makes the cap's bite observable (the
+    * no-silent-caps rule).
+    *
+    * No positional filter here, deliberately: in the exact join posOk
+    * is output-invariant because the FIRST common element is always
+    * present among the joined rows; under a df cap that row may be
+    * the capped one, and posOk evaluated only at later rows could
+    * drop a pair the cap semantics alone would keep — the filter
+    * would silently change the miner's contract. Candidates are
+    * verified exactly anyway, so posOk would only be a pruning
+    * heuristic, and the clean cap-only contract is worth more than
+    * the pruning.
+    */
+  def containmentPairsCapped(docs: DataFrame, threshold: Double, n: Int = 3,
+                             maxDf: Long = 1000L): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1]: $threshold")
+    require(maxDf >= 1L, s"maxDf >= 1: $maxDf")
+    val sh = shingleHashes(docs, n = n)
+      .filter(size(col("shingle_hashes")) > 0)
+    val exploded = sh.select(col("doc_id"), explode(col("shingle_hashes")).as("s"))
+    val dfreq = exploded.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    // per-doc shingles re-assembled rarest-first WITH their dfs, so
+    // the probe prefix and the df cap read off one persisted table
+    // (released after the first action — caching contract above)
+    val ordered = exploded.join(dfreq, "s")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("dsh"))
+      .withColumn("len", size(col("dsh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prefLen = (col("len") -
+      ceil(lit(threshold) * col("len") - lit(1e-9)) + 1).cast("int")
+    val probe = ordered
+      .select(col("doc_id"), explode(slice(col("dsh"), lit(1), prefLen)).as("e"))
+      .filter(col("e.df") <= maxDf)
+      .select(col("doc_id"), col("e.s").as("s"))
+    val post = ordered
+      .select(col("doc_id"), explode(col("dsh")).as("e"))
+      .filter(col("e.df") <= maxDf)
+      .select(col("doc_id"), col("e.s").as("s"))
+    val verify = ordered.select(col("doc_id"),
+      transform(col("dsh"), x => x.getField("s")).as("sh"))
+    unpersistAfterFirstUse(probe.as("a")
+      .join(post.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .join(verify.withColumnsRenamed(Map("doc_id" -> "doc_a", "sh" -> "sh_a")), "doc_a")
+      .join(verify.withColumnsRenamed(Map("doc_id" -> "doc_b", "sh" -> "sh_b")), "doc_b")
+      .withColumn("containment",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(col("sh_a")))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("containment")), ordered)
+  }
+
+  /** One-row observability summary of what [[containmentPairsCapped]]'s
+    * df cap removes: (n_grams_capped, n_postings_capped) — the number
+    * of distinct shingles above `maxDf` and the posting rows they
+    * carried. Non-zero is normal on any natural corpus (common
+    * phrases); what a pipeline alerts on is the recall report below,
+    * this frame says where the cap's work bound came from.
+    */
+  def containmentDropStats(docs: DataFrame, n: Int = 3,
+                           maxDf: Long = 1000L): DataFrame =
+    shingleHashes(docs, n = n)
+      .filter(size(col("shingle_hashes")) > 0)
+      .select(explode(col("shingle_hashes")).as("s"))
+      .groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .agg(count(lit(1)).as("n_grams_capped"),
+        coalesce(sum(col("df")), lit(0L)).as("n_postings_capped"))
+
+  /** The recall gate for [[containmentPairsCapped]] — the same shape
+    * as [[simhashCappedRecallReport]]: on guard-sized data, mine
+    * containment pairs both ways and report one row
+    *
+    *   (n_docs, n_pairs_exact, n_pairs_capped, n_grams_capped,
+    *    recall_micro = floor(capped / exact · 1e6))
+    *
+    * capped ⊆ exact by construction (the cap only removes candidate
+    * rows; both paths verify with the same exact containment filter
+    * and the exact miner is complete), so the count ratio IS pair
+    * recall; exact = 0 reports the vacuous 1e6. n_grams_capped says
+    * whether the cap even fired (recall 1.0 with zero capped grams is
+    * a vacuous gate). Cost is dominated by the exact miner — a GATE
+    * query, not a production path; production runs the capped miner
+    * and watches [[containmentDropStats]].
+    */
+  def containmentCappedRecallReport(docs: DataFrame, threshold: Double,
+                                    n: Int = 3, maxDf: Long = 1000L,
+                                    maxExactRows: Long = ExactScale.DefaultMaxExactRows,
+                                    force: Boolean = false): DataFrame = {
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val exact = containmentPairs(docs, threshold, n, maxExactRows, force)
+      .agg(count(lit(1)).as("n_pairs_exact"))
+    val capped = containmentPairsCapped(docs, threshold, n, maxDf)
+      .agg(count(lit(1)).as("n_pairs_capped"))
+    val grams = containmentDropStats(docs, n, maxDf)
+      .select(col("n_grams_capped"))
+    nDocs.crossJoin(exact).crossJoin(capped).crossJoin(grams)
+      .withColumn("recall_micro",
+        when(col("n_pairs_exact") === 0L, lit(1000000L))
+          .otherwise(floor(col("n_pairs_capped").cast("double") /
+            col("n_pairs_exact").cast("double") * 1e6).cast("long")))
   }
 
   /** 64-bit SimHash per doc (over token hashes, not shingles — the
@@ -626,12 +775,22 @@ object LshDedup {
   private[graft] val BitOrderCacheMax = 256
   /** Test hook: current memo population (bound asserted in LshSpec). */
   private[graft] def bitOrderCacheSize: Int = bitOrderCache.size
-  /** Bounded insert-or-get: clears the memo before admitting a new
-    * key once the population reaches [[BitOrderCacheMax]].
+  /** Bounded insert-or-get: evicts ONE arbitrary entry before
+    * admitting a new key once the population reaches
+    * [[BitOrderCacheMax]] — unlike a full clear(), concurrent callers
+    * on other live corpora keep their hot memos (no thundering
+    * re-scan), and the map stays bounded just the same. The
+    * size-check / evict / insert sequence is not atomic, so racing
+    * callers can transiently overshoot the cap by the number of
+    * concurrent threads — acceptable for a perf-only memo whose
+    * entries are ~64 ints.
     */
   private[graft] def bitOrderCached(key: String)(compute: => Seq[Int]): Seq[Int] = {
     if (bitOrderCache.size >= BitOrderCacheMax &&
-        !bitOrderCache.containsKey(key)) bitOrderCache.clear()
+        !bitOrderCache.containsKey(key)) {
+      val it = bitOrderCache.keySet().iterator()
+      if (it.hasNext) { it.next(); it.remove() }
+    }
     bitOrderCache.computeIfAbsent(key, _ => compute)
   }
   /** Test hook: how many ones-rate stats scans actually ran. */

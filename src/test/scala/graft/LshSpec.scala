@@ -464,10 +464,105 @@ class LshSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("containmentPairsCapped finds the quote-in-article pair at scale semantics") {
+    // the flagship pair class the scale path exists for: the capped
+    // miner must find it without the exact quadratic join (every
+    // shingle here is rare, so no cap interferes)
+    val quote = (1 to 12).map(i => s"q$i").mkString(" ")
+    val article = (1 to 70).map(i => s"w$i").mkString(" ") + " " + quote
+    val d = Seq((1L, article), (2L, quote)).toDF("doc_id", "text")
+    val got = LshDedup.containmentPairsCapped(d, threshold = 0.9, maxDf = 1000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    assert(got === List((2L, 1L, 1.0)))
+  }
+
+  test("containmentPairsCapped == containmentPairs when no shingle exceeds the cap") {
+    // same overlapping-window corpus as the exact brute-force test;
+    // with maxDf above the corpus's max document frequency the cap
+    // never binds and the capped miner must equal the exact one —
+    // including boundary ratios
+    val docs = (0L until 24L).map { i =>
+      val start = (i * 7) % 40
+      val len = 5 + (i % 13)
+      val toks = (start until (start + len)).map(j => s"t${j % 52}")
+      (i, toks.mkString(" "))
+    }
+    val d = docs.toDF("doc_id", "text")
+    val t = 0.5
+    val exact = LshDedup.containmentPairs(d, threshold = t)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val capped = LshDedup.containmentPairsCapped(d, threshold = t, maxDf = 1000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.nonEmpty)
+    assert(capped === exact)
+  }
+
+  test("containmentPairsCapped cap semantics: over-cap shingles carry no candidates") {
+    // maxDf = 1 makes EVERY shared shingle over-cap, so no candidate
+    // can form — the one deterministic corner where the cap's bite is
+    // total; the recall report must say so rather than hide it
+    val quote = (1 to 12).map(i => s"q$i").mkString(" ")
+    val article = (1 to 70).map(i => s"w$i").mkString(" ") + " " + quote
+    val d = Seq((1L, article), (2L, quote)).toDF("doc_id", "text")
+    assert(LshDedup.containmentPairsCapped(d, threshold = 0.9, maxDf = 1L)
+      .collect().isEmpty)
+    val rep = LshDedup.containmentCappedRecallReport(d, threshold = 0.9,
+      maxDf = 1L).collect().head
+    assert(rep.getAs[Long]("n_docs") === 2L)
+    assert(rep.getAs[Long]("n_pairs_exact") === 1L)
+    assert(rep.getAs[Long]("n_pairs_capped") === 0L)
+    assert(rep.getAs[Long]("n_grams_capped") > 0L)
+    assert(rep.getAs[Long]("recall_micro") === 0L)
+    // and with the cap lifted the report certifies full recall with
+    // the cap provably not firing
+    val rep2 = LshDedup.containmentCappedRecallReport(d, threshold = 0.9,
+      maxDf = 1000L).collect().head
+    assert(rep2.getAs[Long]("recall_micro") === 1000000L)
+    assert(rep2.getAs[Long]("n_grams_capped") === 0L)
+  }
+
+  test("containmentPairsCapped prefix honors the rarest-first (df, signed hash) order") {
+    // a true pair whose ONLY rare shared shingles sit in the probe's
+    // rarest-first prefix: doc 0 = shared block + unique tail; docs
+    // 1..4 all contain the shared block, making its shingles COMMON
+    // (df = 5) relative to the tail (df = 1). With t such that the
+    // prefix covers the whole set the pair forms through the rare
+    // tail... conversely capping at maxDf = 4 kills exactly the
+    // common-block candidates, so a pair linked ONLY through the
+    // block disappears while block+tail sharers survive.
+    val block = (1 to 20).map(i => s"b$i").mkString(" ")
+    val tail0 = (1 to 10).map(i => s"u$i").mkString(" ")
+    // doc 0: block + unique tail; doc 9: same block + SAME tail (a
+    // genuine near-dup through rare content); docs 1..4: block + own
+    // unique padding (linked to doc 0 only through the common block)
+    val rows = Seq(
+      (0L, s"$block $tail0"),
+      (9L, s"$block $tail0")) ++
+      (1L to 4L).map(i => (i, s"$block " + (1 to 10).map(j => s"p${i}_$j").mkString(" ")))
+    val d = rows.toDF("doc_id", "text")
+    val t = 0.5
+    val exact = LshDedup.containmentPairs(d, threshold = t)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // block shingles have df = 6 (all docs), tail shingles df = 2
+    // (docs 0 and 9): a cap of 4 keeps tail candidates, drops block
+    val capped = LshDedup.containmentPairsCapped(d, threshold = t, maxDf = 4L)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the rare-content near-dup 0↔9 survives the cap in both directions
+    assert(capped.contains((0L, 9L)) && capped.contains((9L, 0L)))
+    // block-only pairs (e.g. 1→2: everything shared is over-cap) die
+    assert(exact.contains((1L, 2L)))
+    assert(!capped.contains((1L, 2L)))
+    // and capped ⊆ exact (the cap only removes pairs)
+    assert(capped.subsetOf(exact))
+  }
+
   test("bitOrderCache stays bounded across many distinct inputs") {
     // a long-lived session mining many distinct corpora must not
     // accumulate memo entries without bound: past BitOrderCacheMax
-    // the map clears before admitting a new key (losing a memo costs
+    // one arbitrary entry is evicted before admitting a new key, so
+    // hot memos on other live corpora survive (losing a memo costs
     // one stats re-scan, never correctness — the order is perf-only)
     for (i <- 0 until LshDedup.BitOrderCacheMax * 2) {
       LshDedup.bitOrderCached(s"lshspec-bound-$i")(0 until 64)
