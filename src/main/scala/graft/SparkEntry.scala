@@ -375,15 +375,20 @@ object SparkEntry {
       * and breaks df ties by the SIGNED 64-bit value, exactly the
       * order the engine's sort_array over (df, s) structs uses.
       * Ends inside the WITH list at `pair_int` (full exact
-      * intersection over the capped candidate set).
+      * intersection over the capped candidate set). The effective
+      * cap is corpus-relative, min(maxDf, ⌈pct%·N⌉), via the
+      * integer-exact ceil division (N·pct + 99) // 100 — the same
+      * fold the engine computes in long arithmetic.
       */
-    private def containmentCappedCtes(t: Double, cap: Int): String =
+    private def containmentCappedCtes(t: Double, maxDf: Int, pct: Int): String =
       s"""$tokenHashCte, shs AS (
          |  SELECT doc_id, list_distinct(${mixStages(shingleFold)}) AS sh
          |  FROM th WHERE len(tkh) >= 3
          |), ex AS (SELECT doc_id, unnest(sh) AS h FROM shs),
          |sizes AS (SELECT doc_id, len(sh) AS n_sh FROM shs),
-         |dfq AS (SELECT h, count(*) AS df FROM ex GROUP BY h),
+         |dcap AS (
+         |  SELECT least($maxDf, (count(*) * $pct + 99) // 100) AS df_cap FROM shs
+         |), dfq AS (SELECT h, count(*) AS df FROM ex GROUP BY h),
          |ord AS (
          |  SELECT e.doc_id, e.h, d.df,
          |    row_number() OVER (PARTITION BY e.doc_id ORDER BY d.df,
@@ -391,7 +396,8 @@ object SparkEntry {
          |  FROM ex e JOIN dfq d USING (h)
          |), pref AS (
          |  SELECT o.doc_id, o.h FROM ord o JOIN sizes sz USING (doc_id)
-         |  WHERE o.rk <= sz.n_sh - ceil($t * sz.n_sh - 1e-9) + 1 AND o.df <= $cap
+         |  WHERE o.rk <= sz.n_sh - ceil($t * sz.n_sh - 1e-9) + 1
+         |    AND o.df <= (SELECT df_cap FROM dcap)
          |), cand AS (
          |  SELECT DISTINCT p.doc_id AS doc_a, e.doc_id AS doc_b
          |  FROM pref p JOIN ex e ON e.h = p.h AND e.doc_id <> p.doc_id
@@ -403,7 +409,7 @@ object SparkEntry {
          |)""".stripMargin
 
     val containmentCappedSql: String =
-      s"""${containmentCappedCtes(0.5, 4)}
+      s"""${containmentCappedCtes(0.5, 1000, 1)}
          |SELECT doc_a, doc_b,
          |  CAST(floor(CAST(n_int AS DOUBLE) / sa.n_sh * 1000000) AS BIGINT)
          |    AS containment_micro
@@ -417,7 +423,7 @@ object SparkEntry {
       * grams would be a vacuous gate.
       */
     val containmentRecallSql: String =
-      s"""${containmentCappedCtes(0.5, 4)}, capped AS (
+      s"""${containmentCappedCtes(0.5, 1000, 1)}, capped AS (
          |  SELECT count(*) AS n_pairs_capped FROM pair_int
          |  JOIN sizes sa ON sa.doc_id = doc_a
          |  WHERE CAST(n_int AS DOUBLE) / sa.n_sh >= 0.5
@@ -429,7 +435,8 @@ object SparkEntry {
          |  SELECT count(*) AS n_pairs_exact FROM allpair
          |  JOIN sizes sa ON sa.doc_id = doc_a
          |  WHERE CAST(n_int AS DOUBLE) / sa.n_sh >= 0.5
-         |), grams AS (SELECT count(*) AS n_grams_capped FROM dfq WHERE df > 4),
+         |), grams AS (SELECT count(*) AS n_grams_capped FROM dfq
+         |  WHERE df > (SELECT df_cap FROM dcap)),
          |nd AS (SELECT count(*) AS n_docs FROM documents)
          |SELECT CAST(n_docs AS BIGINT) AS n_docs,
          |  CAST(n_pairs_exact AS BIGINT) AS n_pairs_exact,
@@ -2412,13 +2419,15 @@ object SparkEntry {
     "q_containment_scale" -> ((s, dir) =>
       // the containment-class SCALE path: df-capped prefix-probe
       // banding — per-shingle work ≤ cap², no exact quadratic join,
-      // no ExactScale guard needed. maxDf deliberately low here so
-      // the cap BINDS at test SF (sf0.01 max df = 7; 151 grams capped
-      // at maxDf=4) and the oracle certifies the cap semantics, not
-      // just the uncapped join; production keeps the 1000 default and
-      // watches containmentDropStats
+      // no ExactScale guard needed. The cap is corpus-RELATIVE
+      // (min(1000, ⌈1%·N⌉)): an absolute df threshold that binds at
+      // 500 docs is vacuous at 50k and vice versa (measured — a flat
+      // maxDf=4 gave recall 1.0 at sf0.01 but 0 at sf1), while
+      // "shingle in >1% of docs" is the boilerplate rule at every SF
+      // and the 1000 floor bounds per-shingle work when 1% of N
+      // outgrows it
       LshDedup.containmentPairsCapped(Tables.documents(s, dir),
-          threshold = 0.5, maxDf = 4L)
+          threshold = 0.5, maxDf = 1000L, maxDfPercent = 1)
         .withColumn("containment_micro", floor(col("containment") * 1e6).cast("long"))
         .select(col("doc_a"), col("doc_b"), col("containment_micro"))
         .orderBy(col("doc_a"), col("doc_b"))),
@@ -2428,7 +2437,7 @@ object SparkEntry {
       // exact by construction, so the count ratio is pair recall;
       // n_grams_capped certifies the cap actually fired
       LshDedup.containmentCappedRecallReport(Tables.documents(s, dir),
-        threshold = 0.5, maxDf = 4L)),
+        threshold = 0.5, maxDf = 1000L, maxDfPercent = 1)),
     "q_dsir" -> ((s, dir) =>
       // DSIR importance resampling pool: hashed-unigram importance
       // weights vs the src0 target slice, top-100 most target-like
@@ -2438,6 +2447,29 @@ object SparkEntry {
         .orderBy(col("weight_micro").desc, col("doc_id"))
         .limit(100)
         .select(col("doc_id"), col("n_tokens"), col("weight_micro"))),
+    "q_dsir_incr" -> ((s, dir) => {
+      // incremental DSIR maintenance (DsirStore): the corpus arrives
+      // as three batches; each is tokenized ALONE into its compact
+      // count table and folded into the store (one append re-driven
+      // to exercise the retry-idempotence probe), then the weight
+      // pass runs over the store. Must equal the full recompute
+      // bit-for-bit — same oracle as q_dsir, verbatim (the
+      // q_dedup_cluster_incr precedent).
+      val docs = Tables.documents(s, dir)
+      val isTarget = col("source") === "src0"
+      val batchOf = pmod(col("doc_id"), lit(3L))
+      val store = scratchStorePath("graft-dsir", dir)
+      graft.operators.DsirStore.write(docs.filter(batchOf === 0L), isTarget, store)
+      graft.operators.DsirStore.append(docs.filter(batchOf === 1L), isTarget, store)
+      // a foreachBatch RETRY re-delivers a batch: the presence probe
+      // must make the re-append a no-op, not a double count
+      graft.operators.DsirStore.append(docs.filter(batchOf === 1L), isTarget, store)
+      graft.operators.DsirStore.append(docs.filter(batchOf === 2L), isTarget, store)
+      graft.operators.DsirStore.weights(s, store)
+        .orderBy(col("weight_micro").desc, col("doc_id"))
+        .limit(100)
+        .select(col("doc_id"), col("n_tokens"), col("weight_micro"))
+    }),
     "q_embed_neardup" -> ((s, dir) =>
       Similarity.blockedNearDupPairs(Tables.embeddings(s, dir), threshold = 0.45)
         .withColumn("sim_micro", floor(col("sim") * 1e6).cast("long"))
@@ -5370,6 +5402,10 @@ object SparkEntry {
     "q_containment_scale" -> SketchOracles.containmentCappedSql,
     "q_containment_recall" -> SketchOracles.containmentRecallSql,
     "q_dsir" -> SketchOracles.dsirSql,
+    // the incremental store fold must equal the full recompute over
+    // the whole corpus, so it shares the same oracle verbatim (the
+    // q_dedup_cluster_incr precedent)
+    "q_dsir_incr" -> SketchOracles.dsirSql,
     "q_dedup_cluster" -> SketchOracles.clusterCcSql,
     // the incremental assignment-merge must equal the full recompute
     // over the whole corpus, so it shares the same oracle verbatim

@@ -700,10 +700,26 @@ object Curation {
     * weight_micro).
     */
   def dsirWeights(docs: DataFrame, isTarget: Column,
-                  buckets: Int = 256, textCol: String = "text"): DataFrame = {
+                  buckets: Int = 256, textCol: String = "text"): DataFrame =
+    dsirWeightsFromCounts(dsirCountTable(docs, isTarget, buckets, textCol),
+      buckets)
+
+  /** The (doc_id, is_t, b, n) hashed-bucket count table of a doc
+    * batch — the INGEST-TIME pass of DSIR, factored out so it can be
+    * maintained incrementally ([[DsirStore]]): counts are keyed by
+    * doc_id and doc_ids are disjoint across batches, so the count
+    * table of a corpus is the plain UNION of its batches' tables —
+    * folding a batch into a store is a pure append, no merge
+    * arithmetic, and the heavy tokenization runs over each batch
+    * exactly once. The weight pass ([[dsirWeightsFromCounts]]) then
+    * reads only this compact table (≲ one row per token, usually far
+    * fewer), never the text.
+    */
+  def dsirCountTable(docs: DataFrame, isTarget: Column,
+                     buckets: Int = 256, textCol: String = "text"): DataFrame = {
     require(buckets > 0 && Integer.bitCount(buckets) == 1,
       s"buckets must be a power of two (divides 2^64, so signed pmod ≡ unsigned mod): $buckets")
-    val dbc = docs
+    docs
       .select(col("doc_id"), isTarget.as("is_t"),
         explode(graft.functions.token_fnv_hashes(lower(trim(col(textCol)))))
           .as("h"))
@@ -713,6 +729,23 @@ object Curation {
         pmod(col("h"), lit(buckets.toLong)).as("b"))
       .groupBy(col("doc_id"), col("is_t"), col("b"))
       .agg(count(lit(1)).as("n"))
+  }
+
+  /** The WEIGHT pass of DSIR over a (doc_id, is_t, b, n) count table
+    * (from [[dsirCountTable]] directly, or a [[DsirStore]] fold of
+    * many batches — the two are the same rows, so this equality IS
+    * the batch/stream parity proof, gated by q_dsir_incr): bucket
+    * stats, Laplace-smoothed integer-micro log-ratios, per-doc exact
+    * integer weight sums. Bucket stats collapse to ≤ `buckets` rows,
+    * corpus totals ride [[Ranks.withGlobalAgg]] (1-row broadcast),
+    * the ratio table is broadcast — the only count-table-sized
+    * operations are one aggregate and one broadcast join, both over
+    * the compact table, never the text.
+    */
+  def dsirWeightsFromCounts(counts: DataFrame, buckets: Int = 256): DataFrame = {
+    require(buckets > 0 && Integer.bitCount(buckets) == 1,
+      s"buckets must be a power of two (divides 2^64, so signed pmod ≡ unsigned mod): $buckets")
+    val dbc = counts
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val stats = dbc.groupBy(col("b")).agg(
       sum(when(col("is_t"), col("n")).otherwise(0L)).as("n_t"),

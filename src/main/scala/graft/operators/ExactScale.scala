@@ -33,14 +33,27 @@ object ExactScale {
   def check(df: DataFrame, what: String, sibling: String,
             maxExactRows: Long = DefaultMaxExactRows,
             force: Boolean = false): DataFrame = {
-    if (!force) {
+    checkCounted(df, what, sibling, maxExactRows, force)
+    df
+  }
+
+  /** Same guard, but returns the measured row count (−1 when `force`
+    * skips the scan) so a dispatcher can reuse the count it already
+    * paid for in size-gated planning decisions (e.g. the
+    * counted-vs-prefix miner selection in LshDedup.exactJaccardPairs)
+    * instead of scanning twice.
+    */
+  def checkCounted(df: DataFrame, what: String, sibling: String,
+                   maxExactRows: Long = DefaultMaxExactRows,
+                   force: Boolean = false): Long =
+    if (force) -1L
+    else {
       val n = df.count()
       if (n > maxExactRows) throw new IllegalArgumentException(
         s"$what is an exact all-pairs (quadratic) ground-truth path and its input has " +
           s"$n rows, above the $maxExactRows-row guard. Use the sub-quadratic sibling " +
           s"($sibling) for production corpora, or pass force=true to run the exact " +
           "path anyway (e.g. on a bounded calibration sample).")
+      n
     }
-    df
-  }
 }

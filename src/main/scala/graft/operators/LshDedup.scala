@@ -322,26 +322,61 @@ object LshDedup {
     * volume, so at corpus scale prefer jaccardVerified (LSH-pruned)
     * for mining and keep this as the verification/ground-truth path.
     */
+  /** Above this input size the prefix miner is the default; at or
+    * below it the counted miner wins. Measured A/B
+    * (graft.JaccardBench, quiet machine, min-of-two): at sf1 = 50k
+    * docs prefix wins big — t=0.8 counted 61.0 s vs prefix 7.3 s
+    * (8.4×), t=0.2 counted 140.4 s vs prefix 63.4 s (2.2×) — but at
+    * sf0.1 = 5k docs counted wins by ≤ 0.9 s at both thresholds: the
+    * prefix path's two frequency-ranking shuffles of the (shingle,
+    * doc) table are fixed overhead that only amortizes once the
+    * candidate collapse has enough quadratic volume to collapse. The
+    * gate sits at the geometric midpoint of the two measured SFs;
+    * both paths are exact (the equality spec locks them at every
+    * threshold), so the gate is a pure plan choice — answers cannot
+    * move.
+    */
+  private[graft] val CountedMinerMaxDocs = 16000L
+
+  /** The auto-selection rule behind [[exactJaccardPairs]]'s default
+    * path: counted at-or-under [[CountedMinerMaxDocs]], prefix above
+    * — and prefix when the count was skipped (`force=true` returns
+    * −1: no size information, so take the path that survives scale).
+    */
+  private[graft] def chooseCountedMiner(nDocs: Long): Boolean =
+    nDocs >= 0 && nDocs <= CountedMinerMaxDocs
+
   def exactJaccardPairs(docs: DataFrame, threshold: Double, n: Int = 3,
-                        prefixFilter: Boolean = true,
+                        prefixFilter: Option[Boolean] = None,
                         maxExactRows: Long = ExactScale.DefaultMaxExactRows,
                         force: Boolean = false): DataFrame =
     // both paths are exact (LshSpec locks equality at every
     // threshold). Counted touches every shared-shingle co-occurrence
     // (volume Σ cnt(s)² over all shingles) but needs the fewest
     // shuffles, so it wins on SMALL corpora where the extra
-    // frequency-ranking shuffles dominate. Prefix-filtered indexes
+    // frequency-ranking shuffles dominate; prefix-filtered indexes
     // only each set's rarest (1-t) fraction and prunes by the PPJoin
     // length+positional bounds inside the join, collapsing the
-    // quadratic common-shingle term. Measured A/B (graft.JaccardBench,
-    // sf1 = 50k docs, quiet machine, min-of-two): t=0.8 counted
-    // 61.0 s vs prefix 7.3 s (8.4×), t=0.2 counted 140.4 s vs prefix
-    // 63.4 s (2.2×); at sf0.1 counted wins by ≤ 0.9 s. The default is
-    // the path that survives corpus scale — flip prefixFilter=false
-    // only for small-corpus loops where sub-second shuffle overhead
-    // matters.
-    if (prefixFilter) exactJaccardPairsPrefix(docs, threshold, n, maxExactRows, force)
-    else exactJaccardPairsCounted(docs, threshold, n, maxExactRows, force)
+    // quadratic common-shingle term at scale. The default
+    // (prefixFilter = None) SIZE-GATES the choice on the row count
+    // the ExactScale guard already pays for — one scan serves both
+    // the guard and the plan decision, and the chosen variant runs
+    // with force=true so the input is never counted twice. An
+    // explicit Some(x) pins the path (calibration, the equality
+    // spec) and leaves the guard inside the variant.
+    prefixFilter match {
+      case Some(true) =>
+        exactJaccardPairsPrefix(docs, threshold, n, maxExactRows, force)
+      case Some(false) =>
+        exactJaccardPairsCounted(docs, threshold, n, maxExactRows, force)
+      case None =>
+        val nDocs = ExactScale.checkCounted(docs, "exactJaccardPairs",
+          "jaccardVerified (LSH banding)", maxExactRows, force)
+        if (chooseCountedMiner(nDocs))
+          exactJaccardPairsCounted(docs, threshold, n, maxExactRows, force = true)
+        else
+          exactJaccardPairsPrefix(docs, threshold, n, maxExactRows, force = true)
+    }
 
   /** Count-based inverted-index join: count shared shingles per pair,
     * derive the union from set sizes. Touches every shared-shingle
@@ -571,7 +606,7 @@ object LshDedup {
     * maxBucket.
     *
     * What it costs (the recall contract): a true pair is missed ONLY
-    * when every shingle of a's prefix that b shares has df > maxDf —
+    * when every shingle of a's prefix that b shares is over-cap —
     * i.e. when the probe doc's RAREST (1−t) fraction consists
     * entirely of corpus-common phrases. That is the spam regime
     * (boilerplate quotes), which exact dedup removes at linear cost;
@@ -581,6 +616,19 @@ object LshDedup {
     * against the exact miner on guard-sized data, and
     * [[containmentDropStats]] makes the cap's bite observable (the
     * no-silent-caps rule).
+    *
+    * The cap itself is TWO knobs folded to one effective value,
+    * cap = min(maxDf, ⌈maxDfPercent% · N⌉) where N = docs in the
+    * shingle index — because "common" is corpus-relative: an
+    * absolute df threshold that bites at 500 docs is vacuous at 50k
+    * and vice versa (measured: maxDf=4 gave recall 1.0 at sf0.01 and
+    * recall 0 at sf1 — the df distribution shifted under it). The
+    * PERCENT knob is the signal rule (a shingle in > p% of the
+    * corpus is boilerplate and carries no containment signal); the
+    * ABSOLUTE knob is the work bound (per-shingle join work ≤ cap²
+    * no matter how large N grows — at 10B docs, 1% would otherwise
+    * be a 100M-doc posting list on one shuffle key). The fold is
+    * integer-exact in both engines: ⌈N·p/100⌉ = (N·p + 99) div 100.
     *
     * No positional filter here, deliberately: in the exact join posOk
     * is output-invariant because the FIRST common element is always
@@ -592,14 +640,31 @@ object LshDedup {
     * heuristic, and the clean cap-only contract is worth more than
     * the pruning.
     */
+  /** The folded effective cap of [[containmentPairsCapped]] as a
+    * 1-row (df_cap) frame: min(maxDf, ⌈maxDfPercent% · N⌉), N = rows
+    * of `sh` (docs with a non-empty shingle set). Integer-exact:
+    * the ceil-division form (N·p + 99) div 100 avoids any
+    * double-rounding divergence between engines. Broadcast-joined
+    * below (1 row), the Ranks.withGlobalAgg pattern.
+    */
+  private def containmentDfCap(sh: DataFrame, maxDf: Long,
+                               maxDfPercent: Int): DataFrame =
+    sh.agg(floor((count(lit(1)) * lit(maxDfPercent.toLong) + lit(99L))
+        / lit(100L)).cast("long").as("pct_cap"))
+      .select(least(lit(maxDf), col("pct_cap")).as("df_cap"))
+
   def containmentPairsCapped(docs: DataFrame, threshold: Double, n: Int = 3,
-                             maxDf: Long = 1000L): DataFrame = {
+                             maxDf: Long = 1000L,
+                             maxDfPercent: Int = 100): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1]: $threshold")
     require(maxDf >= 1L, s"maxDf >= 1: $maxDf")
+    require(maxDfPercent >= 1 && maxDfPercent <= 100,
+      s"maxDfPercent in [1,100]: $maxDfPercent")
     val sh = shingleHashes(docs, n = n)
       .filter(size(col("shingle_hashes")) > 0)
     val exploded = sh.select(col("doc_id"), explode(col("shingle_hashes")).as("s"))
     val dfreq = exploded.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val cap = containmentDfCap(sh, maxDf, maxDfPercent)
     // per-doc shingles re-assembled rarest-first WITH their dfs, so
     // the probe prefix and the df cap read off one persisted table
     // (released after the first action — caching contract above)
@@ -612,11 +677,13 @@ object LshDedup {
       ceil(lit(threshold) * col("len") - lit(1e-9)) + 1).cast("int")
     val probe = ordered
       .select(col("doc_id"), explode(slice(col("dsh"), lit(1), prefLen)).as("e"))
-      .filter(col("e.df") <= maxDf)
+      .crossJoin(broadcast(cap))
+      .filter(col("e.df") <= col("df_cap"))
       .select(col("doc_id"), col("e.s").as("s"))
     val post = ordered
       .select(col("doc_id"), explode(col("dsh")).as("e"))
-      .filter(col("e.df") <= maxDf)
+      .crossJoin(broadcast(cap))
+      .filter(col("e.df") <= col("df_cap"))
       .select(col("doc_id"), col("e.s").as("s"))
     val verify = ordered.select(col("doc_id"),
       transform(col("dsh"), x => x.getField("s")).as("sh"))
@@ -642,14 +709,17 @@ object LshDedup {
     * this frame says where the cap's work bound came from.
     */
   def containmentDropStats(docs: DataFrame, n: Int = 3,
-                           maxDf: Long = 1000L): DataFrame =
-    shingleHashes(docs, n = n)
+                           maxDf: Long = 1000L,
+                           maxDfPercent: Int = 100): DataFrame = {
+    val sh = shingleHashes(docs, n = n)
       .filter(size(col("shingle_hashes")) > 0)
-      .select(explode(col("shingle_hashes")).as("s"))
+    sh.select(explode(col("shingle_hashes")).as("s"))
       .groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxDf)
+      .crossJoin(broadcast(containmentDfCap(sh, maxDf, maxDfPercent)))
+      .filter(col("df") > col("df_cap"))
       .agg(count(lit(1)).as("n_grams_capped"),
         coalesce(sum(col("df")), lit(0L)).as("n_postings_capped"))
+  }
 
   /** The recall gate for [[containmentPairsCapped]] — the same shape
     * as [[simhashCappedRecallReport]]: on guard-sized data, mine
@@ -669,14 +739,15 @@ object LshDedup {
     */
   def containmentCappedRecallReport(docs: DataFrame, threshold: Double,
                                     n: Int = 3, maxDf: Long = 1000L,
+                                    maxDfPercent: Int = 100,
                                     maxExactRows: Long = ExactScale.DefaultMaxExactRows,
                                     force: Boolean = false): DataFrame = {
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val exact = containmentPairs(docs, threshold, n, maxExactRows, force)
       .agg(count(lit(1)).as("n_pairs_exact"))
-    val capped = containmentPairsCapped(docs, threshold, n, maxDf)
+    val capped = containmentPairsCapped(docs, threshold, n, maxDf, maxDfPercent)
       .agg(count(lit(1)).as("n_pairs_capped"))
-    val grams = containmentDropStats(docs, n, maxDf)
+    val grams = containmentDropStats(docs, n, maxDf, maxDfPercent)
       .select(col("n_grams_capped"))
     nDocs.crossJoin(exact).crossJoin(capped).crossJoin(grams)
       .withColumn("recall_micro",

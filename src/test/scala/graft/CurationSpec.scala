@@ -51,6 +51,37 @@ class CurationSpec extends SparkSpec {
     assert(run(d.repartition(7)) === got) // order-independence is exact
   }
 
+  test("DsirStore incremental fold equals the full recompute bit-for-bit") {
+    // batch/stream parity: three batches tokenized separately and
+    // appended to the store (one batch RE-appended — a foreachBatch
+    // retry must be a no-op via the presence probe, not a double
+    // count) give exactly the weights of one full-corpus pass
+    val target = (0L until 6L).map(i => (i, "zebra quark boson lepton gluon", true))
+    val raw = (10L until 22L).map(i =>
+      (i, if (i % 3 == 0) "zebra quark boson photon"
+          else s"apple banana cherry tok_$i grape", false))
+    val d = (target ++ raw).toDF("doc_id", "text", "is_t")
+    val full = Curation.dsirWeights(d, isTarget = col("is_t"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    val store = java.nio.file.Files.createTempDirectory("dsir-store")
+      .resolve("counts").toString
+    val batchOf = pmod(col("doc_id"), lit(3L))
+    operators.DsirStore.write(d.filter(batchOf === 0L), col("is_t"), store)
+    operators.DsirStore.append(d.filter(batchOf === 1L), col("is_t"), store)
+    operators.DsirStore.append(d.filter(batchOf === 1L), col("is_t"), store) // retry
+    operators.DsirStore.append(d.filter(batchOf === 2L), col("is_t"), store)
+    val incr = operators.DsirStore.weights(spark, store)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(incr === full)
+    // the retry really was deduplicated at the COUNT level, not fixed
+    // up downstream: every (doc, bucket) row appears exactly once
+    val dupRows = operators.DsirStore.counts(spark, store)
+      .groupBy(col("doc_id"), col("b")).count().filter(col("count") > 1).count()
+    assert(dupRows === 0L)
+  }
+
   test("dsirWeights rejects non-power-of-two bucket counts") {
     val d = Seq((1L, "a b c", false)).toDF("doc_id", "text", "is_t")
     intercept[IllegalArgumentException] {

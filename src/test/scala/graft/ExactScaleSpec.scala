@@ -45,9 +45,24 @@ class ExactScaleSpec extends SparkSpec {
   test("exactJaccardPairs (both variants) refuses above the guard, runs with force") {
     refused(LshDedup.exactJaccardPairs(docs, 0.2, maxExactRows = 10).count())
     refused(LshDedup.exactJaccardPairs(
-      docs, 0.2, prefixFilter = true, maxExactRows = 10).count())
+      docs, 0.2, prefixFilter = Some(true), maxExactRows = 10).count())
+    refused(LshDedup.exactJaccardPairs(
+      docs, 0.2, prefixFilter = Some(false), maxExactRows = 10).count())
     assert(LshDedup.exactJaccardPairs(
       docs, 0.2, maxExactRows = 10, force = true).count() > 0)
+  }
+
+  test("exactJaccardPairs size gate: counted under the gate, prefix above or unguarded") {
+    // the auto-selected path is a pure plan choice (both miners are
+    // exact, equality spec'd) — this pins the selection RULE so a
+    // future refactor can't silently flip the sf1 default back to
+    // the 2.2–8.4× slower counted path
+    assert(LshDedup.chooseCountedMiner(5000L))
+    assert(LshDedup.chooseCountedMiner(LshDedup.CountedMinerMaxDocs))
+    assert(!LshDedup.chooseCountedMiner(LshDedup.CountedMinerMaxDocs + 1))
+    assert(!LshDedup.chooseCountedMiner(50000L))
+    // force=true skips the count (−1): no size info ⇒ the scale path
+    assert(!LshDedup.chooseCountedMiner(-1L))
   }
 
   test("dedupCorpusExact threads the guard through") {

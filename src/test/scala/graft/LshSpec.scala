@@ -558,6 +558,29 @@ class LshSpec extends SparkSpec {
     assert(capped.subsetOf(exact))
   }
 
+  test("containmentPairsCapped percent cap folds corpus-relative") {
+    // 10 docs all sharing one common block; with maxDfPercent=50 the
+    // effective cap is ⌈50%·10⌉ = 5 < 10, so the block's shingles are
+    // over-cap boilerplate; at 100% the cap is min(maxDf, 10) and
+    // nothing drops — "common" must scale with the corpus, not sit at
+    // an absolute df
+    val block = (1 to 10).map(i => s"c$i").mkString(" ")
+    val d = (0L until 10L)
+      .map(i => (i, s"$block " + (1 to 6).map(j => s"u${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val dropped = LshDedup.containmentDropStats(d, maxDf = 1000L, maxDfPercent = 50)
+      .collect().head
+    assert(dropped.getAs[Long]("n_grams_capped") > 0L)
+    val kept = LshDedup.containmentDropStats(d, maxDf = 1000L, maxDfPercent = 100)
+      .collect().head
+    assert(kept.getAs[Long]("n_grams_capped") === 0L)
+    // and the pair sets respond to the fold: at 50% the block carries
+    // no candidates (docs share ONLY the block → no pairs), at 100%
+    // block-linked pairs appear iff containment clears the threshold
+    assert(LshDedup.containmentPairsCapped(d, threshold = 0.5,
+      maxDf = 1000L, maxDfPercent = 50).collect().isEmpty)
+  }
+
   test("bitOrderCache stays bounded across many distinct inputs") {
     // a long-lived session mining many distinct corpora must not
     // accumulate memo entries without bound: past BitOrderCacheMax
