@@ -12,7 +12,9 @@ import org.apache.spark.sql.functions._
 object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    // the chaos hook is a no-op unless the session opted into the
+    // retry-determinism gate (graft.Chaos scaladoc; default off)
+    graft.Chaos.maybeInject(spark.read.parquet(s"$dir/$name.parquet"))
 
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
