@@ -376,19 +376,29 @@ object SparkEntry {
       * order the engine's sort_array over (df, s) structs uses.
       * Ends inside the WITH list at `pair_int` (full exact
       * intersection over the capped candidate set). The effective
-      * cap is corpus-relative, min(maxDf, ⌈pct%·N⌉), via the
-      * integer-exact ceil division (N·pct + 99) // 100 — the same
-      * fold the engine computes in long arithmetic.
+      * cap is min(maxDf, ⌈pct%·N⌉, budget_cap) — the corpus-relative
+      * fold via the integer-exact ceil division (N·pct + 99) // 100,
+      * clamped by the work budget (largest df class c with
+      * Σ_{df≤c} cnt·df² ≤ budget) — the same pure-integer folds the
+      * engine computes in long arithmetic.
       */
-    private def containmentCappedCtes(t: Double, maxDf: Int, pct: Int): String =
+    private def containmentCappedCtes(t: Double, maxDf: Int, pct: Int,
+                                      budget: Long): String =
       s"""$tokenHashCte, shs AS (
          |  SELECT doc_id, list_distinct(${mixStages(shingleFold)}) AS sh
          |  FROM th WHERE len(tkh) >= 3
          |), ex AS (SELECT doc_id, unnest(sh) AS h FROM shs),
          |sizes AS (SELECT doc_id, len(sh) AS n_sh FROM shs),
-         |dcap AS (
-         |  SELECT least($maxDf, (count(*) * $pct + 99) // 100) AS df_cap FROM shs
-         |), dfq AS (SELECT h, count(*) AS df FROM ex GROUP BY h),
+         |dfq AS (SELECT h, count(*) AS df FROM ex GROUP BY h),
+         |dfh AS (SELECT df, count(*) AS cnt FROM dfq GROUP BY df),
+         |bcap AS (
+         |  SELECT coalesce(max(df), 0) AS budget_cap FROM (
+         |    SELECT df, sum(cnt * df * df) OVER (ORDER BY df) AS cum FROM dfh)
+         |  WHERE cum <= $budget
+         |), dcap AS (
+         |  SELECT least(least($maxDf, (SELECT (count(*) * $pct + 99) // 100
+         |    FROM shs)), (SELECT budget_cap FROM bcap)) AS df_cap
+         |),
          |ord AS (
          |  SELECT e.doc_id, e.h, d.df,
          |    row_number() OVER (PARTITION BY e.doc_id ORDER BY d.df,
@@ -409,7 +419,7 @@ object SparkEntry {
          |)""".stripMargin
 
     val containmentCappedSql: String =
-      s"""${containmentCappedCtes(0.5, 1000, 1)}
+      s"""${containmentCappedCtes(0.5, 1000, 1, 500000000L)}
          |SELECT doc_a, doc_b,
          |  CAST(floor(CAST(n_int AS DOUBLE) / sa.n_sh * 1000000) AS BIGINT)
          |    AS containment_micro
@@ -423,7 +433,7 @@ object SparkEntry {
       * grams would be a vacuous gate.
       */
     val containmentRecallSql: String =
-      s"""${containmentCappedCtes(0.5, 1000, 1)}, capped AS (
+      s"""${containmentCappedCtes(0.5, 1000, 1, 500000000L)}, capped AS (
          |  SELECT count(*) AS n_pairs_capped FROM pair_int
          |  JOIN sizes sa ON sa.doc_id = doc_a
          |  WHERE CAST(n_int AS DOUBLE) / sa.n_sh >= 0.5

@@ -21,6 +21,14 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // sampled-cohort big-SF gate (Tables.maybeSample scaladoc): the
+    // engine dump and the DuckDB compare (check_ckpt --sample-mod)
+    // restrict the corpus tables to id % k == 0 in lockstep. The
+    // driver never sets it; contract unchanged.
+    sys.env.get("SPARK_GRAFT_SAMPLE_MOD").foreach { k =>
+      System.err.println(s"[verify] sampled-cohort mode: id % $k == 0")
+      spark.conf.set("graft.sample.idMod", k)
+    }
     new java.io.File(outDir).mkdirs()
     // local-iteration aid: SPARK_GRAFT_ONLY=q_a,q_b restricts the dump
     // (and the oracle manifest) to the named queries; the driver never

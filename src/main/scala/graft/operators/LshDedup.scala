@@ -641,30 +641,63 @@ object LshDedup {
     * the pruning.
     */
   /** The folded effective cap of [[containmentPairsCapped]] as a
-    * 1-row (df_cap) frame: min(maxDf, ⌈maxDfPercent% · N⌉), N = rows
-    * of `sh` (docs with a non-empty shingle set). Integer-exact:
-    * the ceil-division form (N·p + 99) div 100 avoids any
-    * double-rounding divergence between engines. Broadcast-joined
-    * below (1 row), the Ranks.withGlobalAgg pattern.
+    * 1-row (df_cap) frame: min(maxDf, ⌈maxDfPercent% · N⌉,
+    * budget_cap), N = rows of `sh` (docs with a non-empty shingle
+    * set). Integer-exact: the ceil-division form (N·p + 99) div 100
+    * and the pure-integer budget cumsum avoid any double-rounding
+    * divergence between engines. Broadcast-joined below (1 row), the
+    * Ranks.withGlobalAgg pattern.
+    *
+    * budget_cap is the WORK clamp: the largest df value c such that
+    * Σ_{df(s) ≤ c} df(s)² ≤ `maxCandidateBudget` — df² bounds the
+    * per-shingle join rows (prefix_count ≤ df), so the admitted
+    * shingles can generate at most `maxCandidateBudget` candidate
+    * rows NO MATTER how the corpus is shaped. Why it must exist: the
+    * percent/absolute fold assumes a vocabulary with a rare tail,
+    * and a SATURATED shingle space voids that assumption — the
+    * driver corpus at sf10 realizes 100% of its 31-word vocab's
+    * 29,791 possible 3-grams with MINIMUM df = 750 (nothing is
+    * rare), so cap=1000 admitted Σdf² = 23.5e9 join rows and filled
+    * the disk. The clamp admits whole df-classes rarest-first until
+    * the budget is spent (class granularity keeps it deterministic —
+    * no per-shingle tiebreak at the boundary), degrading recall
+    * observably ([[containmentDropStats]]) instead of degrading the
+    * cluster. The tiny df histogram (≤ |vocab| rows) is the only
+    * extra aggregate.
     */
-  private def containmentDfCap(sh: DataFrame, maxDf: Long,
-                               maxDfPercent: Int): DataFrame =
-    sh.agg(floor((count(lit(1)) * lit(maxDfPercent.toLong) + lit(99L))
+  private def containmentDfCap(sh: DataFrame, dfreq: DataFrame, maxDf: Long,
+                               maxDfPercent: Int,
+                               maxCandidateBudget: Long): DataFrame = {
+    val pctCap = sh.agg(floor((count(lit(1)) * lit(maxDfPercent.toLong) + lit(99L))
         / lit(100L)).cast("long").as("pct_cap"))
-      .select(least(lit(maxDf), col("pct_cap")).as("df_cap"))
+    val dfh = dfreq.groupBy(col("df")).agg(count(lit(1)).as("cnt"))
+    // histogram-sized triangular join (≤ |distinct df values|² rows,
+    // hundreds at most) instead of a global-order window: the
+    // no-empty-partition-window plan rule stays intact
+    val budgetCap = dfh.select(col("df").as("c"))
+      .join(dfh, col("df") <= col("c"))
+      .groupBy(col("c"))
+      .agg(sum(col("cnt") * col("df") * col("df")).as("cum"))
+      .filter(col("cum") <= maxCandidateBudget)
+      .agg(coalesce(max(col("c")), lit(0L)).as("budget_cap"))
+    pctCap.crossJoin(budgetCap)
+      .select(least(lit(maxDf), col("pct_cap"), col("budget_cap")).as("df_cap"))
+  }
 
   def containmentPairsCapped(docs: DataFrame, threshold: Double, n: Int = 3,
                              maxDf: Long = 1000L,
-                             maxDfPercent: Int = 100): DataFrame = {
+                             maxDfPercent: Int = 100,
+                             maxCandidateBudget: Long = 500000000L): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1]: $threshold")
     require(maxDf >= 1L, s"maxDf >= 1: $maxDf")
     require(maxDfPercent >= 1 && maxDfPercent <= 100,
       s"maxDfPercent in [1,100]: $maxDfPercent")
+    require(maxCandidateBudget >= 1L, s"maxCandidateBudget >= 1: $maxCandidateBudget")
     val sh = shingleHashes(docs, n = n)
       .filter(size(col("shingle_hashes")) > 0)
     val exploded = sh.select(col("doc_id"), explode(col("shingle_hashes")).as("s"))
     val dfreq = exploded.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    val cap = containmentDfCap(sh, maxDf, maxDfPercent)
+    val cap = containmentDfCap(sh, dfreq, maxDf, maxDfPercent, maxCandidateBudget)
     // per-doc shingles re-assembled rarest-first WITH their dfs, so
     // the probe prefix and the df cap read off one persisted table
     // (released after the first action — caching contract above)
@@ -710,12 +743,15 @@ object LshDedup {
     */
   def containmentDropStats(docs: DataFrame, n: Int = 3,
                            maxDf: Long = 1000L,
-                           maxDfPercent: Int = 100): DataFrame = {
+                           maxDfPercent: Int = 100,
+                           maxCandidateBudget: Long = 500000000L): DataFrame = {
     val sh = shingleHashes(docs, n = n)
       .filter(size(col("shingle_hashes")) > 0)
-    sh.select(explode(col("shingle_hashes")).as("s"))
+    val dfreq = sh.select(explode(col("shingle_hashes")).as("s"))
       .groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .crossJoin(broadcast(containmentDfCap(sh, maxDf, maxDfPercent)))
+    dfreq
+      .crossJoin(broadcast(
+        containmentDfCap(sh, dfreq, maxDf, maxDfPercent, maxCandidateBudget)))
       .filter(col("df") > col("df_cap"))
       .agg(count(lit(1)).as("n_grams_capped"),
         coalesce(sum(col("df")), lit(0L)).as("n_postings_capped"))
@@ -740,14 +776,17 @@ object LshDedup {
   def containmentCappedRecallReport(docs: DataFrame, threshold: Double,
                                     n: Int = 3, maxDf: Long = 1000L,
                                     maxDfPercent: Int = 100,
+                                    maxCandidateBudget: Long = 500000000L,
                                     maxExactRows: Long = ExactScale.DefaultMaxExactRows,
                                     force: Boolean = false): DataFrame = {
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val exact = containmentPairs(docs, threshold, n, maxExactRows, force)
       .agg(count(lit(1)).as("n_pairs_exact"))
-    val capped = containmentPairsCapped(docs, threshold, n, maxDf, maxDfPercent)
+    val capped = containmentPairsCapped(docs, threshold, n, maxDf,
+        maxDfPercent, maxCandidateBudget)
       .agg(count(lit(1)).as("n_pairs_capped"))
-    val grams = containmentDropStats(docs, n, maxDf, maxDfPercent)
+    val grams = containmentDropStats(docs, n, maxDf, maxDfPercent,
+        maxCandidateBudget)
       .select(col("n_grams_capped"))
     nDocs.crossJoin(exact).crossJoin(capped).crossJoin(grams)
       .withColumn("recall_micro",

@@ -23,8 +23,30 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
-  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    maybeSample(load(spark, dir, "documents"), "doc_id")
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    maybeSample(load(spark, dir, "embeddings"), "vec_id")
+
+  /** Sampled-cohort gate hook (default off): when the session sets
+    * `graft.sample.idMod` = k, the corpus tables restrict to the
+    * deterministic cohort id % k == 0 — IN BOTH ENGINES (tools/
+    * check_ckpt.py --sample-mod redefines the DuckDB views with the
+    * same predicate), so a big-SF compare whose ORACLE is
+    * quadratic/memory-infeasible at full width can still value-check
+    * the engine end to end on the big-SF files: the scan, layout and
+    * whole operator chain run for real, only the cohort shrinks.
+    * Plain modulus deliberately (not a hash): doc_ids are already
+    * uncorrelated with dup-cluster membership (GenData seeds point at
+    * pmod(xxhash64, id) — random earlier ids), and `id % k` is
+    * trivially identical in any engine. The driver never sets the
+    * conf; the 173-key contract is unchanged.
+    */
+  private def maybeSample(df: DataFrame, idCol: String): DataFrame = {
+    val mod = df.sparkSession.conf.get("graft.sample.idMod", "")
+    if (mod.isEmpty) df
+    else df.filter(pmod(col(idCol), lit(mod.toLong)) === 0L)
+  }
 
   /** The driver has shipped `events.parquet` with two different `ts`
     * encodings across regenerations: TIMESTAMP(NANOS) (which Spark's
@@ -122,8 +144,12 @@ object Tables {
     * eventsStream.
     */
   def documentsStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(documents(spark, dir).schema)
-      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    // same sampled-cohort hook as the batch loader, so the
+    // stream-vs-batch parity queries stay parity under --sample-mod
+    maybeSample(
+      spark.readStream.schema(documents(spark, dir).schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir),
+      "doc_id")
 
   /** Streaming read of the same events table (file source). Schema
     * must be supplied for streams — we derive it from the batch file's

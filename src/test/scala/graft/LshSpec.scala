@@ -558,6 +558,35 @@ class LshSpec extends SparkSpec {
     assert(capped.subsetOf(exact))
   }
 
+  test("containmentPairsCapped work budget clamps the cap deterministically") {
+    // same fixture as the prefix-order test; df classes: 40 grams at
+    // df=1 (Σdf²=40), 10 at df=2 (cum 80), 18 at df=6 (cum 728).
+    // A budget of 300 admits the df≤2 classes only — the rare-content
+    // near-dup 0↔9 (linked through df=2 tail grams) survives while
+    // block-only pairs (df=6) die; a budget below the first class
+    // clamps to cap 0 and the miner must go EMPTY (bounded, not
+    // exploding — the sf10 saturation lesson), with dropStats saying
+    // everything was capped rather than hiding it.
+    val block = (1 to 20).map(i => s"b$i").mkString(" ")
+    val tail0 = (1 to 10).map(i => s"u$i").mkString(" ")
+    val rows = Seq(
+      (0L, s"$block $tail0"),
+      (9L, s"$block $tail0")) ++
+      (1L to 4L).map(i => (i, s"$block " + (1 to 10).map(j => s"p${i}_$j").mkString(" ")))
+    val d = rows.toDF("doc_id", "text")
+    val mid = LshDedup.containmentPairsCapped(d, threshold = 0.5,
+        maxDf = 1000L, maxCandidateBudget = 300L)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mid.contains((0L, 9L)) && mid.contains((9L, 0L)))
+    assert(!mid.contains((1L, 2L)))
+    assert(LshDedup.containmentPairsCapped(d, threshold = 0.5,
+      maxDf = 1000L, maxCandidateBudget = 10L).collect().isEmpty)
+    val ds = LshDedup.containmentDropStats(d, maxDf = 1000L,
+      maxCandidateBudget = 10L).collect().head
+    assert(ds.getAs[Long]("n_grams_capped") === 68L) // every distinct gram
+  }
+
   test("containmentPairsCapped percent cap folds corpus-relative") {
     // 10 docs all sharing one common block; with maxDfPercent=50 the
     // effective cap is ⌈50%·10⌉ = 5 < 10, so the block's shingles are

@@ -43,7 +43,7 @@ def norm(df):
 def main(argv):
     import duckdb
     sf_dir, out_dir, ckpt_path = argv[1], argv[2], argv[3]
-    only, timeout_s, threads = None, None, None
+    only, timeout_s, threads, sample_mod = None, None, None, None
     i = 4
     while i < len(argv):
         if argv[i] == "--only":
@@ -52,16 +52,27 @@ def main(argv):
             timeout_s = float(argv[i + 1]); i += 2
         elif argv[i] == "--threads":
             threads = int(argv[i + 1]); i += 2
+        elif argv[i] == "--sample-mod":
+            # sampled-cohort gate: the engine dump was produced with
+            # SPARK_GRAFT_SAMPLE_MOD=k (Tables.maybeSample restricts
+            # documents/embeddings to id % k == 0); mirror the SAME
+            # predicate in the oracle views so both engines compute
+            # over the identical cohort. Verdicts are recorded as
+            # pass_sampled with the modulus, never as a plain pass.
+            sample_mod = int(argv[i + 1]); i += 2
         else:
             raise SystemExit(f"unknown arg {argv[i]}")
     con = duckdb.connect()
     if threads:
         con.execute(f"SET threads TO {threads}")
+    sampled_ids = {"documents": "doc_id", "embeddings": "vec_id"}
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+            where = (f" WHERE {sampled_ids[t]} % {sample_mod} = 0"
+                     if sample_mod and t in sampled_ids else "")
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'{where}")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     ckpt = load_ckpt(ckpt_path)
     # A skip_oracle_cost record whose t_oracle_s was RECORDED is the
@@ -70,7 +81,7 @@ def main(argv):
     todo = [n for n in sorted(oracle)
             if (only is None or n in only)
             and not (n in ckpt and (
-                ckpt[n]["status"] == "pass"
+                ckpt[n]["status"] in ("pass", "pass_sampled")
                 or (ckpt[n]["status"] == "skip_oracle_cost"
                     and ckpt[n].get("t_oracle_s") is None
                     and timeout_s is not None
@@ -138,8 +149,11 @@ def main(argv):
                 else:
                     mv, wv = norm(mine), norm(want)
                     if mv == wv:
-                        rec["status"] = "pass"
+                        rec["status"] = ("pass_sampled" if sample_mod
+                                         else "pass")
                         rec["detail"] = f"{len(mv)} rows"
+                        if sample_mod:
+                            rec["sample_mod"] = sample_mod
                     else:
                         rec["detail"] = f"rows {len(mv)} vs {len(wv)}"
                         for a, b in zip(mv, wv):
