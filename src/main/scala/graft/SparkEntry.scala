@@ -382,11 +382,11 @@ object SparkEntry {
       * Σ_{df≤c} cnt·df² ≤ budget) — the same pure-integer folds the
       * engine computes in long arithmetic.
       */
-    private def containmentCappedCtes(t: Double, maxDf: Int, pct: Int,
+    private def containmentCappedCtes(t: Double, n: Int, maxDf: Int, pct: Int,
                                       budget: Long): String =
       s"""$tokenHashCte, shs AS (
-         |  SELECT doc_id, list_distinct(${mixStages(shingleFold)}) AS sh
-         |  FROM th WHERE len(tkh) >= 3
+         |  SELECT doc_id, list_distinct(${mixStages(shingleFoldN(n))}) AS sh
+         |  FROM th WHERE len(tkh) >= $n
          |), ex AS (SELECT doc_id, unnest(sh) AS h FROM shs),
          |sizes AS (SELECT doc_id, len(sh) AS n_sh FROM shs),
          |dfq AS (SELECT h, count(*) AS df FROM ex GROUP BY h),
@@ -404,13 +404,19 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY e.doc_id ORDER BY d.df,
          |      CASE WHEN e.h >= $Bias THEN e.h - $M ELSE e.h END) AS rk
          |  FROM ex e JOIN dfq d USING (h)
+         |), ordc AS (
+         |  SELECT o.doc_id, o.h, o.rk, sz.n_sh FROM ord o
+         |  JOIN sizes sz USING (doc_id)
+         |  WHERE o.df <= (SELECT df_cap FROM dcap)
          |), pref AS (
-         |  SELECT o.doc_id, o.h FROM ord o JOIN sizes sz USING (doc_id)
-         |  WHERE o.rk <= sz.n_sh - ceil($t * sz.n_sh - 1e-9) + 1
-         |    AND o.df <= (SELECT df_cap FROM dcap)
+         |  SELECT doc_id, h, rk, n_sh FROM ordc
+         |  WHERE rk <= n_sh - ceil($t * n_sh - 1e-9) + 1
          |), cand AS (
+         |  -- positional filter: len − pos − 1 = n_sh − rk (rk 1-based)
          |  SELECT DISTINCT p.doc_id AS doc_a, e.doc_id AS doc_b
-         |  FROM pref p JOIN ex e ON e.h = p.h AND e.doc_id <> p.doc_id
+         |  FROM pref p JOIN ordc e ON e.h = p.h AND e.doc_id <> p.doc_id
+         |  WHERE 1 + least(p.n_sh - p.rk, e.n_sh - e.rk)
+         |    >= $t * p.n_sh - 1e-9
          |), pair_int AS (
          |  SELECT c.doc_a, c.doc_b, count(*) AS n_int
          |  FROM cand c JOIN ex ea ON ea.doc_id = c.doc_a
@@ -419,7 +425,7 @@ object SparkEntry {
          |)""".stripMargin
 
     val containmentCappedSql: String =
-      s"""${containmentCappedCtes(0.5, 1000, 1, 500000000L)}
+      s"""${containmentCappedCtes(0.5, 5, 1000, 1, 500000000L)}
          |SELECT doc_a, doc_b,
          |  CAST(floor(CAST(n_int AS DOUBLE) / sa.n_sh * 1000000) AS BIGINT)
          |    AS containment_micro
@@ -433,7 +439,7 @@ object SparkEntry {
       * grams would be a vacuous gate.
       */
     val containmentRecallSql: String =
-      s"""${containmentCappedCtes(0.5, 1000, 1, 500000000L)}, capped AS (
+      s"""${containmentCappedCtes(0.5, 5, 1000, 1, 500000000L)}, capped AS (
          |  SELECT count(*) AS n_pairs_capped FROM pair_int
          |  JOIN sizes sa ON sa.doc_id = doc_a
          |  WHERE CAST(n_int AS DOUBLE) / sa.n_sh >= 0.5
@@ -2428,16 +2434,23 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b"))),
     "q_containment_scale" -> ((s, dir) =>
       // the containment-class SCALE path: df-capped prefix-probe
-      // banding — per-shingle work ≤ cap², no exact quadratic join,
-      // no ExactScale guard needed. The cap is corpus-RELATIVE
-      // (min(1000, ⌈1%·N⌉)): an absolute df threshold that binds at
-      // 500 docs is vacuous at 50k and vice versa (measured — a flat
-      // maxDf=4 gave recall 1.0 at sf0.01 but 0 at sf1), while
-      // "shingle in >1% of docs" is the boilerplate rule at every SF
-      // and the 1000 floor bounds per-shingle work when 1% of N
-      // outgrows it
+      // banding — per-shingle work ≤ cap², candidate volume bounded
+      // by the work budget, no exact quadratic join, no ExactScale
+      // guard needed. The cap is corpus-RELATIVE (min(1000, ⌈1%·N⌉,
+      // budget cap)): an absolute df threshold that binds at 500
+      // docs is vacuous at 50k and vice versa (measured — a flat
+      // maxDf=4 gave recall 1.0 at sf0.01 but 0 at sf1). Width n=5,
+      // NOT the exact miner's n=3: gram-keyed mining needs an
+      // unsaturated key space, and this corpus's 31-word vocabulary
+      // realizes 100% of its 29,791 possible 3-grams by sf1 (min df
+      // 52; 750 at sf10 — Σdf² = 23.5e9 join rows, nothing rare to
+      // key on), while the 5-gram space keeps a df-1 tail at sf10
+      // (16.8M of 28.6M realized, Σdf² = 48.8M). Re-keying wider is
+      // the standard saturation response (ExactSubstr's 8-gram
+      // precedent); the recall gate below uses the SAME width's
+      // exact miner as ground truth.
       LshDedup.containmentPairsCapped(Tables.documents(s, dir),
-          threshold = 0.5, maxDf = 1000L, maxDfPercent = 1)
+          threshold = 0.5, n = 5, maxDf = 1000L, maxDfPercent = 1)
         .withColumn("containment_micro", floor(col("containment") * 1e6).cast("long"))
         .select(col("doc_a"), col("doc_b"), col("containment_micro"))
         .orderBy(col("doc_a"), col("doc_b"))),
@@ -2447,7 +2460,7 @@ object SparkEntry {
       // exact by construction, so the count ratio is pair recall;
       // n_grams_capped certifies the cap actually fired
       LshDedup.containmentCappedRecallReport(Tables.documents(s, dir),
-        threshold = 0.5, maxDf = 1000L, maxDfPercent = 1)),
+        threshold = 0.5, n = 5, maxDf = 1000L, maxDfPercent = 1)),
     "q_dsir" -> ((s, dir) =>
       // DSIR importance resampling pool: hashed-unigram importance
       // weights vs the src0 target slice, top-100 most target-like

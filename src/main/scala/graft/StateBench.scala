@@ -30,10 +30,19 @@ import graft.streaming.TransactionSimulator
   *     per user — sessionization at user grain (the LLM-pipeline
   *     analog: per-user event sessions), merge-heavy state traffic.
   *
-  * Providers: `hdfs` (HDFSBackedStateStoreProvider, in-heap) and
+  * Providers: `hdfs` (HDFSBackedStateStoreProvider, in-heap),
   * `rocksdb` (RocksDBStateStoreProvider — the off-heap regime every
-  * large-cardinality production stream runs). Same workload, same
-  * data, provider is the only variable.
+  * large-cardinality production stream runs, stock settings), and
+  * `rocksdb_tuned` (same provider + the three documented knobs a
+  * production deployment flips first: changelog checkpointing —
+  * commit uploads the per-batch delta instead of full SST files;
+  * trackTotalNumberOfRows=false — row-count maintenance costs one
+  * extra get per put, and at high key cardinality puts dominate;
+  * blockCacheSizeMB 8→512 — the stock 8 MB cache thrashes once the
+  * hot key set outgrows it. numRowsTotal reads 0 with tracking off,
+  * so the eviction-plateau series comes from the STOCK rocksdb run;
+  * the tuned run measures throughput recovery). Same workload, same
+  * data, provider config is the only variable.
   *
   * Per run it reports events/sec (Σ rows / Σ triggerExecution over
   * the measured batches, warmup discarded) plus the state operator's
@@ -81,9 +90,14 @@ object StateBench {
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-      if (provider == "rocksdb")
+      if (provider.startsWith("rocksdb"))
         b.config("spark.sql.streaming.stateStore.providerClass",
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      if (provider == "rocksdb_tuned") {
+        b.config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+        b.config("spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows", "false")
+        b.config("spark.sql.streaming.stateStore.rocksdb.blockCacheSizeMB", "512")
+      }
       val spark = b.getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
       try run(spark, workload, provider, keys, ticks, warm, keep)

@@ -630,15 +630,21 @@ object LshDedup {
     * be a 100M-doc posting list on one shuffle key). The fold is
     * integer-exact in both engines: ⌈N·p/100⌉ = (N·p + 99) div 100.
     *
-    * No positional filter here, deliberately: in the exact join posOk
-    * is output-invariant because the FIRST common element is always
-    * present among the joined rows; under a df cap that row may be
-    * the capped one, and posOk evaluated only at later rows could
-    * drop a pair the cap semantics alone would keep — the filter
-    * would silently change the miner's contract. Candidates are
-    * verified exactly anyway, so posOk would only be a pruning
-    * heuristic, and the clean cap-only contract is worth more than
-    * the pruning.
+    * The positional filter from the exact join rides this join too —
+    * with a cap-aware caveat that is PART of the contract (and
+    * mirrored in the oracle): candidates must pass
+    * 1 + min(remaining_a, remaining_b) ≥ t·|a| at the admitted
+    * shared occurrence. In the exact join posOk is output-invariant
+    * (the first common element is always among the joined rows and
+    * passes by the theorem); under a df cap the first common element
+    * may be capped away, so posOk evaluated at later occurrences can
+    * additionally drop pairs whose overlap mass sits in OVER-CAP
+    * common grams — the same boilerplate-linked class the cap itself
+    * trades away, and the prune that keeps the distinct/verify
+    * shuffles pair-bounded instead of garbage-bounded (measured at
+    * sf10: single-common-gram candidates dominate without it). For
+    * content-linked true pairs the first admitted common gram is
+    * early in both rarest-first orders, so posOk passes.
     */
   /** The folded effective cap of [[containmentPairsCapped]] as a
     * 1-row (df_cap) frame: min(maxDf, ⌈maxDfPercent% · N⌉,
@@ -708,21 +714,29 @@ object LshDedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val prefLen = (col("len") -
       ceil(lit(threshold) * col("len") - lit(1e-9)) + 1).cast("int")
+    // pos is 0-based into the full ordered array (the slice starts at 1)
     val probe = ordered
-      .select(col("doc_id"), explode(slice(col("dsh"), lit(1), prefLen)).as("e"))
+      .select(col("doc_id"), col("len"),
+        posexplode(slice(col("dsh"), lit(1), prefLen)))
+      .withColumnRenamed("col", "e")
       .crossJoin(broadcast(cap))
       .filter(col("e.df") <= col("df_cap"))
-      .select(col("doc_id"), col("e.s").as("s"))
+      .select(col("doc_id"), col("len"), col("pos"), col("e.s").as("s"))
     val post = ordered
-      .select(col("doc_id"), explode(col("dsh")).as("e"))
+      .select(col("doc_id"), col("len"), posexplode(col("dsh")))
+      .withColumnRenamed("col", "e")
       .crossJoin(broadcast(cap))
       .filter(col("e.df") <= col("df_cap"))
-      .select(col("doc_id"), col("e.s").as("s"))
+      .select(col("doc_id"), col("len"), col("pos"), col("e.s").as("s"))
+    val eps = 1e-9
+    val posOk = (lit(1) + least(col("a.len") - col("a.pos") - 1,
+        col("b.len") - col("b.pos") - 1)).cast("double") >=
+      lit(threshold) * col("a.len") - lit(eps)
     val verify = ordered.select(col("doc_id"),
       transform(col("dsh"), x => x.getField("s")).as("sh"))
     unpersistAfterFirstUse(probe.as("a")
       .join(post.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id"))
+        col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id") && posOk)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
       .join(verify.withColumnsRenamed(Map("doc_id" -> "doc_a", "sh" -> "sh_a")), "doc_a")
