@@ -144,12 +144,13 @@ object Tables {
     * eventsStream.
     */
   def documentsStream(spark: SparkSession, dir: String): DataFrame =
-    // same sampled-cohort hook as the batch loader, so the
+    // same sampled-cohort + chaos hooks as the batch loader, so the
     // stream-vs-batch parity queries stay parity under --sample-mod
-    maybeSample(
+    // and the retry gate covers stateful micro-batch recovery
+    graft.Chaos.maybeInject(maybeSample(
       spark.readStream.schema(documents(spark, dir).schema)
         .option("pathGlobFilter", "documents.parquet").parquet(dir),
-      "doc_id")
+      "doc_id"))
 
   /** Streaming read of the same events table (file source). Schema
     * must be supplied for streams — we derive it from the batch file's
@@ -161,9 +162,13 @@ object Tables {
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     prepareEventsSession(spark, s"$dir/events.parquet")
     val probed = load(spark, dir, "events").schema
-    // the file stream source wants a directory; glob-filter to the one table
-    normalizeEventsTs(
+    // the file stream source wants a directory; glob-filter to the one
+    // table. Chaos hook on the STREAM too (no-op unless opted in):
+    // stateful micro-batch recovery — a failed attempt's state-store
+    // changes must be discarded and the retry must commit identical
+    // state — is the streaming half of the retry-determinism gate.
+    normalizeEventsTs(graft.Chaos.maybeInject(
       spark.readStream.schema(probed)
-        .option("pathGlobFilter", "events.parquet").parquet(dir))
+        .option("pathGlobFilter", "events.parquet").parquet(dir)))
   }
 }
