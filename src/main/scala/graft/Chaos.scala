@@ -1,5 +1,7 @@
 package graft
 
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
+
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Encoders}
 
@@ -8,26 +10,43 @@ import org.apache.spark.sql.{DataFrame, Encoders}
   * A 1000-executor job over 100 TB WILL lose tasks, and Spark's
   * answer is re-execution — so "correct" includes "bit-identical
   * when any task runs twice". Every other correctness axis here is
-  * gated (oracles, multi-JVM, skew, scale); this hook closes the
-  * retry axis: [[failOnce]] makes every task of the stage it lands
-  * in THROW on its first attempt and pass rows through untouched on
-  * retries, so a run with injection exercises the
-  * recompute-after-failure path end to end and must produce exactly
-  * the clean run's bytes.
+  * gated (oracles, multi-JVM, skew, scale); these hooks close the
+  * retry axis across its distinct failure modes:
   *
-  * Injection is an identity mapPartitions, deliberately: it cannot
-  * change values, only fail attempts. It does pin the scan shape (no
-  * pushdown through it), which is fine for a GATE — the graded
-  * plans come from the clean path, and the comparison is
-  * clean-vs-injected output equality.
+  *  - [[failOnce]] — every task of the stage it lands in THROWS on
+  *    its first attempt and passes rows through untouched on retries
+  *    (task-level retry; wired at the scans via [[maybeInject]], and
+  *    wrapped around query OUTPUTS by RetryGate's reduce mode so the
+  *    failure lands in the post-shuffle final stage).
+  *  - [[fetchFailOnce]] — ONE task per stage throws a real
+  *    `FetchFailedException` against the job's most recent shuffle,
+  *    which makes the DAGScheduler unregister map output and
+  *    RESUBMIT the map stage: partial aggregation recomputes, rows
+  *    arrive in a different order, and zombie first-attempt tasks
+  *    race the reattempt — the whole-stage-recompute failure mode
+  *    that task-level retry never exercises. Same-JVM masters only
+  *    (local[N,F]): the poison bookkeeping and the shuffle-id
+  *    lookup both live in this JVM.
+  *  - [[slowFirst]] — one straggler per stage (partition 0 sleeps on
+  *    its first attempt, value-neutral), for runs with
+  *    `spark.speculation=true` under local-cluster: the speculative
+  *    duplicate attempt races the original and the first to finish
+  *    commits.
   *
-  * Wired behind the session conf `graft.chaos.failFirstAttempts`
-  * (default off) read at plan-construction time in
-  * [[graft.sources.Tables.load]], so the gate toggles it per run
-  * without touching query code. Requires a master with task retries
-  * (local[N,F] with F > 1, or any real cluster manager) — under
-  * plain local[N] the first failure is fatal by design, which
-  * RetrySpec uses to prove the injection actually fires.
+  * All injectors are identity mapPartitions, deliberately: they
+  * cannot change values, only fail/delay attempts. They do pin the
+  * plan shape around them (no pushdown through), which is fine for a
+  * GATE — the graded plans come from the clean path, and the
+  * comparison is clean-vs-injected output equality.
+  *
+  * The scan hook is wired behind the session conf
+  * `graft.chaos.failFirstAttempts` (default off) read at
+  * plan-construction time in [[graft.sources.Tables.load]], so the
+  * gate toggles it per run without touching query code. Requires a
+  * master with task retries (local[N,F] with F > 1, or any real
+  * cluster manager) — under plain local[N] the first failure is
+  * fatal by design, which RetrySpec uses to prove the injection
+  * actually fires.
   */
 object Chaos {
 
@@ -48,4 +67,65 @@ object Chaos {
   def maybeInject(df: DataFrame): DataFrame =
     if (df.sparkSession.conf.get(ConfKey, "false").toBoolean) failOnce(df)
     else df
+
+  /** Shuffle id the fetch injector poisons: RetryGate's stage listener
+    * records the latest `StageInfo.shuffleDepId` seen for the current
+    * query (reset per query), so the thrown FetchFailed always names a
+    * shuffle REGISTERED BY THE RUNNING JOB — naming a cleaned-up
+    * shuffle would crash the DAGScheduler's event loop, not the task.
+    */
+  val lastShuffleId = new AtomicInteger(-1)
+
+  /** Stages already poisoned by [[fetchFailOnce]] — one FetchFailed
+    * per stage id, NOT per attempt: the resubmitted stage's tasks
+    * start again at attemptNumber 0, so keying on attempt alone would
+    * re-poison the reattempt forever (4 strikes aborts the stage).
+    */
+  private val poisonedStages =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+
+  /** FetchFailed actually thrown (vs fallen back) — gate observability. */
+  val fetchFailuresThrown = new AtomicLong(0)
+
+  def resetFetchState(): Unit = {
+    poisonedStages.clear()
+    lastShuffleId.set(-1)
+    fetchFailuresThrown.set(0)
+  }
+
+  /** Identity passthrough where the first first-attempt task of each
+    * stage reports a lost shuffle fetch (see object scaladoc). Falls
+    * back to a plain injected failure when no shuffle id has been
+    * recorded (scan-only plan) — still a retry, just task-level.
+    */
+  def fetchFailOnce(df: DataFrame): DataFrame =
+    df.mapPartitions { it =>
+      val tc = TaskContext.get()
+      if (tc != null && tc.attemptNumber() == 0 &&
+          tc.stageAttemptNumber() == 0 &&
+          poisonedStages.add(tc.stageId())) {
+        val sid = lastShuffleId.get()
+        val msg = s"graft chaos: injected fetch failure " +
+          s"(stage ${tc.stageId()}, partition ${tc.partitionId()}, " +
+          s"shuffle $sid)"
+        if (sid >= 0) {
+          fetchFailuresThrown.incrementAndGet()
+          org.apache.spark.graft.ChaosShim
+            .throwFetchFailed(sid, tc.partitionId(), msg)
+        } else throw new RuntimeException(msg)
+      }
+      it
+    }(Encoders.row(df.schema))
+
+  /** Identity passthrough where partition 0's first attempt sleeps —
+    * a value-neutral straggler for speculation runs. Serializes
+    * cleanly to remote executors (no shared state).
+    */
+  def slowFirst(df: DataFrame, sleepMs: Long = 4000L): DataFrame =
+    df.mapPartitions { it =>
+      val tc = TaskContext.get()
+      if (tc != null && tc.partitionId() == 0 && tc.attemptNumber() == 0)
+        Thread.sleep(sleepMs)
+      it
+    }(Encoders.row(df.schema))
 }

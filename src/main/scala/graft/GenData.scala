@@ -80,13 +80,15 @@ object GenData {
     val srcDir = if (args.length > 2) args(2) else "/root/testdata/sf0.1"
     val skewed = if (args.length > 3 && args(3) == "skew") 1
       else if (args.length > 3 && args(3) == "skew2") 2 else 0
+    val zipfVocab = args.length > 3 && args(3) == "zipfvocab"
     val spark = SparkSession.builder()
       .appName("graft-gendata")
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
-    try generate(spark, outDir, sf, srcDir, skewed) finally spark.stop()
+    try generate(spark, outDir, sf, srcDir, skewed, zipfVocab)
+    finally spark.stop()
   }
 
   /** `skewed > 0` swaps every relationship/grouping key draw
@@ -99,7 +101,8 @@ object GenData {
     * 2 = single-whale key for exercising the AQE skew-split bar.
     */
   def generate(spark: SparkSession, outDir: String, sf: Double,
-               srcDir: String, skewed: Int = 0): Unit = {
+               srcDir: String, skewed: Int = 0,
+               zipfVocab: Boolean = false): Unit = {
     def n(t: String): Long = math.max(1L, (base(t) * sf).toLong)
     // region/nation are fixed-size dimension tables — identical at
     // every sf; copy them from the driver's set
@@ -115,7 +118,8 @@ object GenData {
         skewed),
       outDir, "lineitem")
     writeSingle(events(spark, n("events"), skewed), outDir, "events")
-    writeSingle(documents(spark, n("documents"), skewed), outDir, "documents")
+    writeSingle(documents(spark, n("documents"), skewed, zipfVocab),
+      outDir, "documents")
     writeSingle(embeddings(spark, n("embeddings")), outDir, "embeddings")
   }
 
@@ -227,32 +231,61 @@ object GenData {
     "merge", "order", "part", "query", "row", "scan", "slow", "small",
     "sort", "spark", "stream", "table", "the", "value", "vector", "window")
 
+  /** Zipf-vocabulary size for the `zipfvocab` documents variant. */
+  private val ZipfVocabSize = 10000L
+
+  /** Zipf(≈1) word draw over [[ZipfVocabSize]] synthetic words: rank
+    * via the log-uniform inverse CDF (P(k) ∝ 1/(k+1) — "w0" absorbs
+    * ~11% of tokens, half the vocabulary appears a handful of times).
+    */
+  private def zipfWord(tag: String, cols: Column*): Column =
+    format_string("w%d",
+      (exp(u(tag, cols: _*) * log(lit((ZipfVocabSize + 1).toDouble))) -
+        lit(1.0)).cast("long"))
+
   /** Documents: 10-100 words from the driver's 31-word vocab; lang
     * en≈40% / 4×15%; 20 sources. Duplicate structure for the dedup
     * operators: ~0.2% of rows are EXACT copies of an earlier doc and
     * ~1% are NEAR copies (one word substituted) — text is a pure
     * function of a SEED id, so a copy just points its seed at the
     * earlier row (no self-join).
+    *
+    * `zipfVocab` swaps every word draw from the 31-word list to a
+    * 10k-word Zipf(≈1) synthetic vocabulary ([[zipfWord]]), keeping
+    * the dup structure, sizes, sources and schema identical. Why it
+    * exists: the 31-word vocab makes n-gram df spectra BINARY at any
+    * SF — spaces are either saturated (every gram hot, budget clamps
+    * on everything) or sparse (every gram df-1, no cap ever binds on
+    * a true pair) — so every capped-miner recall measurement on the
+    * stock corpus reads 1.0 vacuously. A Zipf vocabulary gives grams
+    * a realistic df CONTINUUM (common-word grams repeat hundreds of
+    * times, rare-word grams are unique), which is the regime where
+    * df caps genuinely trade recall for work and the recall gates
+    * produce a curve instead of a constant (graft.RecallBench).
     */
   def documents(spark: SparkSession, n: Long,
-                skewed: Int = 0): DataFrame = {
+                skewed: Int = 0, zipfVocab: Boolean = false): DataFrame = {
     val dupKind = ui("ddup", 1000, col("id"))
     val seed = when(col("id") > 0 && dupKind < 12,
       pmod(xxhash64(lit("dsrc"), col("id")), col("id"))).otherwise(col("id"))
     val nWords = (ui("dnw", 91, col("seed")) + 10).cast("long")
     val words = transform(sequence(lit(0L), col("n_words") - 1),
-      i => element_at(array(Vocab.map(lit): _*),
-        pmod(xxhash64(lit("dw"), col("seed"), i), lit(Vocab.size.toLong))
-          .cast("int") + 1))
+      i =>
+        if (zipfVocab) zipfWord("dwz", col("seed"), i)
+        else element_at(array(Vocab.map(lit): _*),
+          pmod(xxhash64(lit("dw"), col("seed"), i), lit(Vocab.size.toLong))
+            .cast("int") + 1))
     // near-dup (kind in [2,12)): substitute the word at one
     // seed-independent position, so the copy differs in exactly one
     // token from its source
+    val subWord =
+      if (zipfVocab) zipfWord("dmwz", col("id"))
+      else element_at(array(Vocab.map(lit): _*),
+        ui("dmw", Vocab.size, col("id")) + 1)
     val mutated = when(col("kind") >= 2 && col("seed") =!= col("id"),
       transform(col("words"), (w, i) =>
         when(i === pmod(xxhash64(lit("dmp"), col("id")), col("n_words"))
-            .cast("int"),
-          element_at(array(Vocab.map(lit): _*),
-            ui("dmw", Vocab.size, col("id")) + 1)).otherwise(w)))
+            .cast("int"), subWord).otherwise(w)))
       .otherwise(col("words"))
     spark.range(n)
       .withColumn("kind", dupKind)

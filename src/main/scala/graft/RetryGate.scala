@@ -1,6 +1,8 @@
 package graft
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerSpeculativeTaskSubmitted, SparkListenerStageSubmitted, SparkListenerTaskEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Retry-determinism gate: every query must produce BIT-IDENTICAL
@@ -12,16 +14,43 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * matter of course and Spark recomputes them — nondeterminism under
   * retry (an order-dependent accumulation, a stateful expression
   * seeded per attempt, a non-idempotent store append) is the one
-  * distributed-correctness axis those gates cannot see. This gate
-  * injects a first-attempt failure into EVERY task of every scan
-  * stage ([[Chaos.failOnce]] behind the session conf, wired in
-  * Tables.load) and diffs the output against the clean run,
-  * row-sorted, value-exact.
+  * distributed-correctness axis those gates cannot see.
+  *
+  * Four injection modes (`SPARK_GRAFT_RETRY_MODE`), one per
+  * re-execution failure mode a real cluster has:
+  *
+  *  - `scan` (default) — a first-attempt failure in EVERY task of
+  *    every scan stage ([[Chaos.failOnce]] behind the session conf,
+  *    wired in Tables.load): map-side task retry.
+  *  - `reduce` — the query's OUTPUT is wrapped in [[Chaos.failOnce]],
+  *    so the failure lands in the final (post-shuffle, for any
+  *    shuffling query) stage: reduce-side task retry, which re-reads
+  *    shuffle data and re-merges partial aggregates.
+  *  - `fetch` — one task of each output stage throws a real
+  *    FetchFailedException ([[Chaos.fetchFailOnce]]) against the
+  *    job's most recent shuffle: the DAGScheduler unregisters map
+  *    output and RESUBMITS the map stage, so partials recompute in a
+  *    different order and zombie first-attempt tasks race the
+  *    reattempt — whole-stage recompute, not just task retry.
+  *  - `spec` — `spark.speculation=true` under local-cluster with a
+  *    value-neutral straggler ([[Chaos.slowFirst]]): the scheduler
+  *    marks the straggler speculatable (speculatable_marked counts
+  *    it). On a multi-host cluster the duplicate attempt then races
+  *    the original and exactly one commits; this sandbox is ONE host,
+  *    and Spark never places a speculative copy on a host that
+  *    already runs an attempt, so the copy is marked but unlaunched
+  *    here — the concurrent-duplicate-attempt race itself is
+  *    exercised by `fetch` mode's zombie tasksets (the poisoned
+  *    stage's surviving first-attempt tasks keep running while the
+  *    reattempt recomputes the same partitions).
   *
   * Runs under `local[32,4]` (the ",4" = spark.task.maxFailures — a
   * plain local[N] master treats the first failure as fatal, which is
   * also why this is a standalone main and not a spec in the shared
   * local[32] test session; RetrySpec covers the mechanics there).
+  * `spec` mode defaults to `local-cluster[2,16,4096]` because
+  * speculation needs a scheduler with more than one executor.
+  *
   * The default slice leans on the families where retry bugs would
   * live: sequential per-key recurrences (q_ema), iterated
   * driver-coordinated loops (q_bpe_train), order-sensitive
@@ -31,8 +60,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * bread-and-butter aggregates/windows/banding as controls.
   *
   * Prints one JSON line: per-query "match"/"mismatch"/error, the
-  * number of injected task failures observed (proof the gate
-  * exercised retries, not a no-op), and rows compared.
+  * number of injected task failures observed — counted ONLY when the
+  * failure reason carries the "graft chaos" marker, so genuine
+  * environmental failures (OOM, executor loss) can never masquerade
+  * as proof the gate exercised injection; those are reported
+  * separately as other_task_failures — plus speculative-attempt and
+  * FetchFailed counters for the modes that produce them.
   */
 object RetryGate {
 
@@ -52,34 +85,123 @@ object RetryGate {
     val sfDir = args.headOption
       .orElse(sys.env.get("SPARK_GRAFT_SF_DIR"))
       .getOrElse("/root/testdata/sf0.01")
-    val spark = SparkSession.builder()
-      .appName("graft-retry-gate")
-      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32,4]"))
+    val mode = sys.env.getOrElse("SPARK_GRAFT_RETRY_MODE", "scan")
+    require(Set("scan", "reduce", "fetch", "spec")(mode),
+      s"unknown SPARK_GRAFT_RETRY_MODE=$mode")
+    val defaultMaster =
+      if (mode == "spec") "local-cluster[2,16,4096]" else "local[32,4]"
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", defaultMaster)
+    val builder = SparkSession.builder()
+      .appName(s"graft-retry-gate-$mode")
+      .master(master)
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    val injectedFailures = new java.util.concurrent.atomic.AtomicLong
+    if (master.startsWith("local-cluster")) {
+      // executors are separate JVMs: ship our classes + module opens
+      builder
+        .config("spark.executor.extraClassPath", sys.props("java.class.path"))
+        .config("spark.executor.extraJavaOptions",
+          Seq("java.base/java.lang", "java.base/java.lang.invoke",
+            "java.base/java.lang.reflect", "java.base/java.io",
+            "java.base/java.net", "java.base/java.nio",
+            "java.base/java.util", "java.base/java.util.concurrent",
+            "java.base/java.util.concurrent.atomic",
+            "java.base/jdk.internal.ref", "java.base/sun.nio.ch",
+            "java.base/sun.nio.cs", "java.base/sun.security.action",
+            "java.base/sun.util.calendar")
+            .map(p => s"--add-opens=$p=ALL-UNNAMED").mkString(" "))
+    }
+    if (mode == "spec") {
+      builder
+        .config("spark.speculation", "true")
+        .config("spark.speculation.interval", "50ms")
+        .config("spark.speculation.quantile", "0.4")
+        .config("spark.speculation.multiplier", "1.2")
+    }
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel(
+      sys.env.getOrElse("SPARK_GRAFT_LOG_LEVEL", "ERROR"))
+    val injectedFailures = new AtomicLong
+    val otherFailures = new AtomicLong
+    val speculativeTasks = new AtomicLong
+    val speculationKills = new AtomicLong
+    val resubmittedStages = new AtomicLong
+    val speculatableMarked = new AtomicLong
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
-        if (e.reason != org.apache.spark.Success) injectedFailures.incrementAndGet()
+      override def onSpeculativeTaskSubmitted(
+          e: SparkListenerSpeculativeTaskSubmitted): Unit =
+        // the scheduler decided a duplicate attempt is warranted —
+        // proof spec mode's straggler engaged speculation. On a
+        // single-host sandbox the copy is marked but never PLACED
+        // (Spark refuses same-host speculative placement by design),
+        // so this counter, not speculative_tasks, is the engagement
+        // signal here; on any multi-host cluster the same run would
+        // also launch and race the copy.
+        speculatableMarked.incrementAndGet()
+      override def onStageSubmitted(e: SparkListenerStageSubmitted): Unit = {
+        // attempt > 0 = the DAGScheduler re-ran a whole stage — the
+        // proof fetch mode exercised stage resubmission, not just
+        // task retry
+        if (e.stageInfo.attemptNumber() > 0)
+          resubmittedStages.incrementAndGet()
+        // fetch mode's poison target: the latest shuffle REGISTERED BY
+        // THE RUNNING JOB (Chaos.lastShuffleId scaladoc). Parent map
+        // stages are submitted (and this event delivered) long before
+        // the final stage's tasks run, so the id is in place by
+        // injection time.
+        org.apache.spark.graft.ChaosShim.shuffleDepId(e.stageInfo)
+          .foreach(id => Chaos.lastShuffleId.getAndAccumulate(id, math.max))
+      }
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit = e.reason match {
+        case org.apache.spark.Success =>
+          if (e.taskInfo != null && e.taskInfo.speculative)
+            speculativeTasks.incrementAndGet()
+        case _: org.apache.spark.TaskKilled =>
+          // speculation's loser attempt ("another attempt succeeded")
+          speculationKills.incrementAndGet()
+        case r: org.apache.spark.TaskFailedReason =>
+          if (r.toErrorString.contains("graft chaos"))
+            injectedFailures.incrementAndGet()
+          else otherFailures.incrementAndGet()
+        case _ => otherFailures.incrementAndGet()
+      }
     })
-    val keys = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-      .getOrElse(DefaultKeys)
+    val keys = sys.env.get("SPARK_GRAFT_ONLY") match {
+      case Some("ALL") => SparkEntry.queries.keys.toSeq.sorted
+      case Some(s) => s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      case None => DefaultKeys
+    }
+    val fetchThrownTotal = new AtomicLong
     val results = keys.map { k =>
       val fn = SparkEntry.queries(k)
       val verdict = try {
         spark.conf.set(Chaos.ConfKey, "false")
         val clean = canon(fn(spark, sfDir))
-        spark.conf.set(Chaos.ConfKey, "true")
-        val injected = canon(fn(spark, sfDir))
+        Chaos.resetFetchState() // only this query's job may be poisoned
+        val injected = mode match {
+          case "scan" =>
+            spark.conf.set(Chaos.ConfKey, "true")
+            canon(fn(spark, sfDir))
+          case "reduce" => canon(Chaos.failOnce(fn(spark, sfDir)))
+          case "fetch"  => canon(Chaos.fetchFailOnce(fn(spark, sfDir)))
+          // repartition first: the straggler needs completed sibling
+          // tasks in ITS OWN stage for the speculation median, and AQE
+          // often coalesces a small query's final stage to one task
+          case "spec"   => canon(Chaos.slowFirst(fn(spark, sfDir).repartition(8)))
+        }
+        fetchThrownTotal.addAndGet(Chaos.fetchFailuresThrown.get())
         if (java.util.Arrays.equals(
             clean.asInstanceOf[Array[AnyRef]],
             injected.asInstanceOf[Array[AnyRef]]))
           s"match:${clean.length}"
         else {
-          val firstDiff = clean.zip(injected).indexWhere { case (a, b) => a != b }
+          // -1 from indexWhere + differing lengths = the diff is the
+          // extra trailing rows; report the divergence point (the
+          // shorter length), not a bewildering at=-1.
+          val zipDiff = clean.zip(injected).indexWhere { case (a, b) => a != b }
+          val firstDiff =
+            if (zipDiff >= 0) zipDiff
+            else math.min(clean.length, injected.length)
           s"mismatch:rows=${clean.length}/${injected.length}:at=$firstDiff"
         }
       } catch {
@@ -93,8 +215,14 @@ object RetryGate {
       .map { case (k, v) => s""""$k":"${v.replace("\"", "'")}"""" }
       .mkString(",")
     val allMatch = results.forall(_._2.startsWith("match:"))
-    println(s"""{"metric":"retry_gate","all_match":$allMatch,""" +
+    println(s"""{"metric":"retry_gate","mode":"$mode","all_match":$allMatch,""" +
       s""""injected_task_failures":${injectedFailures.get()},""" +
+      s""""other_task_failures":${otherFailures.get()},""" +
+      s""""fetch_failures_thrown":${fetchThrownTotal.get()},""" +
+      s""""resubmitted_stages":${resubmittedStages.get()},""" +
+      s""""speculatable_marked":${speculatableMarked.get()},""" +
+      s""""speculative_tasks":${speculativeTasks.get()},""" +
+      s""""speculation_kills":${speculationKills.get()},""" +
       s""""master":"${spark.sparkContext.master}","sf":"$sfDir",""" +
       s""""queries":{$qJson}}""")
     spark.stop()

@@ -38,16 +38,16 @@ object BandStore {
     * deterministic, so any band row present ⇒ all of the doc's rows
     * are). The presence probe prunes the store scan to the batch's
     * doc_ids via a broadcast semi-join over the doc_id column only —
-    * batch-scaled, like the candidates probe.
+    * batch-scaled, like the candidates probe — and is materialized
+    * before the writer opens ([[StoreOps.antiPresent]]). The
+    * any-row⇒all-rows inference assumes a job-atomic output
+    * committer (Spark's default v1 protocol; see
+    * [[DsirStore.append]]'s scaladoc for the full argument).
     */
   def append(batch: DataFrame, path: String, k: Int = 64, bands: Int = 16,
              n: Int = 3): Unit = {
     val spark = batch.sparkSession
-    val ids = batch.select(col("doc_id")).distinct()
-    val present = bandTable(spark, path).select(col("doc_id"))
-      .join(broadcast(ids), Seq("doc_id"), "left_semi")
-      .distinct()
-    val fresh = batch.join(broadcast(present), Seq("doc_id"), "left_anti")
+    val fresh = StoreOps.antiPresent(batch, bandTable(spark, path))
     LshDedup.bandTable(fresh, k, bands, n)
       .write.mode(SaveMode.Append).partitionBy("band").parquet(path)
   }

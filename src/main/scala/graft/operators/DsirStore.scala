@@ -40,15 +40,27 @@ object DsirStore {
     * count row present ⇒ all of the doc's rows are), with the
     * presence probe pruned to the batch's doc_ids via a broadcast
     * semi-join, the [[BandStore.append]] discipline.
+    *
+    * The "any row present ⇒ all rows present" inference assumes a
+    * JOB-ATOMIC output committer — Spark's default
+    * (SQLHadoopMapReduceCommitProtocol over FileOutputCommitter v1)
+    * publishes files only at job commit, so a mid-job failure leaves
+    * nothing visible. A task-commit-visible committer
+    * (fileoutputcommitter algorithm v2, some cloud committers) voids
+    * it: a partially-committed doc would probe as present and its
+    * remaining rows would be dropped on retry. Keep v1 (or any
+    * job-atomic committer) for store paths.
+    *
+    * The probe is MATERIALIZED (collected to the driver — it is
+    * bounded by the batch's distinct doc_ids) before the writer
+    * opens: the probe reads the same path the append writes, and a
+    * lazy probe evaluated after new files land would see the
+    * append's own output.
     */
   def append(batch: DataFrame, isTarget: Column, path: String,
              buckets: Int = 256, textCol: String = "text"): Unit = {
     val spark = batch.sparkSession
-    val ids = batch.select(col("doc_id")).distinct()
-    val present = counts(spark, path).select(col("doc_id"))
-      .join(broadcast(ids), Seq("doc_id"), "left_semi")
-      .distinct()
-    val fresh = batch.join(broadcast(present), Seq("doc_id"), "left_anti")
+    val fresh = StoreOps.antiPresent(batch, counts(spark, path))
     Curation.dsirCountTable(fresh, isTarget, buckets, textCol)
       .write.mode(SaveMode.Append).parquet(path)
   }

@@ -78,10 +78,16 @@ def main(argv):
     # A skip_oracle_cost record whose t_oracle_s was RECORDED is the
     # signature of the old watchdog race (the interrupt landed after
     # the oracle finished) — always re-run those.
+    # A pass_sampled record is terminal only for a re-run with the SAME
+    # sampling modulus: a full-width (or differently-sampled) invocation
+    # resumed from a sampled checkpoint must re-run the query, or the
+    # final gate reads as complete on cohort-only evidence.
     todo = [n for n in sorted(oracle)
             if (only is None or n in only)
             and not (n in ckpt and (
-                ckpt[n]["status"] in ("pass", "pass_sampled")
+                ckpt[n]["status"] == "pass"
+                or (ckpt[n]["status"] == "pass_sampled"
+                    and ckpt[n].get("sample_mod") == sample_mod)
                 or (ckpt[n]["status"] == "skip_oracle_cost"
                     and ckpt[n].get("t_oracle_s") is None
                     and timeout_s is not None
