@@ -1,6 +1,6 @@
 package graft
 
-import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
+import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Encoders}
@@ -19,8 +19,8 @@ import org.apache.spark.sql.{DataFrame, Encoders}
   *    wrapped around query OUTPUTS by RetryGate's reduce mode so the
   *    failure lands in the post-shuffle final stage).
   *  - [[fetchFailOnce]] — ONE task per stage throws a real
-  *    `FetchFailedException` against the job's most recent shuffle,
-  *    which makes the DAGScheduler unregister map output and
+  *    `FetchFailedException` against one of the stage's own parent
+  *    shuffles, which makes the DAGScheduler unregister map output and
   *    RESUBMIT the map stage: partial aggregation recomputes, rows
   *    arrive in a different order, and zombie first-attempt tasks
   *    race the reattempt — the whole-stage-recompute failure mode
@@ -68,14 +68,6 @@ object Chaos {
     if (df.sparkSession.conf.get(ConfKey, "false").toBoolean) failOnce(df)
     else df
 
-  /** Shuffle id the fetch injector poisons: RetryGate's stage listener
-    * records the latest `StageInfo.shuffleDepId` seen for the current
-    * query (reset per query), so the thrown FetchFailed always names a
-    * shuffle REGISTERED BY THE RUNNING JOB — naming a cleaned-up
-    * shuffle would crash the DAGScheduler's event loop, not the task.
-    */
-  val lastShuffleId = new AtomicInteger(-1)
-
   /** Stages already poisoned by [[fetchFailOnce]] — one FetchFailed
     * per stage id, NOT per attempt: the resubmitted stage's tasks
     * start again at attemptNumber 0, so keying on attempt alone would
@@ -89,14 +81,19 @@ object Chaos {
 
   def resetFetchState(): Unit = {
     poisonedStages.clear()
-    lastShuffleId.set(-1)
     fetchFailuresThrown.set(0)
   }
 
   /** Identity passthrough where the first first-attempt task of each
-    * stage reports a lost shuffle fetch (see object scaladoc). Falls
-    * back to a plain injected failure when no shuffle id has been
-    * recorded (scan-only plan) — still a retry, just task-level.
+    * stage reports a lost shuffle fetch (see object scaladoc). The
+    * poisoned shuffle is one of the RUNNING STAGE'S OWN parents
+    * (GraftChaosAccess) — the only ids guaranteed resolvable in the
+    * DAGScheduler while the stage runs; naming any other id (e.g. the
+    * query's most recent shuffle) crashes the scheduler's event loop
+    * when AQE has already cleaned that id's materialization job.
+    * Falls back to a plain injected failure when the stage reads no
+    * shuffle (scan-only or broadcast-fed plans) — still a retry,
+    * just task-level.
     */
   def fetchFailOnce(df: DataFrame): DataFrame =
     df.mapPartitions { it =>
@@ -104,14 +101,15 @@ object Chaos {
       if (tc != null && tc.attemptNumber() == 0 &&
           tc.stageAttemptNumber() == 0 &&
           poisonedStages.add(tc.stageId())) {
-        val sid = lastShuffleId.get()
+        val parents = org.apache.spark.scheduler.GraftChaosAccess
+          .parentShuffleIds(tc.stageId())
         val msg = s"graft chaos: injected fetch failure " +
           s"(stage ${tc.stageId()}, partition ${tc.partitionId()}, " +
-          s"shuffle $sid)"
-        if (sid >= 0) {
+          s"shuffles $parents)"
+        if (parents.nonEmpty) {
           fetchFailuresThrown.incrementAndGet()
           org.apache.spark.graft.ChaosShim
-            .throwFetchFailed(sid, tc.partitionId(), msg)
+            .throwFetchFailed(parents.max, tc.partitionId(), msg)
         } else throw new RuntimeException(msg)
       }
       it

@@ -138,20 +138,12 @@ object RetryGate {
         // signal here; on any multi-host cluster the same run would
         // also launch and race the copy.
         speculatableMarked.incrementAndGet()
-      override def onStageSubmitted(e: SparkListenerStageSubmitted): Unit = {
+      override def onStageSubmitted(e: SparkListenerStageSubmitted): Unit =
         // attempt > 0 = the DAGScheduler re-ran a whole stage — the
         // proof fetch mode exercised stage resubmission, not just
         // task retry
         if (e.stageInfo.attemptNumber() > 0)
           resubmittedStages.incrementAndGet()
-        // fetch mode's poison target: the latest shuffle REGISTERED BY
-        // THE RUNNING JOB (Chaos.lastShuffleId scaladoc). Parent map
-        // stages are submitted (and this event delivered) long before
-        // the final stage's tasks run, so the id is in place by
-        // injection time.
-        org.apache.spark.graft.ChaosShim.shuffleDepId(e.stageInfo)
-          .foreach(id => Chaos.lastShuffleId.getAndAccumulate(id, math.max))
-      }
       override def onTaskEnd(e: SparkListenerTaskEnd): Unit = e.reason match {
         case org.apache.spark.Success =>
           if (e.taskInfo != null && e.taskInfo.speculative)

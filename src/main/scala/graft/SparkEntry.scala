@@ -207,12 +207,15 @@ object SparkEntry {
 
     /** doc_id + FNV-1a token hashes (mirrors TextAnalysis.tokens +
       * poly_fingerprint64 per token, over UTF-8 bytes via hex pairs).
+      * `tokenHashBody` is the WITH-list fragment (no leading WITH)
+      * parameterized on the source relation, so the composed-pipeline
+      * oracle can run the identical chain over a survivor CTE.
       */
-    private val tokenHashCte: String =
-      s"""WITH toks AS (
+    private def tokenHashBody(src: String): String =
+      s"""toks AS (
          |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
          |    t -> len(t) > 0) AS tk
-         |  FROM documents
+         |  FROM $src
          |), th AS (
          |  SELECT doc_id, list_transform(tk, t -> list_reduce(
          |    list_prepend(14695981039346656037::HUGEINT,
@@ -221,6 +224,8 @@ object SparkEntry {
          |    (acc, b) -> (xor(acc, b) * $FnvP) % $M)) AS tkh
          |  FROM toks
          |)""".stripMargin
+
+    private val tokenHashCte: String = "WITH " + tokenHashBody("documents")
 
     /** Rolling 3-gram fold over the token hashes (ShingleHashes). */
     private val shingleFold: String =
@@ -384,7 +389,15 @@ object SparkEntry {
       */
     private def containmentCappedCtes(t: Double, n: Int, maxDf: Int, pct: Int,
                                       budget: Long): String =
-      s"""$tokenHashCte, shs AS (
+      "WITH " + containmentCappedBody(t, n, maxDf, pct, budget, "documents")
+
+    /** The same chain as a WITH-list fragment over any source
+      * relation (the composed-pipeline oracle runs it over the
+      * post-decontamination survivor CTE).
+      */
+    private def containmentCappedBody(t: Double, n: Int, maxDf: Int, pct: Int,
+                                      budget: Long, src: String): String =
+      s"""${tokenHashBody(src)}, shs AS (
          |  SELECT doc_id, list_distinct(${mixStages(shingleFoldN(n))}) AS sh
          |  FROM th WHERE len(tkh) >= $n
          |), ex AS (SELECT doc_id, unnest(sh) AS h FROM shs),
@@ -751,6 +764,221 @@ object SparkEntry {
          |         * 1000000) AS BIGINT) END AS recall_micro
          |FROM pairs""".stripMargin
     }
+
+    /** The curate funnel's WITH-list (quality rules, md5 content-hash
+      * min-id keeper, md5-threshold split, distinct 5-gram eval
+      * decontamination) — the q_pipeline_curate chain, factored so
+      * the composed-pipeline oracle reuses it VERBATIM as its head.
+      */
+    val curateBody: String =
+      """t AS (
+        |  SELECT doc_id, source, text,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                x -> len(x) > 0) AS toks
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id, source, text, toks,
+        |    round(0.4 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+        |      + 0.2 * (CASE WHEN (CASE WHEN len(toks) > 0 THEN
+        |          CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) / len(toks)
+        |          ELSE 0.0 END) BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.0 END)
+        |      + 0.2 * (CASE WHEN (CASE WHEN length(text) > 0 THEN
+        |          CAST(length(regexp_replace(text, '[^.,;:!?''"]', '', 'g')) AS DOUBLE) / length(text)
+        |          ELSE 0.0 END) BETWEEN 0.0 AND 0.2 THEN 1.0 ELSE 0.0 END)
+        |      + 0.2 * least((CASE WHEN len(toks) > 0 THEN
+        |          CAST(len(list_filter(toks, x -> list_contains(
+        |            ['the','a','an','and','of','to','in','is','it','that'], x))) AS DOUBLE)
+        |            / len(toks) ELSE 0.0 END) * 5.0, 1.0), 6) AS quality,
+        |    len(list_filter(toks, x -> list_contains(['the','and','of','is','that'], x))) AS en,
+        |    len(list_filter(toks, x -> list_contains(['el','los','las','es','y'], x))) AS es,
+        |    len(list_filter(toks, x -> list_contains(['der','die','das','und','ist'], x))) AS de,
+        |    len(list_filter(toks, x -> list_contains(['le','les','est','et','dans'], x))) AS fr,
+        |    length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS zh
+        |  FROM t
+        |), f AS (
+        |  SELECT doc_id, source, toks,
+        |    (len(toks) >= 40 AND greatest(en, es, de, fr, zh) > 0
+        |      AND quality >= 0.5) AS kept,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS hash,
+        |    CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'cccd' THEN 'train'
+        |         ELSE 'eval' END AS cohort
+        |  FROM m
+        |), u AS (
+        |  SELECT *, kept AND doc_id =
+        |    min(CASE WHEN kept THEN doc_id END) OVER (PARTITION BY hash) AS uniq
+        |  FROM f
+        |), grams AS (
+        |  SELECT doc_id, cohort,
+        |    unnest(list_distinct(list_transform(generate_series(1, len(toks) - 4),
+        |      i -> array_to_string(list_slice(toks, i, i + 4), ' ')))) AS gram
+        |  FROM u WHERE uniq AND len(toks) >= 5
+        |), ev AS (SELECT DISTINCT gram FROM grams WHERE cohort = 'eval'
+        |), dirty AS (
+        |  SELECT DISTINCT doc_id FROM grams JOIN ev USING (gram)
+        |  WHERE cohort = 'train'
+        |), c AS (
+        |  SELECT u.*, (uniq AND cohort = 'train'
+        |    AND dirty.doc_id IS NULL) AS clean
+        |  FROM u LEFT JOIN dirty ON u.doc_id = dirty.doc_id
+        |)""".stripMargin
+
+    /** The composed end-to-end pipeline oracle (q_pipeline_full):
+      * curate funnel → capped containment prune (the containing doc
+      * survives; mutual containment keeps min(doc_id)) → DSIR
+      * threshold resample (targets + raw docs with positive weight) →
+      * UniMax mix → token-balanced shards → sequence packing, each
+      * stage replaying its already-gated oracle chain verbatim over
+      * the previous stage's survivor CTE, emitting the stage funnel
+      * (stage_id, stage, n_docs, n_tokens).
+      */
+    val pipelineFullSql: String = {
+      // DuckDB 1.0 INLINES every CTE reference (no auto-
+      // materialization), and the composed funnel references each
+      // survivor tier several times — sv7 alone four times, each
+      // re-expanding the whole containment chain below it, which
+      // turns the oracle exponential. Forcing AS MATERIALIZED on the
+      // shared tiers is the oracle-side twin of the engine's
+      // localCheckpoint tier cut. (\b anchors keep `c` from matching
+      // inside `ordc`.)
+      val raw = pipelineFullRaw
+      Seq("toks", "th", "t", "m", "f", "u", "grams", "ev", "dirty", "c",
+        "sv5", "shs", "ex", "sizes", "dfq", "dfh", "ord", "ordc", "pref",
+        "cand", "pair_int", "cpair", "cdrop", "sv6", "dtb", "dst", "dr",
+        "dw", "sv7")
+        .foldLeft(raw)((s, n) =>
+          s.replaceAll(s"\\b$n AS \\(", s"$n AS MATERIALIZED ("))
+    }
+
+    private def pipelineFullRaw: String =
+      s"""WITH $curateBody, sv5 AS (
+         |  SELECT c.doc_id, c.source, d.text,
+         |    CAST(len(c.toks) AS BIGINT) AS n_tok
+         |  FROM c JOIN documents d USING (doc_id) WHERE c.clean
+         |), ${containmentCappedBody(0.5, 5, 1000, 1, 500000000L, "sv5")}, cpair AS (
+         |  SELECT doc_a, doc_b FROM pair_int
+         |  JOIN sizes sa ON sa.doc_id = doc_a
+         |  WHERE CAST(n_int AS DOUBLE) / sa.n_sh >= 0.5
+         |), cdrop AS (
+         |  SELECT DISTINCT p.doc_a AS doc_id
+         |  FROM cpair p LEFT JOIN cpair q
+         |    ON q.doc_a = p.doc_b AND q.doc_b = p.doc_a
+         |  WHERE q.doc_a IS NULL OR p.doc_a > p.doc_b
+         |), sv6 AS (
+         |  SELECT * FROM sv5 WHERE doc_id NOT IN (SELECT doc_id FROM cdrop)
+         |), dtb AS (
+         |  SELECT th.doc_id, s.source = 'src0' AS is_t,
+         |    unnest(list_transform(th.tkh, z -> z % 256)) AS b
+         |  FROM th JOIN sv6 s USING (doc_id)
+         |), dst AS (
+         |  SELECT b, sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS n_t,
+         |    sum(CASE WHEN NOT is_t THEN 1 ELSE 0 END) AS n_r
+         |  FROM dtb GROUP BY 1
+         |), dtot AS (SELECT sum(n_t) AS tot_t, sum(n_r) AS tot_r FROM dst),
+         |dr AS (
+         |  SELECT b, CAST(floor(ln(
+         |      CAST((n_t + 1) * (tot_r + 256) AS DOUBLE) /
+         |      ((n_r + 1) * (tot_t + 256))) * 1000000) AS BIGINT) AS r_micro
+         |  FROM dst CROSS JOIN dtot
+         |), dw AS (
+         |  SELECT doc_id, CAST(sum(r_micro) AS BIGINT) AS w
+         |  FROM dtb JOIN dr USING (b) WHERE NOT is_t GROUP BY doc_id
+         |), dws AS (
+         |  SELECT CAST(sum(w) AS BIGINT) AS tot,
+         |    CAST(count(*) AS BIGINT) AS n FROM dw
+         |), sv7 AS (
+         |  -- raw docs STRICTLY above the mean raw weight: w*n > tot
+         |  -- (integer-exact, the engine's compare verbatim)
+         |  SELECT s.* FROM sv6 s
+         |  WHERE s.source = 'src0'
+         |     OR s.doc_id IN (SELECT doc_id FROM dw CROSS JOIN dws
+         |                     WHERE w * n > tot)
+         |), mp AS (
+         |  SELECT source, count(*) AS n_docs,
+         |    CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |    CAST(sum(n_tok) AS BIGINT) AS cap_tokens
+         |  FROM sv7 GROUP BY source
+         |), mo AS (
+         |  SELECT *,
+         |    CAST(row_number() OVER (ORDER BY cap_tokens, source) - 1 AS BIGINT) AS pos0,
+         |    CAST(coalesce(sum(cap_tokens) OVER (ORDER BY cap_tokens, source
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cap_pre,
+         |    CAST(count(*) OVER () AS BIGINT) AS L,
+         |    CAST(sum(n_tokens) OVER () AS BIGINT) AS B
+         |  FROM mp
+         |), mc AS (
+         |  SELECT *, cap_tokens * (L - pos0) < B - cap_pre AS capped FROM mo
+         |), mg AS (
+         |  SELECT *,
+         |    CAST(sum(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS BIGINT) AS n_capped,
+         |    CAST(coalesce(sum(CASE WHEN capped THEN cap_tokens END) OVER (), 0) AS BIGINT) AS capped_tok
+         |  FROM mc
+         |), ma AS (
+         |  SELECT *, L - n_capped AS slots, B - capped_tok AS lft FROM mg
+         |), mplan AS (
+         |  SELECT source,
+         |    CASE WHEN capped THEN cap_tokens
+         |         ELSE lft // nullif(slots, 0) +
+         |              CASE WHEN pos0 >= L - (lft % nullif(slots, 0)) THEN 1 ELSE 0 END
+         |    END AS planned_tokens
+         |  FROM ma
+         |), sh1 AS (
+         |  SELECT doc_id, n_tok,
+         |    CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS tokens_before,
+         |    CAST(sum(n_tok) OVER () AS BIGINT) AS total
+         |  FROM sv7
+         |), shard AS (
+         |  SELECT doc_id, n_tok,
+         |    least((tokens_before * 8) // total, 7) AS shard
+         |  FROM sh1
+         |), ptk AS (
+         |  SELECT s.doc_id, t2.tk AS ptoks FROM sv7 s JOIN toks t2 USING (doc_id)
+         |), pc AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(generate_series(0,
+         |      CAST(floor((greatest(len(ptoks), 1) - 1) / 24.0) AS INTEGER)),
+         |      i -> struct_pack(chunk_id := i,
+         |                       chunk := list_slice(ptoks, i * 24 + 1, i * 24 + 32))),
+         |      recursive := true)
+         |  FROM ptk WHERE len(ptoks) > 0
+         |), pch AS (
+         |  SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+         |         CAST(len(chunk) AS INTEGER) AS n_chunk_tokens
+         |  FROM pc
+         |), pcum AS (
+         |  SELECT doc_id % 8 AS bucket, doc_id, chunk_id, n_chunk_tokens,
+         |    sum(n_chunk_tokens) OVER (PARTITION BY doc_id % 8
+         |      ORDER BY doc_id, chunk_id) AS cum
+         |  FROM pch
+         |), packs AS (
+         |  SELECT bucket, CAST((cum - n_chunk_tokens) // 256 AS BIGINT) AS seq_id,
+         |    CAST(sum(n_chunk_tokens) AS BIGINT) AS n_tokens
+         |  FROM pcum GROUP BY 1, 2
+         |)
+         |SELECT * FROM (
+         |  SELECT 1 AS stage_id, 'raw' AS stage, count(*) AS n_docs,
+         |    CAST(coalesce(sum(len(toks)), 0) AS BIGINT) AS n_tokens FROM c
+         |  UNION ALL SELECT 2, 'quality', count(*),
+         |    CAST(coalesce(sum(len(toks)), 0) AS BIGINT) FROM c WHERE kept
+         |  UNION ALL SELECT 3, 'unique', count(*),
+         |    CAST(coalesce(sum(len(toks)), 0) AS BIGINT) FROM c WHERE uniq
+         |  UNION ALL SELECT 4, 'train', count(*),
+         |    CAST(coalesce(sum(len(toks)), 0) AS BIGINT) FROM c
+         |    WHERE uniq AND cohort = 'train'
+         |  UNION ALL SELECT 5, 'clean', count(*),
+         |    CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM sv5
+         |  UNION ALL SELECT 6, 'containment', count(*),
+         |    CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM sv6
+         |  UNION ALL SELECT 7, 'dsir', count(*),
+         |    CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM sv7
+         |  UNION ALL SELECT 8, 'mix', count(*),
+         |    CAST(coalesce(sum(planned_tokens), 0) AS BIGINT) FROM mplan
+         |  UNION ALL SELECT 9, 'shard', count(DISTINCT shard),
+         |    CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM shard
+         |  UNION ALL SELECT 10, 'pack', count(*),
+         |    CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM packs
+         |) ORDER BY stage_id""".stripMargin
   }
 
   // ---- driver contract ------------------------------------------------
@@ -2202,6 +2430,17 @@ object SparkEntry {
       // explode only over deduped survivors)
       graft.operators.Curation.curatePipeline(Tables.documents(s, dir))
         .orderBy(col("source"))),
+    "q_pipeline_full" -> ((s, dir) =>
+      // the WHOLE pipeline composed: curate funnel + capped
+      // containment prune + DSIR threshold resample + UniMax mix +
+      // token-balanced shards + sequence packing, reported as the
+      // 10-row stage funnel (Curation.fullPipeline scaladoc) — the
+      // composition the brief's product actually ships, gated as one
+      // query so a stage wired to the wrong survivor set (or a lost
+      // cache forcing a re-scan) is a correctness diff, not a
+      // slowdown
+      graft.operators.Curation.fullPipeline(Tables.documents(s, dir))
+        .orderBy(col("stage_id"))),
     "q_gopher_rules" -> ((s, dir) =>
       // the Gopher heuristic rule battery (Rae et al. 2021 A.1.1):
       // per-doc rule stats as floor-micro integers + the conjunctive
@@ -4507,56 +4746,7 @@ object SparkEntry {
     // content-hash min-id keeper, md5-threshold split, distinct
     // 5-gram sharing), so the composition is bit-exact by stages
     "q_pipeline_curate" ->
-      """WITH t AS (
-        |  SELECT doc_id, source, text,
-        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
-        |                x -> len(x) > 0) AS toks
-        |  FROM documents
-        |), m AS (
-        |  SELECT doc_id, source, text, toks,
-        |    round(0.4 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
-        |      + 0.2 * (CASE WHEN (CASE WHEN len(toks) > 0 THEN
-        |          CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) / len(toks)
-        |          ELSE 0.0 END) BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.0 END)
-        |      + 0.2 * (CASE WHEN (CASE WHEN length(text) > 0 THEN
-        |          CAST(length(regexp_replace(text, '[^.,;:!?''"]', '', 'g')) AS DOUBLE) / length(text)
-        |          ELSE 0.0 END) BETWEEN 0.0 AND 0.2 THEN 1.0 ELSE 0.0 END)
-        |      + 0.2 * least((CASE WHEN len(toks) > 0 THEN
-        |          CAST(len(list_filter(toks, x -> list_contains(
-        |            ['the','a','an','and','of','to','in','is','it','that'], x))) AS DOUBLE)
-        |            / len(toks) ELSE 0.0 END) * 5.0, 1.0), 6) AS quality,
-        |    len(list_filter(toks, x -> list_contains(['the','and','of','is','that'], x))) AS en,
-        |    len(list_filter(toks, x -> list_contains(['el','los','las','es','y'], x))) AS es,
-        |    len(list_filter(toks, x -> list_contains(['der','die','das','und','ist'], x))) AS de,
-        |    len(list_filter(toks, x -> list_contains(['le','les','est','et','dans'], x))) AS fr,
-        |    length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS zh
-        |  FROM t
-        |), f AS (
-        |  SELECT doc_id, source, toks,
-        |    (len(toks) >= 40 AND greatest(en, es, de, fr, zh) > 0
-        |      AND quality >= 0.5) AS kept,
-        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS hash,
-        |    CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'cccd' THEN 'train'
-        |         ELSE 'eval' END AS cohort
-        |  FROM m
-        |), u AS (
-        |  SELECT *, kept AND doc_id =
-        |    min(CASE WHEN kept THEN doc_id END) OVER (PARTITION BY hash) AS uniq
-        |  FROM f
-        |), grams AS (
-        |  SELECT doc_id, cohort,
-        |    unnest(list_distinct(list_transform(generate_series(1, len(toks) - 4),
-        |      i -> array_to_string(list_slice(toks, i, i + 4), ' ')))) AS gram
-        |  FROM u WHERE uniq AND len(toks) >= 5
-        |), ev AS (SELECT DISTINCT gram FROM grams WHERE cohort = 'eval'
-        |), dirty AS (
-        |  SELECT DISTINCT doc_id FROM grams JOIN ev USING (gram)
-        |  WHERE cohort = 'train'
-        |), c AS (
-        |  SELECT u.*, (uniq AND cohort = 'train'
-        |    AND dirty.doc_id IS NULL) AS clean
-        |  FROM u LEFT JOIN dirty ON u.doc_id = dirty.doc_id
-        |)
+      s"""WITH ${SketchOracles.curateBody}
         |SELECT source,
         |  count(*) AS n_raw,
         |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
@@ -4565,6 +4755,9 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN clean THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
         |  CAST(sum(CASE WHEN clean THEN len(toks) ELSE 0 END) AS BIGINT) AS tokens_clean
         |FROM c GROUP BY source ORDER BY source""".stripMargin,
+    // q_pipeline_full: every stage replays its gated oracle chain
+    // over the previous stage's survivor CTE (SketchOracles scaladoc)
+    "q_pipeline_full" -> SketchOracles.pipelineFullSql,
     // q_gopher_rules: every ratio is floor(num/den * 1e6) in DOUBLE
     // with the same operand order as the operator, so the micro
     // integers — and therefore the conjunctive verdict — replay

@@ -41,7 +41,11 @@ import graft.streaming.TransactionSimulator
   * blockCacheSizeMB 8→512 — the stock 8 MB cache thrashes once the
   * hot key set outgrows it. numRowsTotal reads 0 with tracking off,
   * so the eviction-plateau series comes from the STOCK rocksdb run;
-  * the tuned run measures throughput recovery). Same workload, same
+  * the tuned run measures throughput recovery), and `rocksdb_bounded`
+  * (the tuned knobs + boundedMemoryUsage with a 1 GB
+  * maxMemoryUsageMB — one shared cache/write-buffer budget across
+  * all store instances, the fleet-wide ceiling a production cluster
+  * sets; the A/B says what the cap costs). Same workload, same
   * data, provider config is the only variable.
   *
   * Per run it reports events/sec (Σ rows / Σ triggerExecution over
@@ -93,10 +97,19 @@ object StateBench {
       if (provider.startsWith("rocksdb"))
         b.config("spark.sql.streaming.stateStore.providerClass",
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      if (provider == "rocksdb_tuned") {
+      if (provider == "rocksdb_tuned" || provider == "rocksdb_bounded") {
         b.config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
         b.config("spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows", "false")
         b.config("spark.sql.streaming.stateStore.rocksdb.blockCacheSizeMB", "512")
+      }
+      if (provider == "rocksdb_bounded") {
+        // the fleet-wide memory cap the tuned config's ~2.4 GB trade
+        // relies on: ONE shared block-cache+write-buffer budget across
+        // every RocksDB instance on the executor, enforced by RocksDB's
+        // WriteBufferManager — the A/B that proves the throughput
+        // recovery survives a production memory ceiling
+        b.config("spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage", "true")
+        b.config("spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB", "1024")
       }
       val spark = b.getOrCreate()
       spark.sparkContext.setLogLevel("WARN")

@@ -583,6 +583,149 @@ object Curation {
     LshDedup.unpersistAfterFirstUse(report, staged)
   }
 
+  /** The WHOLE training-data pipeline composed end to end, reported
+    * as a stage funnel — one row per stage with the doc and token
+    * count that survives it:
+    *
+    *   1 raw → 2 quality gate → 3 exact dedup → 4 train split →
+    *   5 eval decontamination → 6 containment-scale near-dup prune
+    *   (the df-capped miner, q_containment_scale's knobs; from each
+    *   contained pair the CONTAINING doc survives, mutual
+    *   containment keeps min(doc_id)) → 7 DSIR resample (keep target
+    *   docs + raw docs STRICTLY above the mean raw weight — the
+    *   integer-exact compare w·n > Σw; a threshold rule chosen over
+    *   top-K because it is scan-speed and needs no global sort, and
+    *   over weight > 0 because Laplace-smoothed log-ratios skew
+    *   negative, which kept ~nothing) →
+    *   8 UniMax mix plan (n_docs = sources, n_tokens = Σ planned) →
+    *   9 token-balanced shard plan (n_docs = shards) →
+    *   10 sequence packing (n_docs = packed sequences).
+    *
+    * Why it exists: every stage is individually oracle-gated, but a
+    * production pipeline runs them COMPOSED — this operator is the
+    * composition as one program over one persisted corpus scan per
+    * tier, so plan surprises (re-scans, lost caches, a stage that
+    * silently rescans text instead of the compact intermediate)
+    * surface as measurable cost. Stage-count observability is the
+    * no-silent-caps rule applied to the whole funnel.
+    *
+    * Scale shape: the corpus text is scanned once into `staged`
+    * (profile + hash + cohort flags, persisted); dedup shuffles
+    * hashes, decontamination shuffles grams of survivors, the
+    * containment miner is the bounded capped path, DSIR reduces to
+    * its compact count table, and stages 8-10 run over the
+    * stage-7 survivor frame. Bodies never shuffle; every inter-stage
+    * interface is ids/hashes/counts.
+    *
+    * Tier MATERIALIZATION (localCheckpoint at sv5/cp/sv6/sv7) is
+    * structural, not an optimization: each survivor tier embeds the
+    * full lineage of every tier below it, and the containment
+    * miner's self-joins alone reference their input ~6×, so the
+    * un-cut composed logical plan grows into the 10^5-node range and
+    * the ANALYZER (not execution) runs for minutes. Cutting lineage
+    * at tier boundaries is exactly what a production pipeline does
+    * between stages — it writes parquet intermediates; swap
+    * localCheckpoint for checkpointed tables there.
+    */
+  def fullPipeline(docs: DataFrame, minTokens: Int = 40,
+                   minQuality: Double = 0.5, trainFraction: Double = 0.8,
+                   nGram: Int = 5, contThreshold: Double = 0.5,
+                   contMaxDf: Long = 1000L, contMaxDfPercent: Int = 1,
+                   targetSource: String = "src0",
+                   chunkSize: Int = 32, overlap: Int = 8,
+                   seqLen: Int = 256, nBuckets: Int = 8, nShards: Int = 8,
+                   textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val staged = docs
+      .withColumn("__p", TextAnalysis.profile(col(textCol)))
+      .withColumn("__kept",
+        col("__p.n_tokens") >= minTokens &&
+          TextAnalysis.langIdOfP(col("__p")) =!= "unknown" &&
+          TextAnalysis.qualityScoreOfP(col("__p")) >= minQuality)
+      .withColumn("__hash", Dedup.contentHash(col(textCol)))
+      .withColumn("__keeper",
+        min(when(col("__kept"), col("doc_id")))
+          .over(Window.partitionBy(col("__hash"))))
+      .withColumn("__unique", col("__kept") && col("doc_id") === col("__keeper"))
+      .withColumn("__cohort", Corpus.splitLabel(col("doc_id"), trainFraction))
+      .withColumn("n_tokens", col("__p.n_tokens").cast("long"))
+      .select(col("doc_id"), col("source"), col(textCol).as("text"),
+        col("n_tokens"), col("__kept"), col("__unique"), col("__cohort"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def grams(side: DataFrame): DataFrame =
+      LshDedup.shingleHashes(side, "text", nGram)
+        .select(col("doc_id"), explode(col("shingle_hashes")).as("gram"))
+    val uniq = staged.filter(col("__unique"))
+    val evalGrams = grams(uniq.filter(col("__cohort") === "eval"))
+      .select("gram").distinct()
+    val contaminated = grams(uniq.filter(col("__cohort") === "train"))
+      .join(evalGrams, "gram")
+      .select("doc_id").distinct()
+    val sv5 = uniq.filter(col("__cohort") === "train")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"), col("text"), col("n_tokens"))
+      .localCheckpoint(true)
+    // stage 6: capped containment prune — drop the contained side;
+    // mutual containment (a in b AND b in a) keeps min(doc_id)
+    val cp = LshDedup.containmentPairsCapped(sv5, contThreshold, nGram,
+        contMaxDf, contMaxDfPercent)
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint(true)
+    val cdrop = cp.as("p")
+      .join(cp.as("q"),
+        col("q.doc_a") === col("p.doc_b") && col("q.doc_b") === col("p.doc_a"),
+        "left")
+      .filter(col("q.doc_a").isNull || col("p.doc_a") > col("p.doc_b"))
+      .select(col("p.doc_a").as("doc_id")).distinct()
+    val sv6 = sv5.join(cdrop, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    // stage 7: DSIR threshold resample (targets pass through; raw
+    // docs keep iff STRICTLY above the mean raw weight — w·n > Σw is
+    // the integer-exact form, no division, no global sort)
+    val keepIds = Ranks.withGlobalAgg(
+        dsirWeights(sv6, col("source") === targetSource, textCol = "text"),
+        Seq(sum(col("weight_micro")).as("__tot"), count(lit(1)).as("__n")))
+      .filter(col("weight_micro") * col("__n") > col("__tot"))
+      .select("doc_id")
+    val sv7 = sv6.filter(col("source") === targetSource)
+      .unionByName(sv6.filter(col("source") =!= targetSource)
+        .join(keepIds, Seq("doc_id"), "left_semi"))
+      .localCheckpoint(true)
+    def stageRow(id: Int, name: String, side: DataFrame) =
+      side.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"))
+        .select(lit(id).as("stage_id"), lit(name).as("stage"),
+          col("n_docs"), col("n_tokens"))
+    val mix = unimaxMix(sv7, textCol = "text")
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("planned_tokens")), lit(0L)).as("n_tokens"))
+      .select(lit(8).as("stage_id"), lit("mix").as("stage"),
+        col("n_docs"), col("n_tokens"))
+    val shard = Corpus.shardPlan(sv7, nShards, textCol = "text")
+      .agg(countDistinct(col("shard")).as("n_docs"),
+        coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"))
+      .select(lit(9).as("stage_id"), lit("shard").as("stage"),
+        col("n_docs"), col("n_tokens"))
+    val pack = Corpus.packSequences(
+        Corpus.chunk(sv7, chunkSize, overlap, "text"), seqLen, nBuckets)
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"))
+      .select(lit(10).as("stage_id"), lit("pack").as("stage"),
+        col("n_docs"), col("n_tokens"))
+    val report = stageRow(1, "raw", staged)
+      .unionByName(stageRow(2, "quality", staged.filter(col("__kept"))))
+      .unionByName(stageRow(3, "unique", uniq))
+      .unionByName(stageRow(4, "train",
+        uniq.filter(col("__cohort") === "train")))
+      .unionByName(stageRow(5, "clean", sv5))
+      .unionByName(stageRow(6, "containment", sv6))
+      .unionByName(stageRow(7, "dsir", sv7))
+      .unionByName(mix).unionByName(shard).unionByName(pack)
+    LshDedup.unpersistAfterFirstUse(report, staged)
+  }
+
   /** UniMax mixture planning (Chung et al. 2023): spread a total
     * token budget across sources as uniformly as possible subject to
     * a per-source epoch cap — no source repeats more than `epochCap`

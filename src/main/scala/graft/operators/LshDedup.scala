@@ -32,7 +32,7 @@ object LshDedup {
     * corpus-sized.
     */
   private[operators] def unpersistAfterFirstUse(result: DataFrame,
-                                                cached: DataFrame): DataFrame = {
+                                                cached: DataFrame*): DataFrame = {
     import org.apache.spark.sql.execution.QueryExecution
     import org.apache.spark.sql.util.QueryExecutionListener
     val lm = result.sparkSession.listenerManager
@@ -47,7 +47,9 @@ object LshDedup {
       // never correctness. (Callbacks arrive on one listener-bus
       // thread, so the counter needs no synchronization.)
       private var misses = 0
-      private def release(): Unit = { cached.unpersist(false); lm.unregister(this) }
+      private def release(): Unit = {
+        cached.foreach(_.unpersist(false)); lm.unregister(this)
+      }
       private def maybeRelease(qe: QueryExecution): Unit =
         // analyzed subtrees are reused by reference in derived plans,
         // so `eq` identifies "an action that ran through our result"

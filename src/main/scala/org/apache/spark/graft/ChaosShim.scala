@@ -18,13 +18,6 @@ import org.apache.spark.shuffle.FetchFailedException
   */
 object ChaosShim {
 
-  /** `StageInfo.shuffleDepId` (the shuffle a map stage writes) is
-    * `private[spark]`; RetryGate's stage listener needs it to learn
-    * which shuffle ids the running job registered.
-    */
-  def shuffleDepId(si: org.apache.spark.scheduler.StageInfo): Option[Int] =
-    si.shuffleDepId
-
   /** Throw a FetchFailedException naming this JVM's block manager as
     * the lost location. `shuffleId` must be registered with the
     * running job (graft.Chaos.lastShuffleId guarantees it): the

@@ -359,6 +359,36 @@ class CurationSpec extends SparkSpec {
       clean.count())
   }
 
+  test("fullPipeline: 10-stage funnel is monotone, head agrees with curatePipeline, invariants hold") {
+    val rep = Curation.fullPipeline(docs).collect()
+      .map(r => r.getAs[Int]("stage_id") ->
+        (r.getAs[String]("stage"), r.getAs[Long]("n_docs"),
+          r.getAs[Long]("n_tokens"))).toMap
+    assert(rep.size === 10)
+    assert((1 to 10).map(rep(_)._1) === Seq("raw", "quality", "unique",
+      "train", "clean", "containment", "dsir", "mix", "shard", "pack"))
+    // doc funnel monotone through the doc-set stages 1..7
+    val docCounts = (1 to 7).map(rep(_)._2)
+    assert(docCounts === docCounts.sorted.reverse,
+      s"non-monotone doc funnel: $docCounts")
+    // stages 1-5 equal the curatePipeline report summed over sources
+    val cur = Curation.curatePipeline(docs).collect()
+    assert(rep(1)._2 === cur.map(_.getAs[Long]("n_raw")).sum)
+    assert(rep(2)._2 === cur.map(_.getAs[Long]("n_quality")).sum)
+    assert(rep(3)._2 === cur.map(_.getAs[Long]("n_unique")).sum)
+    assert(rep(4)._2 === cur.map(_.getAs[Long]("n_train")).sum)
+    assert(rep(5)._2 === cur.map(_.getAs[Long]("n_clean")).sum)
+    assert(rep(5)._3 === cur.map(_.getAs[Long]("tokens_clean")).sum)
+    // UniMax at E=1 with budget = corpus plans every token: the mix
+    // stage's planned total equals the stage-7 survivor tokens, and
+    // the shard stage redistributes exactly those tokens
+    assert(rep(8)._3 === rep(7)._3, "mix must plan the survivor tokens")
+    assert(rep(9)._3 === rep(7)._3, "shards must carry the survivor tokens")
+    // packing re-counts chunk tokens, which the 8-token overlap can
+    // only inflate (stride 24 re-emits up to 8 tokens per extra chunk)
+    assert(rep(10)._3 >= rep(7)._3)
+  }
+
   // synthetic corpus with one word per token unit: source sizes in
   // tokens are exact and tiny, so every waterfilling branch is
   // checkable by hand
