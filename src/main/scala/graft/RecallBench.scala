@@ -55,9 +55,16 @@ object RecallBench {
         fields.map { case (k, v) => s""""$k":$v""" }.mkString(",") +
         s""","secs":$secs,"sf":"$sfDir"}""")
 
+    // empty string = skip the family; unset = the default sweep
+    def knobList(env: String, default: Seq[Long]): Seq[Long] =
+      sys.env.get(env)
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).map(_.toLong).toSeq)
+        .getOrElse(default)
+
     // containment df-cap sweep: n=5, t=0.5 (the q_containment_scale
     // knobs), percent cap held open so maxDf is the binding knob
-    for (maxDf <- Seq(1L, 2L, 4L, 8L, 16L, 64L, 1000L)) {
+    for (maxDf <- knobList("SPARK_GRAFT_RECALL_DFS",
+        Seq(1L, 2L, 4L, 8L, 16L, 64L, 1000L))) {
       val t0 = System.nanoTime()
       val r = LshDedup.containmentCappedRecallReport(docs,
         threshold = 0.5, n = 5, maxDf = maxDf).collect()(0)
@@ -70,8 +77,15 @@ object RecallBench {
         (System.nanoTime() - t0) / 1e9)
     }
     // containment work-budget sweep: df cap held open so the
-    // rarest-first budget admission is the binding knob
-    for (budget <- Seq(1000L, 10000L, 100000L, 1000000L, 500000000L)) {
+    // rarest-first budget admission is the binding knob. The
+    // interesting region sits where whole df classes flip: below the
+    // df-1 class cost nothing is keyed at all; shared grams have
+    // df >= 2 by definition, so recall stays 0 until the budget also
+    // admits the df-2 class (~cnt1 + 4*cnt2), then jumps to the
+    // df<=2 recall
+    for (budget <- knobList("SPARK_GRAFT_RECALL_BUDGETS",
+        Seq(1000000L, 2000000L, 2600000L, 3000000L, 10000000L,
+          500000000L))) {
       val t0 = System.nanoTime()
       val r = LshDedup.containmentCappedRecallReport(docs,
         threshold = 0.5, n = 5, maxDf = Long.MaxValue / 4,
@@ -86,7 +100,8 @@ object RecallBench {
     }
     // simhash bucket-cap sweep (maxHamming=6, the q_dedup_simhash
     // knob): dropped slots = buckets past the cap
-    for (maxBucket <- Seq(1, 2, 4, 16, 2000)) {
+    for (maxBucket <- knobList("SPARK_GRAFT_RECALL_BUCKETS",
+        Seq(1L, 2L, 4L, 16L, 2000L)).map(_.toInt)) {
       val t0 = System.nanoTime()
       val r = LshDedup.simhashCappedRecallReport(docs,
         maxHamming = 6, maxBucket = maxBucket).collect()(0)

@@ -163,9 +163,32 @@ object RetryGate {
       case Some(s) => s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
       case None => DefaultKeys
     }
+    // crash-resume for hours-scale big-SF runs (the Verify
+    // SPARK_GRAFT_RESUME discipline): verdicts append to the ckpt
+    // file as they land; keys already recorded there are skipped on
+    // relaunch and their recorded verdicts fold into the final JSON.
+    val ckptPath = sys.env.get("SPARK_GRAFT_RETRY_CKPT")
+    val recorded: Map[String, String] = ckptPath
+      .filter(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+      .map { p =>
+        scala.jdk.CollectionConverters.ListHasAsScala(
+          java.nio.file.Files.readAllLines(java.nio.file.Paths.get(p)))
+          .asScala.map(_.split("\t", 2)).collect {
+            case Array(k, v) => k -> v
+          }.toMap
+      }.getOrElse(Map.empty)
+    def record(k: String, v: String): Unit = ckptPath.foreach { p =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+        s"$k\t$v\n", java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    }
     val fetchThrownTotal = new AtomicLong
     val results = keys.map { k =>
       val fn = SparkEntry.queries(k)
+      if (recorded.contains(k)) {
+        println(s"[retry-gate] $k -> ${recorded(k)} (resumed)")
+        k -> recorded(k)
+      } else {
       val verdict = try {
         spark.conf.set(Chaos.ConfKey, "false")
         val clean = canon(fn(spark, sfDir))
@@ -201,7 +224,9 @@ object RetryGate {
           s"error:${e.getClass.getSimpleName}:${Option(e.getMessage).getOrElse("").take(120)}"
       } finally spark.conf.set(Chaos.ConfKey, "false")
       println(s"[retry-gate] $k -> $verdict")
+      record(k, verdict)
       k -> verdict
+      }
     }
     val qJson = results
       .map { case (k, v) => s""""$k":"${v.replace("\"", "'")}"""" }
