@@ -26,6 +26,39 @@ class RetrySpec extends SparkSpec {
     // local[32] has no retries — exactly what the next test pins)
   }
 
+  test("slowFirst is value-neutral and schema-preserving") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val wrapped = Chaos.slowFirst(base.repartition(2), sleepMs = 1L)
+    assert(wrapped.schema === base.schema)
+    // executable under local[32]: slowFirst delays, never fails
+    assert(wrapped.collect().map(_.toString).sorted ===
+      base.collect().map(_.toString).sorted)
+  }
+
+  test("fetchFailOnce recovers via stage resubmission even under local[32]") {
+    // FetchFailed does NOT count against spark.task.maxFailures —
+    // the DAGScheduler resubmits the map stage instead — so unlike
+    // every other injector this one recovers even in the shared
+    // local[32] session. The collect SUCCEEDING with the right
+    // values, with the thrown-counter ≥ 1, proves (a) a real
+    // FetchFailedException fired in the post-shuffle stage, (b) it
+    // named a resolvable parent shuffle (a dangling id kills the
+    // DAGScheduler event loop and with it this SparkContext), and
+    // (c) the recompute produced identical values.
+    Chaos.resetFetchState()
+    val agg = Seq((1L, 1L), (2L, 2L), (1L, 3L)).toDF("k", "v")
+      .groupBy("k").agg(sum("v").as("s"))
+    val rows = Chaos.fetchFailOnce(agg).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(rows === Seq((1L, 4L), (2L, 2L)))
+    assert(Chaos.fetchFailuresThrown.get() >= 1L,
+      "the real FetchFailedException path must have fired " +
+        "(a shuffle-less fallback would leave the counter at 0)")
+    Chaos.resetFetchState()
+    // the SparkContext survived (the dangling-id failure mode kills it)
+    assert(spark.range(3).count() === 3)
+  }
+
   test("chaos injection fires on first attempts (fatal under local[32])") {
     spark.conf.set(Chaos.ConfKey, "true")
     try {
