@@ -1,0 +1,326 @@
+package graft
+
+import java.nio.file.Files
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{BandStore, DsirStore, IvfStore, LshDedup, PostingStore, Similarity}
+import graft.sources.Tables
+
+/** Streaming crash/restart replay gate: an incremental-index
+  * maintenance job killed MID-BATCH — after some store appends have
+  * landed but before the epoch commits — must converge, after a
+  * checkpoint restart replays the batch, to exactly the store a
+  * crash-free run (and a full batch recompute) produces.
+  *
+  * Why this axis is distinct from every other gate: RetryGate proves
+  * TASK re-execution determinism (scan/reduce/fetch/speculation) and
+  * CheckpointRecoverySpec proves graceful stop-at-boundary recovery,
+  * but the failure mode that actually corrupts 100 TB index
+  * maintenance in production is the driver dying between a
+  * foreachBatch side effect and the checkpoint's epoch commit:
+  * Structured Streaming re-delivers the WHOLE batch on restart
+  * (offsets are WAL'd at batch start, committed at batch end), so
+  * every store append must be idempotent under exact re-delivery —
+  * including the sharpest case, a MULTI-store batch applied
+  * PARTIALLY (DSIR counts landed, band rows did not). That is the
+  * contract DsirStore/BandStore/PostingStore/IvfStore.append's
+  * presence probes claim; this gate is where the engine, not a
+  * hand-driven double-append, re-delivers the batch.
+  *
+  * Two scenarios, each run crash-free and crashed-then-restarted
+  * into separate stores/checkpoints:
+  *
+  *  - documents ingest: three parquet files (doc_id mod 3), one
+  *    micro-batch each (maxFilesPerTrigger=1), folding into the
+  *    DSIR count store + posting store + band store. Crashes: one
+  *    "mid" (after DSIR+posting append, before band append — the
+  *    partial-application case; partially_applied_docs counts the
+  *    docs visible in the DSIR store but absent from the band store
+  *    at crash time, proving the replay had something to no-op) and
+  *    one "pre" (before any append — the pure re-delivery case).
+  *  - embeddings ingest: same shape into the IVF index store
+  *    (centroids fixed by the bootstrap batch), crash after the
+  *    append.
+  *
+  * Verdicts are row-sorted bit-equality: crashed-run store vs
+  * clean-run store for every store, plus crashed-run store vs a
+  * FULL batch recompute over the whole table (the store must equal
+  * what a from-scratch build would have produced). Prints one JSON
+  * line; exit 1 on any mismatch.
+  */
+object ReplayGate {
+
+  private val Marker = "graft replay: injected crash"
+
+  private final class InjectedCrash(msg: String)
+    extends RuntimeException(msg)
+
+  private def isInjected(e: Throwable): Boolean = {
+    var c: Throwable = e
+    while (c != null) {
+      if (Option(c.getMessage).exists(_.contains(Marker))) return true
+      c = c.getCause
+    }
+    false
+  }
+
+  private def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  private def canon(df: DataFrame): Array[String] =
+    df.collect().map(_.toString).sorted
+
+  /** Crash points yet to fire — (batchId -> "pre"|"mid"), consumed on
+    * fire so the replayed attempt runs clean. foreachBatch bodies run
+    * on the driver, so plain driver-side state is visible to them.
+    */
+  private val pending = mutable.Map.empty[Long, String]
+  private var crashesFired = 0
+
+  final case class IngestReport(batches: Seq[Long], crashes: Int,
+                                restarts: Int, partiallyAppliedDocs: Long)
+
+  /** Drive a streaming query to completion, restarting from the same
+    * checkpoint after every injected crash. `partialProbe` runs
+    * between a crash and its restart (the only window where partial
+    * application is observable) and returns the count of
+    * partially-applied keys.
+    */
+  private def driveWithRestarts(start: () => org.apache.spark.sql.streaming.StreamingQuery,
+                                partialProbe: () => Long): (Int, Long) = {
+    var restarts = 0
+    var partial = 0L
+    var done = false
+    while (!done) {
+      val q = start()
+      try {
+        q.processAllAvailable()
+        done = true
+      } catch {
+        case e: Throwable if isInjected(e) =>
+          restarts += 1
+          partial = math.max(partial, partialProbe())
+        case e: Throwable => throw e
+      } finally q.stop()
+    }
+    (restarts, partial)
+  }
+
+  /** Documents ingest into the three doc-keyed stores. `crashAt` maps
+    * batchId -> "pre" (crash before any append) | "mid" (crash after
+    * DSIR + posting append, before band append).
+    */
+  def runDocIngest(spark: SparkSession, sfDir: String, srcDir: String,
+                   root: String, chk: String,
+                   crashAt: Map[Long, String]): IngestReport = {
+    val dsirPath = s"$root/dsir"
+    val bandPath = s"$root/band"
+    val postPath = s"$root/posting"
+    val isTarget = col("source") === "src0"
+    val schema = Tables.documents(spark, sfDir).schema
+    val batches = mutable.ArrayBuffer.empty[Long]
+    pending.clear(); pending ++= crashAt
+    val firedBefore = crashesFired
+
+    def start() = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", chk)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batches += id
+        val docs = batch.persist()
+        try {
+          if (pending.get(id).contains("pre")) {
+            pending.remove(id); crashesFired += 1
+            throw new InjectedCrash(s"$Marker (pre, batch $id)")
+          }
+          if (!exists(spark, dsirPath)) {
+            DsirStore.write(docs, isTarget, dsirPath)
+            PostingStore.write(docs, postPath)
+            BandStore.write(docs, bandPath)
+          } else {
+            DsirStore.append(docs, isTarget, dsirPath)
+            PostingStore.append(docs, postPath)
+            if (pending.get(id).contains("mid")) {
+              pending.remove(id); crashesFired += 1
+              throw new InjectedCrash(s"$Marker (mid, batch $id)")
+            }
+            BandStore.append(docs, bandPath)
+          }
+        } finally docs.unpersist()
+      }
+      .start()
+
+    // docs whose DSIR counts landed but whose band rows did not =
+    // the partially-applied set the replay must heal
+    def partialProbe(): Long =
+      if (!exists(spark, dsirPath) || !exists(spark, bandPath)) 0L
+      else DsirStore.counts(spark, dsirPath).select(col("doc_id")).distinct()
+        .join(BandStore.bandTable(spark, bandPath)
+          .select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+        .count()
+
+    val (restarts, partial) = driveWithRestarts(() => start(), () => partialProbe())
+    IngestReport(batches.toSeq, crashesFired - firedBefore, restarts, partial)
+  }
+
+  /** Embeddings ingest into the IVF store: bootstrap batch trains the
+    * centroids, later batches append under them; "mid" crashes after
+    * the append (single store — the crash point is append-landed,
+    * epoch-uncommitted).
+    */
+  def runIvfIngest(spark: SparkSession, sfDir: String, srcDir: String,
+                   root: String, chk: String,
+                   crashAt: Map[Long, String]): IngestReport = {
+    val ivfPath = s"$root/ivf"
+    val schema = Tables.embeddings(spark, sfDir).schema
+    val batches = mutable.ArrayBuffer.empty[Long]
+    pending.clear(); pending ++= crashAt
+    val firedBefore = crashesFired
+
+    def start() = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", chk)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batches += id
+        val vecs = batch.persist()
+        try {
+          if (pending.get(id).contains("pre")) {
+            pending.remove(id); crashesFired += 1
+            throw new InjectedCrash(s"$Marker (pre, batch $id)")
+          }
+          if (!exists(spark, s"$ivfPath/index")) IvfStore.write(vecs, ivfPath, nCells = 8)
+          else {
+            IvfStore.append(vecs, ivfPath)
+            if (pending.get(id).contains("mid")) {
+              pending.remove(id); crashesFired += 1
+              throw new InjectedCrash(s"$Marker (mid, batch $id)")
+            }
+          }
+        } finally vecs.unpersist()
+      }
+      .start()
+
+    val (restarts, _) = driveWithRestarts(() => start(), () => 0L)
+    IngestReport(batches.toSeq, crashesFired - firedBefore, restarts, 0L)
+  }
+
+  /** Split `table` into `n` single-file parquet drops under a fresh
+    * dir (one micro-batch each under maxFilesPerTrigger=1).
+    */
+  def splitSource(df: DataFrame, keyCol: String, n: Int, dir: String): Unit =
+    (0 until n).foreach { i =>
+      df.filter(pmod(col(keyCol), lit(n.toLong)) === i.toLong)
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption
+      .orElse(sys.env.get("SPARK_GRAFT_SF_DIR"))
+      .getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .appName("graft-replay-gate")
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel(
+      sys.env.getOrElse("SPARK_GRAFT_LOG_LEVEL", "ERROR"))
+
+    val work = Files.createTempDirectory("graft-replay").toString
+    val docs = Tables.documents(spark, sfDir)
+    val emb = Tables.embeddings(spark, sfDir)
+    splitSource(docs, "doc_id", 3, s"$work/doc-src")
+    splitSource(emb, "vec_id", 3, s"$work/emb-src")
+
+    // clean run (no crashes), then the crashed-and-restarted run
+    val cleanDoc = runDocIngest(spark, sfDir, s"$work/doc-src",
+      s"$work/clean", s"$work/clean-chk", Map.empty)
+    val crashedDoc = runDocIngest(spark, sfDir, s"$work/doc-src",
+      s"$work/crashed", s"$work/crashed-chk",
+      Map(1L -> "mid", 2L -> "pre"))
+    val cleanIvf = runIvfIngest(spark, sfDir, s"$work/emb-src",
+      s"$work/clean", s"$work/clean-ivf-chk", Map.empty)
+    val crashedIvf = runIvfIngest(spark, sfDir, s"$work/emb-src",
+      s"$work/crashed", s"$work/crashed-ivf-chk", Map(1L -> "mid"))
+
+    def storesEqual(sub: String): Boolean =
+      java.util.Arrays.equals(
+        canon(spark.read.parquet(s"$work/clean/$sub"))
+          .asInstanceOf[Array[AnyRef]],
+        canon(spark.read.parquet(s"$work/crashed/$sub"))
+          .asInstanceOf[Array[AnyRef]])
+
+    val dsirMatch = storesEqual("dsir")
+    val bandMatch = storesEqual("band")
+    val postMatch = storesEqual("posting")
+    val ivfMatch = storesEqual("ivf/index")
+
+    // the crashed store must also equal a from-scratch batch build
+    val isTarget = col("source") === "src0"
+    val dsirVsFull = java.util.Arrays.equals(
+      canon(DsirStore.counts(spark, s"$work/crashed/dsir")
+        .select(col("doc_id"), col("is_t"), col("b"), col("n")))
+        .asInstanceOf[Array[AnyRef]],
+      canon(graft.operators.Curation.dsirCountTable(docs, isTarget)
+        .select(col("doc_id"), col("is_t"), col("b"), col("n")))
+        .asInstanceOf[Array[AnyRef]])
+    val bandVsFull = java.util.Arrays.equals(
+      canon(BandStore.bandTable(spark, s"$work/crashed/band")
+        .select(col("doc_id"), col("band"), col("band_hash")))
+        .asInstanceOf[Array[AnyRef]],
+      canon(LshDedup.bandTable(docs)
+        .select(col("doc_id"), col("band"), col("band_hash")))
+        .asInstanceOf[Array[AnyRef]])
+    val postVsFull = java.util.Arrays.equals(
+      canon(PostingStore.postings(spark, s"$work/crashed/posting")
+        .select(col("term"), col("doc_id"), col("tf")))
+        .asInstanceOf[Array[AnyRef]],
+      canon(PostingStore.build(docs)
+        .select(col("term"), col("doc_id"), col("tf")))
+        .asInstanceOf[Array[AnyRef]])
+    // IVF: same centroid set (bootstrap batch is byte-identical across
+    // runs), so the crashed index must equal assigning the whole
+    // table under the CLEAN store's centroids
+    val ivfVsFull = java.util.Arrays.equals(
+      canon(IvfStore.index(spark, s"$work/crashed/ivf")
+        .select(col("vec_id"), col("cell_id")))
+        .asInstanceOf[Array[AnyRef]],
+      canon(Similarity.ivfAssign(emb,
+          IvfStore.centroids(spark, s"$work/clean/ivf"))
+        .select(col("vec_id"), col("cell_id")))
+        .asInstanceOf[Array[AnyRef]])
+
+    val replayedDoc = crashedDoc.batches.groupBy(identity)
+      .count { case (_, v) => v.size > 1 }
+    val allMatch = dsirMatch && bandMatch && postMatch && ivfMatch &&
+      dsirVsFull && bandVsFull && postVsFull && ivfVsFull &&
+      crashedDoc.crashes == 2 && crashedIvf.crashes == 1 &&
+      crashedDoc.partiallyAppliedDocs > 0L &&
+      cleanDoc.crashes == 0 && cleanIvf.crashes == 0
+
+    println(s"""{"metric":"replay_gate","all_match":$allMatch,""" +
+      s""""doc_crashes":${crashedDoc.crashes},"doc_restarts":${crashedDoc.restarts},""" +
+      s""""doc_batches":${crashedDoc.batches.length},"doc_batches_replayed":$replayedDoc,""" +
+      s""""partially_applied_docs":${crashedDoc.partiallyAppliedDocs},""" +
+      s""""ivf_crashes":${crashedIvf.crashes},"ivf_restarts":${crashedIvf.restarts},""" +
+      s""""dsir_match":$dsirMatch,"band_match":$bandMatch,""" +
+      s""""posting_match":$postMatch,"ivf_match":$ivfMatch,""" +
+      s""""dsir_vs_full":$dsirVsFull,"band_vs_full":$bandVsFull,""" +
+      s""""posting_vs_full":$postVsFull,"ivf_vs_full":$ivfVsFull,""" +
+      s""""sf":"$sfDir"}""")
+    spark.stop()
+    if (!allMatch) sys.exit(1)
+  }
+}

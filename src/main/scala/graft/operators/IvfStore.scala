@@ -53,11 +53,16 @@ object IvfStore {
     * rebuilds ([[staleness]] decides when assignment drift has earned
     * a re-train). Probes after an append equal an inline ivfSearch
     * over (corpus ∪ batch) with the same centroid set; only the
-    * batch is ever assigned.
+    * batch is ever assigned. Idempotent under foreachBatch retry —
+    * vec_ids already indexed are skipped via the materialized
+    * presence probe ([[StoreOps.antiPresent]]; assignment against a
+    * fixed centroid set is deterministic, and a duplicated vec_id
+    * would surface the same vector twice in every top-k it reaches).
     */
   def append(batch: DataFrame, path: String): Unit = {
     val spark = batch.sparkSession
-    Similarity.ivfAssign(batch, centroids(spark, path))
+    val fresh = StoreOps.antiPresent(batch, index(spark, path), key = "vec_id")
+    Similarity.ivfAssign(fresh, centroids(spark, path))
       .write.mode(SaveMode.Append)
       .partitionBy("cell_id")
       .parquet(s"$path/index")

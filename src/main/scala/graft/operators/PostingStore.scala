@@ -53,15 +53,14 @@ object PostingStore {
     * append. Idempotent under foreachBatch retry — docs already
     * present are skipped via a batch-scaled broadcast semi-join
     * presence probe (tokenization is deterministic, so any posting
-    * row present ⇒ all of the doc's rows are).
+    * row present ⇒ all of the doc's rows are — the inference assumes
+    * a job-atomic committer, see [[DsirStore.append]]). The probe is
+    * MATERIALIZED before the writer opens ([[StoreOps.antiPresent]]):
+    * it reads the same path the append writes.
     */
   def append(batch: DataFrame, path: String, nBuckets: Int = 64): Unit = {
     val spark = batch.sparkSession
-    val ids = batch.select(col("doc_id")).distinct()
-    val present = postings(spark, path).select(col("doc_id"))
-      .join(broadcast(ids), Seq("doc_id"), "left_semi")
-      .distinct()
-    val fresh = batch.join(broadcast(present), Seq("doc_id"), "left_anti")
+    val fresh = StoreOps.antiPresent(batch, postings(spark, path))
     build(fresh, nBuckets)
       .repartition(col("term_bucket"))
       .sortWithinPartitions(col("term_bucket"), col("term"))

@@ -10,27 +10,29 @@ import org.apache.spark.sql.functions.{broadcast, col}
   */
 private[operators] object StoreOps {
 
-  /** `batch` minus the rows whose doc_id already exists in `store` —
+  /** `batch` minus the rows whose `key` already exists in `store` —
     * the retry-idempotence probe of the appending stores (BandStore,
-    * DsirStore). The present set is MATERIALIZED on the driver before
-    * the caller opens its writer: the probe reads the same path the
-    * append will write, and a probe left lazy could be re-evaluated
-    * after the append's own files land (Spark's append-to-self lists
-    * files at planning time today, but a second action over the
-    * result would re-plan). The set is bounded by the batch's
-    * distinct doc_ids — batch-scaled, never store-scaled — because
-    * the store scan is semi-join-pruned to batch ids first.
+    * DsirStore, PostingStore, IvfStore). The present set is
+    * MATERIALIZED on the driver before the caller opens its writer:
+    * the probe reads the same path the append will write, and a probe
+    * left lazy could be re-evaluated after the append's own files
+    * land (Spark's append-to-self lists files at planning time today,
+    * but a second action over the result would re-plan). The set is
+    * bounded by the batch's distinct keys — batch-scaled, never
+    * store-scaled — because the store scan is semi-join-pruned to
+    * batch keys first.
     */
-  def antiPresent(batch: DataFrame, store: DataFrame): DataFrame = {
+  def antiPresent(batch: DataFrame, store: DataFrame,
+                  key: String = "doc_id"): DataFrame = {
     val spark = batch.sparkSession
-    val ids = batch.select(col("doc_id")).distinct()
-    val present: Array[Row] = store.select(col("doc_id"))
-      .join(broadcast(ids), Seq("doc_id"), "left_semi")
+    val ids = batch.select(col(key)).distinct()
+    val present: Array[Row] = store.select(col(key))
+      .join(broadcast(ids), Seq(key), "left_semi")
       .distinct().collect()
     val presentDf = spark.createDataFrame(
       spark.sparkContext.parallelize(present.toIndexedSeq, 1),
       ids.schema)
-    batch.join(broadcast(presentDf), Seq("doc_id"), "left_anti")
+    batch.join(broadcast(presentDf), Seq(key), "left_anti")
   }
 
   /** Promote a rewritten copy over the live store. Atomic-ish swap

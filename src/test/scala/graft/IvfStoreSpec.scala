@@ -73,6 +73,13 @@ class IvfStoreSpec extends SparkSpec {
     assert(after.getAs[Long]("n_missing") === 0L)
     assert(after.getAs[Long]("n_indexed") === emb.count())
 
+    // foreachBatch-retry idempotency: a replayed append adds nothing —
+    // a duplicated vec_id would surface twice in every top-k it reaches
+    IvfStore.append(batch, store)
+    assert(IvfStore.index(spark, store).count() === emb.count())
+    assert(IvfStore.index(spark, store).groupBy(col("vec_id"))
+      .count().filter(col("count") > 1).count() === 0L)
+
     // value-exact vs the inline path over the union with the SAME
     // (corpus-derived) centroids — appends never re-train
     val queries = emb.filter(col("vec_id") < 5)
