@@ -266,8 +266,9 @@ object GenData {
     * 0-9 map to [[ZipfHead]]; the tail is synthetic ("w10"…).
     */
   private def zipfWord(tag: String, cols: Column*): Column = {
-    val rank = (exp(u(tag, cols: _*) * log(lit((ZipfVocabSize + 1).toDouble))) -
-      lit(1.0)).cast("long")
+    // same draw as the hot-key generator (pow(u, 1) == u bit-exactly,
+    // so delegating is value-neutral for already-generated corpora)
+    val rank = zipf(tag, ZipfVocabSize, 1, cols: _*)
     when(rank < ZipfHead.size,
       element_at(array(ZipfHead.map(lit): _*), rank.cast("int") + 1))
       .otherwise(format_string("w%d", rank))

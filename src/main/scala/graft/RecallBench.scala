@@ -61,58 +61,77 @@ object RecallBench {
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).map(_.toLong).toSeq)
         .getOrElse(default)
 
-    // containment df-cap sweep: n=5, t=0.5 (the q_containment_scale
-    // knobs), percent cap held open so maxDf is the binding knob
-    for (maxDf <- knobList("SPARK_GRAFT_RECALL_DFS",
-        Seq(1L, 2L, 4L, 8L, 16L, 64L, 1000L))) {
+    def recallMicro(capped: Long, exact: Long): Long =
+      if (exact == 0L) 1000000L
+      else math.floor(capped.toDouble / exact.toDouble * 1e6).toLong
+
+    // The exact ground-truth miner is knob-INVARIANT (it depends only
+    // on docs/threshold/n), so each family computes its denominator
+    // ONCE and the sweep re-runs only the capped side — the per-point
+    // numbers equal the one-shot *CappedRecallReport by construction
+    // (capped ⊆ exact; recall is the count ratio both compute).
+    val nDocs = docs.count()
+
+    // containment: n=5, t=0.5 (the q_containment_scale knobs)
+    val exactContainment = LshDedup.containmentPairs(docs,
+      threshold = 0.5, n = 5).count()
+    def containmentPoint(knob: String, value: Long, maxDf: Long,
+                         budget: Long): Unit = {
       val t0 = System.nanoTime()
-      val r = LshDedup.containmentCappedRecallReport(docs,
-        threshold = 0.5, n = 5, maxDf = maxDf).collect()(0)
-      emit("containment", "max_df", maxDf,
-        Seq("n_docs" -> r.getAs[Long]("n_docs"),
-          "n_pairs_exact" -> r.getAs[Long]("n_pairs_exact"),
-          "n_pairs_capped" -> r.getAs[Long]("n_pairs_capped"),
-          "n_grams_capped" -> r.getAs[Long]("n_grams_capped"),
-          "recall_micro" -> r.getAs[Long]("recall_micro")),
+      val capped = LshDedup.containmentPairsCapped(docs,
+        threshold = 0.5, n = 5, maxDf = maxDf,
+        maxDfPercent = 100, maxCandidateBudget = budget).count()
+      val gramsCapped = LshDedup.containmentDropStats(docs, n = 5,
+          maxDf = maxDf, maxDfPercent = 100, maxCandidateBudget = budget)
+        .select("n_grams_capped").collect()(0).getLong(0)
+      emit("containment", knob, value,
+        Seq("n_docs" -> nDocs,
+          "n_pairs_exact" -> exactContainment,
+          "n_pairs_capped" -> capped,
+          "n_grams_capped" -> gramsCapped,
+          "recall_micro" -> recallMicro(capped, exactContainment)),
         (System.nanoTime() - t0) / 1e9)
     }
-    // containment work-budget sweep: df cap held open so the
-    // rarest-first budget admission is the binding knob. The
-    // interesting region sits where whole df classes flip: below the
-    // df-1 class cost nothing is keyed at all; shared grams have
-    // df >= 2 by definition, so recall stays 0 until the budget also
-    // admits the df-2 class (~cnt1 + 4*cnt2), then jumps to the
-    // df<=2 recall
+    // df-cap sweep: percent cap held open so maxDf is the binding knob
+    for (maxDf <- knobList("SPARK_GRAFT_RECALL_DFS",
+        Seq(1L, 2L, 4L, 8L, 16L, 64L, 1000L)))
+      containmentPoint("max_df", maxDf, maxDf, 500000000L)
+    // work-budget sweep: df cap held open so the rarest-first budget
+    // admission is the binding knob. The interesting region sits
+    // where whole df classes flip: below the df-1 class cost nothing
+    // is keyed at all; shared grams have df >= 2 by definition, so
+    // recall stays 0 until the budget also admits the df-2 class
+    // (~cnt1 + 4*cnt2), then jumps to the df<=2 recall
     for (budget <- knobList("SPARK_GRAFT_RECALL_BUDGETS",
         Seq(1000000L, 2000000L, 2600000L, 3000000L, 10000000L,
-          500000000L))) {
-      val t0 = System.nanoTime()
-      val r = LshDedup.containmentCappedRecallReport(docs,
-        threshold = 0.5, n = 5, maxDf = Long.MaxValue / 4,
-        maxCandidateBudget = budget).collect()(0)
-      emit("containment", "budget", budget,
-        Seq("n_docs" -> r.getAs[Long]("n_docs"),
-          "n_pairs_exact" -> r.getAs[Long]("n_pairs_exact"),
-          "n_pairs_capped" -> r.getAs[Long]("n_pairs_capped"),
-          "n_grams_capped" -> r.getAs[Long]("n_grams_capped"),
-          "recall_micro" -> r.getAs[Long]("recall_micro")),
-        (System.nanoTime() - t0) / 1e9)
-    }
+          500000000L)))
+      containmentPoint("budget", budget, Long.MaxValue / 4, budget)
+
     // simhash bucket-cap sweep (maxHamming=6, the q_dedup_simhash
-    // knob): dropped slots = buckets past the cap
+    // knob): exact side + survivors + bit order computed once, the
+    // sweep re-buckets the persisted survivors only
+    val surv = graft.operators.Dedup.dropExactDuplicates(docs)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nSurv = surv.count()
+    val bitOrder = Some(LshDedup.simhashBitOrder(surv))
+    val exactSimhash = LshDedup.simhashCandidates(surv,
+      maxHamming = 6, bitOrder).count()
     for (maxBucket <- knobList("SPARK_GRAFT_RECALL_BUCKETS",
         Seq(1L, 2L, 4L, 16L, 2000L)).map(_.toInt)) {
       val t0 = System.nanoTime()
-      val r = LshDedup.simhashCappedRecallReport(docs,
-        maxHamming = 6, maxBucket = maxBucket).collect()(0)
-      val fields = r.schema.fieldNames.filter(_ != "recall_micro")
-        .filter(f => r.schema(f).dataType ==
-          org.apache.spark.sql.types.LongType)
-        .map(f => f -> r.getAs[Long](f)).toSeq :+
-        ("recall_micro" -> r.getAs[Long]("recall_micro"))
-      emit("simhash", "max_bucket", maxBucket.toLong, fields,
+      val capped = LshDedup.simhashCandidatesCapped(surv,
+        maxHamming = 6, maxBucket = maxBucket, bitOrder).count()
+      emit("simhash", "max_bucket", maxBucket.toLong,
+        Seq("n_docs" -> nDocs,
+          "n_survivors" -> nSurv,
+          "n_pairs_exact" -> exactSimhash,
+          "n_pairs_capped" -> capped,
+          "recall_micro" -> recallMicro(capped, exactSimhash)),
         (System.nanoTime() - t0) / 1e9)
     }
+    surv.unpersist()
     spark.stop()
   }
 }

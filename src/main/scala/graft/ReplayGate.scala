@@ -2,8 +2,6 @@ package graft
 
 import java.nio.file.Files
 
-import scala.collection.mutable
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -76,12 +74,22 @@ object ReplayGate {
   private def canon(df: DataFrame): Array[String] =
     df.collect().map(_.toString).sorted
 
-  /** Crash points yet to fire — (batchId -> "pre"|"mid"), consumed on
-    * fire so the replayed attempt runs clean. foreachBatch bodies run
-    * on the driver, so plain driver-side state is visible to them.
+  /** Per-run crash bookkeeping — crash points yet to fire
+    * (batchId -> "pre"|"mid"), consumed on fire so the replayed
+    * attempt runs clean. One instance per ingest run (never shared
+    * across runs or scenarios); foreachBatch bodies run on the
+    * driver, in the stream-execution thread, so the concurrent
+    * structures make the main thread's post-run reads safe.
     */
-  private val pending = mutable.Map.empty[Long, String]
-  private var crashesFired = 0
+  private final class CrashPlan(crashAt: Map[Long, String]) {
+    private val pending = new java.util.concurrent.ConcurrentHashMap[Long, String]()
+    crashAt.foreach { case (k, v) => pending.put(k, v) }
+    val fired = new java.util.concurrent.atomic.AtomicInteger(0)
+    /** Consume-and-fire: true exactly once per (id, mode) entry. */
+    def fire(id: Long, mode: String): Boolean =
+      if (pending.remove(id, mode)) { fired.incrementAndGet(); true }
+      else false
+  }
 
   final case class IngestReport(batches: Seq[Long], crashes: Int,
                                 restarts: Int, partiallyAppliedDocs: Long)
@@ -124,9 +132,8 @@ object ReplayGate {
     val postPath = s"$root/posting"
     val isTarget = col("source") === "src0"
     val schema = Tables.documents(spark, sfDir).schema
-    val batches = mutable.ArrayBuffer.empty[Long]
-    pending.clear(); pending ++= crashAt
-    val firedBefore = crashesFired
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val plan = new CrashPlan(crashAt)
 
     def start() = spark.readStream
       .schema(schema)
@@ -135,13 +142,11 @@ object ReplayGate {
       .writeStream
       .option("checkpointLocation", chk)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        batches += id
+        batches.add(id)
         val docs = batch.persist()
         try {
-          if (pending.get(id).contains("pre")) {
-            pending.remove(id); crashesFired += 1
+          if (plan.fire(id, "pre"))
             throw new InjectedCrash(s"$Marker (pre, batch $id)")
-          }
           if (!exists(spark, dsirPath)) {
             DsirStore.write(docs, isTarget, dsirPath)
             PostingStore.write(docs, postPath)
@@ -149,10 +154,8 @@ object ReplayGate {
           } else {
             DsirStore.append(docs, isTarget, dsirPath)
             PostingStore.append(docs, postPath)
-            if (pending.get(id).contains("mid")) {
-              pending.remove(id); crashesFired += 1
+            if (plan.fire(id, "mid"))
               throw new InjectedCrash(s"$Marker (mid, batch $id)")
-            }
             BandStore.append(docs, bandPath)
           }
         } finally docs.unpersist()
@@ -169,7 +172,10 @@ object ReplayGate {
         .count()
 
     val (restarts, partial) = driveWithRestarts(() => start(), () => partialProbe())
-    IngestReport(batches.toSeq, crashesFired - firedBefore, restarts, partial)
+    IngestReport(
+      scala.jdk.CollectionConverters.IteratorHasAsScala(batches.iterator())
+        .asScala.toSeq,
+      plan.fired.get(), restarts, partial)
   }
 
   /** Embeddings ingest into the IVF store: bootstrap batch trains the
@@ -182,9 +188,8 @@ object ReplayGate {
                    crashAt: Map[Long, String]): IngestReport = {
     val ivfPath = s"$root/ivf"
     val schema = Tables.embeddings(spark, sfDir).schema
-    val batches = mutable.ArrayBuffer.empty[Long]
-    pending.clear(); pending ++= crashAt
-    val firedBefore = crashesFired
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val plan = new CrashPlan(crashAt)
 
     def start() = spark.readStream
       .schema(schema)
@@ -193,27 +198,26 @@ object ReplayGate {
       .writeStream
       .option("checkpointLocation", chk)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        batches += id
+        batches.add(id)
         val vecs = batch.persist()
         try {
-          if (pending.get(id).contains("pre")) {
-            pending.remove(id); crashesFired += 1
+          if (plan.fire(id, "pre"))
             throw new InjectedCrash(s"$Marker (pre, batch $id)")
-          }
           if (!exists(spark, s"$ivfPath/index")) IvfStore.write(vecs, ivfPath, nCells = 8)
           else {
             IvfStore.append(vecs, ivfPath)
-            if (pending.get(id).contains("mid")) {
-              pending.remove(id); crashesFired += 1
+            if (plan.fire(id, "mid"))
               throw new InjectedCrash(s"$Marker (mid, batch $id)")
-            }
           }
         } finally vecs.unpersist()
       }
       .start()
 
     val (restarts, _) = driveWithRestarts(() => start(), () => 0L)
-    IngestReport(batches.toSeq, crashesFired - firedBefore, restarts, 0L)
+    IngestReport(
+      scala.jdk.CollectionConverters.IteratorHasAsScala(batches.iterator())
+        .asScala.toSeq,
+      plan.fired.get(), restarts, 0L)
   }
 
   /** Split `table` into `n` single-file parquet drops under a fresh

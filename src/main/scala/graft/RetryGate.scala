@@ -125,6 +125,7 @@ object RetryGate {
     val otherFailures = new AtomicLong
     val speculativeTasks = new AtomicLong
     val speculationKills = new AtomicLong
+    val otherKills = new AtomicLong
     val resubmittedStages = new AtomicLong
     val speculatableMarked = new AtomicLong
     spark.sparkContext.addSparkListener(new SparkListener {
@@ -148,9 +149,14 @@ object RetryGate {
         case org.apache.spark.Success =>
           if (e.taskInfo != null && e.taskInfo.speculative)
             speculativeTasks.incrementAndGet()
-        case _: org.apache.spark.TaskKilled =>
-          // speculation's loser attempt ("another attempt succeeded")
-          speculationKills.incrementAndGet()
+        case k: org.apache.spark.TaskKilled =>
+          // count ONLY speculation's loser attempts; fetch mode also
+          // produces TaskKilled (zombie tasks of a resubmitted stage
+          // killed at stage/job completion) and those must not read
+          // as speculation evidence
+          if (k.reason.contains("another attempt succeeded"))
+            speculationKills.incrementAndGet()
+          else otherKills.incrementAndGet()
         case r: org.apache.spark.TaskFailedReason =>
           if (r.toErrorString.contains("graft chaos"))
             injectedFailures.incrementAndGet()
@@ -167,19 +173,26 @@ object RetryGate {
     // SPARK_GRAFT_RESUME discipline): verdicts append to the ckpt
     // file as they land; keys already recorded there are skipped on
     // relaunch and their recorded verdicts fold into the final JSON.
+    // A record is terminal ONLY when (a) its stamp matches this
+    // run's (mode, sf, master) — a scan-mode ckpt must not vacuously
+    // pass a fetch-mode run — and (b) the verdict is a match:
+    // error/mismatch verdicts re-run on resume (a transient OOM must
+    // not become permanent).
     val ckptPath = sys.env.get("SPARK_GRAFT_RETRY_CKPT")
+    val stamp = s"$mode|$sfDir|$master"
     val recorded: Map[String, String] = ckptPath
       .filter(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
       .map { p =>
         scala.jdk.CollectionConverters.ListHasAsScala(
           java.nio.file.Files.readAllLines(java.nio.file.Paths.get(p)))
-          .asScala.map(_.split("\t", 2)).collect {
-            case Array(k, v) => k -> v
+          .asScala.map(_.split("\t", 3)).collect {
+            case Array(k, s, v) if s == stamp && v.startsWith("match:") =>
+              k -> v
           }.toMap
       }.getOrElse(Map.empty)
     def record(k: String, v: String): Unit = ckptPath.foreach { p =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
-        s"$k\t$v\n", java.nio.file.StandardOpenOption.CREATE,
+        s"$k\t$stamp\t$v\n", java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
     }
     val fetchThrownTotal = new AtomicLong
@@ -240,6 +253,7 @@ object RetryGate {
       s""""speculatable_marked":${speculatableMarked.get()},""" +
       s""""speculative_tasks":${speculativeTasks.get()},""" +
       s""""speculation_kills":${speculationKills.get()},""" +
+      s""""other_task_kills":${otherKills.get()},""" +
       s""""master":"${spark.sparkContext.master}","sf":"$sfDir",""" +
       s""""queries":{$qJson}}""")
     spark.stop()
