@@ -43,6 +43,18 @@ import graft.sources.Tables
   *  - embeddings ingest: same shape into the IVF index store
   *    (centroids fixed by the bootstrap batch), crash after the
   *    append.
+  *  - transactions ingest (STATEFUL): tumbling hour-candle
+  *    aggregation in update mode — windowed state store — merged
+  *    into the partitioned candle store per batch
+  *    (CandleStream.mergeBatchIntoStore), source split into
+  *    contiguous TIME ranges so the watermark never drops a
+  *    replayed row. The "mid" crash lands after the merge, before
+  *    the commit: restart rolls the state store back to the last
+  *    committed version, recomputes the batch, and the re-merge
+  *    must overwrite the crashed merge's partitions with identical
+  *    content — state rollback + deterministic re-emission + merge
+  *    idempotence, end to end, checked against the batch engine's
+  *    hour rollup.
   *
   * Verdicts are row-sorted bit-equality: crashed-run store vs
   * clean-run store for every store, plus crashed-run store vs a
@@ -229,6 +241,72 @@ object ReplayGate {
         .coalesce(1).write.mode("append").parquet(dir)
     }
 
+  /** Split an EVENT-TIME table into `n` contiguous time ranges, one
+    * file each — batches arrive in time order, so a watermarked
+    * streaming agg never sees drop-eligible late rows (windows
+    * straddling a split have window_end past the watermark, the
+    * CheckpointRecoverySpec argument). Boundaries derive from the
+    * data's min/max span — deterministic, no driver-side ordering.
+    */
+  def splitSourceByTime(df: DataFrame, tsCol: String, n: Int,
+                        dir: String): Unit = {
+    val mm = df.agg(min(col(tsCol)).cast("long").as("lo"),
+      max(col(tsCol)).cast("long").as("hi")).collect()(0)
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val step = math.max(1L, (hi - lo + n) / n)
+    (0 until n).foreach { i =>
+      val from = lo + i * step
+      val until = lo + (i + 1) * step
+      df.filter(col(tsCol).cast("long") >= from &&
+          (if (i == n - 1) lit(true) else col(tsCol).cast("long") < until))
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+  }
+
+  /** Stateful ingest: tumbling hour-candle aggregation (update mode,
+    * windowed state store) merged into the partitioned candle store
+    * per batch. A "mid" crash lands AFTER mergeBatchIntoStore but
+    * BEFORE the epoch commit — restart rolls the state store back to
+    * the last committed version, recomputes the batch, re-emits the
+    * same changed windows, and the merge must overwrite the crashed
+    * merge's partitions with identical content.
+    */
+  def runCandleIngest(spark: SparkSession, sfDir: String, srcDir: String,
+                      root: String, chk: String,
+                      crashAt: Map[Long, String]): IngestReport = {
+    val storePath = s"$root/candles"
+    val schema = graft.operators.Candles.transactions(spark, sfDir)
+      .select(col("symbol"), col("price"), col("quantity"), col("ts"))
+      .schema
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val plan = new CrashPlan(crashAt)
+
+    def start() = graft.streaming.CandleStream.candles(
+        spark.readStream
+          .schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(srcDir),
+        graft.model.CandleTimeFrame.Hour)
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", chk)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batches.add(id)
+        if (plan.fire(id, "pre"))
+          throw new InjectedCrash(s"$Marker (pre, batch $id)")
+        graft.streaming.CandleStream.mergeBatchIntoStore(batch, storePath)
+        if (plan.fire(id, "mid"))
+          throw new InjectedCrash(s"$Marker (mid, batch $id)")
+      }
+      .start()
+
+    val (restarts, _) = driveWithRestarts(() => start(), () => 0L)
+    IngestReport(
+      scala.jdk.CollectionConverters.IteratorHasAsScala(batches.iterator())
+        .asScala.toSeq,
+      plan.fired.get(), restarts, 0L)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption
       .orElse(sys.env.get("SPARK_GRAFT_SF_DIR"))
@@ -245,8 +323,11 @@ object ReplayGate {
     val work = Files.createTempDirectory("graft-replay").toString
     val docs = Tables.documents(spark, sfDir)
     val emb = Tables.embeddings(spark, sfDir)
+    val txns = graft.operators.Candles.transactions(spark, sfDir)
+      .select(col("symbol"), col("price"), col("quantity"), col("ts"))
     splitSource(docs, "doc_id", 3, s"$work/doc-src")
     splitSource(emb, "vec_id", 3, s"$work/emb-src")
+    splitSourceByTime(txns, "ts", 3, s"$work/txn-src")
 
     // clean run (no crashes), then the crashed-and-restarted run
     val cleanDoc = runDocIngest(spark, sfDir, s"$work/doc-src",
@@ -258,6 +339,11 @@ object ReplayGate {
       s"$work/clean", s"$work/clean-ivf-chk", Map.empty)
     val crashedIvf = runIvfIngest(spark, sfDir, s"$work/emb-src",
       s"$work/crashed", s"$work/crashed-ivf-chk", Map(1L -> "mid"))
+    val cleanCandle = runCandleIngest(spark, sfDir, s"$work/txn-src",
+      s"$work/clean", s"$work/clean-candle-chk", Map.empty)
+    val crashedCandle = runCandleIngest(spark, sfDir, s"$work/txn-src",
+      s"$work/crashed", s"$work/crashed-candle-chk",
+      Map(1L -> "mid", 2L -> "pre"))
 
     def storesEqual(sub: String): Boolean =
       java.util.Arrays.equals(
@@ -270,6 +356,18 @@ object ReplayGate {
     val bandMatch = storesEqual("band")
     val postMatch = storesEqual("posting")
     val ivfMatch = storesEqual("ivf/index")
+    val candleMatch = storesEqual("candles")
+    // the stateful path must also equal the batch aggregation — state
+    // rollback + update-mode re-emission + merge idempotence end to end
+    val candleVsFull = java.util.Arrays.equals(
+      canon(spark.read.parquet(s"$work/crashed/candles")
+        .select(graft.operators.Candles.candleColumns: _*))
+        .asInstanceOf[Array[AnyRef]],
+      canon(graft.operators.Candles.rollup(
+          graft.operators.Candles.minuteCandles(txns),
+          graft.model.CandleTimeFrame.Hour)
+        .select(graft.operators.Candles.candleColumns: _*))
+        .asInstanceOf[Array[AnyRef]])
 
     // the crashed store must also equal a from-scratch batch build
     val isTarget = col("source") === "src0"
@@ -309,20 +407,28 @@ object ReplayGate {
     val replayedDoc = crashedDoc.batches.groupBy(identity)
       .count { case (_, v) => v.size > 1 }
     val allMatch = dsirMatch && bandMatch && postMatch && ivfMatch &&
+      candleMatch &&
       dsirVsFull && bandVsFull && postVsFull && ivfVsFull &&
+      candleVsFull &&
       crashedDoc.crashes == 2 && crashedIvf.crashes == 1 &&
+      crashedCandle.crashes == 2 &&
       crashedDoc.partiallyAppliedDocs > 0L &&
-      cleanDoc.crashes == 0 && cleanIvf.crashes == 0
+      cleanDoc.crashes == 0 && cleanIvf.crashes == 0 &&
+      cleanCandle.crashes == 0
 
     println(s"""{"metric":"replay_gate","all_match":$allMatch,""" +
       s""""doc_crashes":${crashedDoc.crashes},"doc_restarts":${crashedDoc.restarts},""" +
       s""""doc_batches":${crashedDoc.batches.length},"doc_batches_replayed":$replayedDoc,""" +
       s""""partially_applied_docs":${crashedDoc.partiallyAppliedDocs},""" +
       s""""ivf_crashes":${crashedIvf.crashes},"ivf_restarts":${crashedIvf.restarts},""" +
+      s""""candle_crashes":${crashedCandle.crashes},""" +
+      s""""candle_restarts":${crashedCandle.restarts},""" +
       s""""dsir_match":$dsirMatch,"band_match":$bandMatch,""" +
       s""""posting_match":$postMatch,"ivf_match":$ivfMatch,""" +
+      s""""candle_match":$candleMatch,""" +
       s""""dsir_vs_full":$dsirVsFull,"band_vs_full":$bandVsFull,""" +
       s""""posting_vs_full":$postVsFull,"ivf_vs_full":$ivfVsFull,""" +
+      s""""candle_vs_full":$candleVsFull,""" +
       s""""sf":"$sfDir"}""")
     spark.stop()
     if (!allMatch) sys.exit(1)

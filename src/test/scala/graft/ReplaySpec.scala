@@ -65,4 +65,27 @@ class ReplaySpec extends SparkSpec {
       .groupBy(col("doc_id"), col("band"))
       .count().filter(col("count") > 1).count() === 0L)
   }
+
+  test("stateful candle agg crashed between merge and commit converges to the batch answer") {
+    val work = Files.createTempDirectory("replay-candle").toString
+    val txns = graft.operators.Candles.transactions(spark, sf)
+      .select(col("symbol"), col("price"), col("quantity"), col("ts"))
+    ReplayGate.splitSourceByTime(txns, "ts", 3, s"$work/src")
+
+    val crashed = ReplayGate.runCandleIngest(spark, sf, s"$work/src",
+      s"$work/crashed", s"$work/crashed-chk",
+      Map(1L -> "mid", 2L -> "pre"))
+    assert(crashed.crashes === 2 && crashed.restarts === 2)
+    assert(crashed.batches.length > crashed.batches.distinct.length)
+
+    // state-store rollback + update-mode re-emission + merge
+    // idempotence must land exactly on the batch engine's rollup
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select(graft.operators.Candles.candleColumns: _*)
+        .collect().map(_.toString).sorted.toSeq
+    assert(key(spark.read.parquet(s"$work/crashed/candles")) ===
+      key(graft.operators.Candles.rollup(
+        graft.operators.Candles.minuteCandles(txns),
+        graft.model.CandleTimeFrame.Hour)))
+  }
 }
