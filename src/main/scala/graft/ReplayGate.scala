@@ -311,12 +311,32 @@ object ReplayGate {
     val sfDir = args.headOption
       .orElse(sys.env.get("SPARK_GRAFT_SF_DIR"))
       .getOrElse("/root/testdata/sf0.01")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .appName("graft-replay-gate")
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // SPARK_GRAFT_STATE_PROVIDER=rocksdb_tuned runs the stateful
+    // scenario on the PRODUCTION state-store config (RocksDB +
+    // changelog checkpointing — StateBench's recommended knobs):
+    // changelog checkpointing replaces full-snapshot uploads with
+    // per-batch deltas, i.e. a DIFFERENT rollback/replay mechanism
+    // than the default HDFS-backed store, so the crash/restart gate
+    // must hold under it separately.
+    val provider = sys.env.getOrElse("SPARK_GRAFT_STATE_PROVIDER", "hdfs")
+    if (provider.startsWith("rocksdb")) {
+      builder.config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      if (provider == "rocksdb_tuned") {
+        builder.config(
+          "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+          "true")
+        builder.config(
+          "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows",
+          "false")
+      }
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel(
       sys.env.getOrElse("SPARK_GRAFT_LOG_LEVEL", "ERROR"))
 
@@ -429,6 +449,7 @@ object ReplayGate {
       s""""dsir_vs_full":$dsirVsFull,"band_vs_full":$bandVsFull,""" +
       s""""posting_vs_full":$postVsFull,"ivf_vs_full":$ivfVsFull,""" +
       s""""candle_vs_full":$candleVsFull,""" +
+      s""""state_provider":"$provider",""" +
       s""""sf":"$sfDir"}""")
     spark.stop()
     if (!allMatch) sys.exit(1)
