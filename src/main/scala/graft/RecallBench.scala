@@ -65,6 +65,39 @@ object RecallBench {
       if (exact == 0L) 1000000L
       else math.floor(capped.toDouble / exact.toDouble * 1e6).toLong
 
+    // SPARK_GRAFT_RECALL_COHORT_MOD=k switches the containment family
+    // to SAMPLED-COHORT ground truth, the only sound shape at corpus
+    // sizes where the exact miner self-refuses (500k docs): the exact
+    // miner runs on the id % k == 0 cohort alone (containment is a
+    // pairwise property — a cohort pair's truth does not depend on
+    // the rest of the corpus), while the CAPPED miner runs on the
+    // FULL corpus (its df caps and work budget are corpus-relative —
+    // that is exactly what changes with scale) and its output is
+    // restricted to cohort×cohort pairs. Soundness: the capped miner
+    // verifies with the exact containment filter, so every emitted
+    // cohort pair is a true pair ⇒ restricted-capped ⊆ exact-cohort
+    // and the count ratio is the production config's pair recall
+    // measured on the cohort.
+    val cohortMod = sys.env.get("SPARK_GRAFT_RECALL_COHORT_MOD").map(_.toLong)
+    val exactDocs = cohortMod match {
+      case Some(k) => docs.filter(
+        org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.lit(k)) === 0L)
+      case None => docs
+    }
+    def restrictToCohort(pairs: org.apache.spark.sql.DataFrame) =
+      cohortMod match {
+        case Some(k) => pairs.filter(
+          org.apache.spark.sql.functions.pmod(
+            org.apache.spark.sql.functions.col("doc_a"),
+            org.apache.spark.sql.functions.lit(k)) === 0L &&
+          org.apache.spark.sql.functions.pmod(
+            org.apache.spark.sql.functions.col("doc_b"),
+            org.apache.spark.sql.functions.lit(k)) === 0L)
+        case None => pairs
+      }
+
     // The exact ground-truth miner is knob-INVARIANT (it depends only
     // on docs/threshold/n), so each family computes its denominator
     // ONCE and the sweep re-runs only the capped side — the per-point
@@ -73,19 +106,20 @@ object RecallBench {
     val nDocs = docs.count()
 
     // containment: n=5, t=0.5 (the q_containment_scale knobs)
-    val exactContainment = LshDedup.containmentPairs(docs,
+    val exactContainment = LshDedup.containmentPairs(exactDocs,
       threshold = 0.5, n = 5).count()
     def containmentPoint(knob: String, value: Long, maxDf: Long,
                          budget: Long): Unit = {
       val t0 = System.nanoTime()
-      val capped = LshDedup.containmentPairsCapped(docs,
+      val capped = restrictToCohort(LshDedup.containmentPairsCapped(docs,
         threshold = 0.5, n = 5, maxDf = maxDf,
-        maxDfPercent = 100, maxCandidateBudget = budget).count()
+        maxDfPercent = 100, maxCandidateBudget = budget)).count()
       val gramsCapped = LshDedup.containmentDropStats(docs, n = 5,
           maxDf = maxDf, maxDfPercent = 100, maxCandidateBudget = budget)
         .select("n_grams_capped").collect()(0).getLong(0)
       emit("containment", knob, value,
         Seq("n_docs" -> nDocs,
+          "cohort_mod" -> cohortMod.getOrElse(1L),
           "n_pairs_exact" -> exactContainment,
           "n_pairs_capped" -> capped,
           "n_grams_capped" -> gramsCapped,
@@ -109,7 +143,12 @@ object RecallBench {
 
     // simhash bucket-cap sweep (maxHamming=6, the q_dedup_simhash
     // knob): exact side + survivors + bit order computed once, the
-    // sweep re-buckets the persisted survivors only
+    // sweep re-buckets the persisted survivors only. NOT run in
+    // cohort mode: the exact-dedup survivor step makes cohort ground
+    // truth unsound (a cohort doc's survival depends on out-of-cohort
+    // duplicate twins), and the full exact bucket join is the thing
+    // that is infeasible at cohort-mode corpus sizes.
+    if (cohortMod.isDefined) { spark.stop(); return }
     val surv = graft.operators.Dedup.dropExactDuplicates(docs)
       .select(org.apache.spark.sql.functions.col("doc_id"),
         org.apache.spark.sql.functions.col("text"))
