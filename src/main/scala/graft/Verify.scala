@@ -13,7 +13,15 @@ object Verify {
     // The driver never sets it, so the contract is unchanged.
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
-      .config("spark.sql.shuffle.partitions", cpus)
+      // plan-shape invariance knobs for the determinism gates (driver
+      // never sets either, contract unchanged): every query's OUTPUT
+      // must be identical with AQE disabled and under any shuffle
+      // partition count — a value that depends on either is a
+      // partial-aggregation-order bug waiting for a cluster.
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       // scan-split size; unset ⇒ Spark default (see Bench)
       .config("spark.sql.files.maxPartitionBytes",
