@@ -21,6 +21,16 @@ private[operators] object StoreOps {
     * bounded by the batch's distinct keys — batch-scaled, never
     * store-scaled — because the store scan is semi-join-pruned to
     * batch keys first.
+    *
+    * SINGLE-WRITER contract: probe-then-append is idempotent under
+    * RE-EXECUTION of one writer (task retry, foreachBatch replay —
+    * gated by graft.ReplayGate), not under CONCURRENT writers: two
+    * appends overlapping in time can both probe before either's
+    * files land and double-apply the overlap. Structured Streaming
+    * guarantees this for a store maintained by one query (batches
+    * run serially); two pipelines appending to the same store need
+    * external serialization (or a manifest-committing table format
+    * with conflict detection).
     */
   def antiPresent(batch: DataFrame, store: DataFrame,
                   key: String = "doc_id"): DataFrame = {
