@@ -143,27 +143,44 @@ object RecallBench {
 
     // simhash bucket-cap sweep (maxHamming=6, the q_dedup_simhash
     // knob): exact side + survivors + bit order computed once, the
-    // sweep re-buckets the persisted survivors only. NOT run in
-    // cohort mode: the exact-dedup survivor step makes cohort ground
-    // truth unsound (a cohort doc's survival depends on out-of-cohort
-    // duplicate twins), and the full exact bucket join is the thing
-    // that is infeasible at cohort-mode corpus sizes.
-    if (cohortMod.isDefined) { spark.stop(); return }
+    // sweep re-buckets the persisted survivors only.
+    //
+    // Cohort mode is sound here too, with one care point: the
+    // exact-dedup SURVIVOR step is corpus-dependent (a cohort doc's
+    // survival depends on out-of-cohort duplicate twins), so the
+    // survivor set is computed on the FULL corpus — that pass is
+    // linear and feasible at any size — and the cohort ground truth
+    // is the exact miner over cohort ∩ survivors (hamming is
+    // pairwise, so a cohort pair's truth is corpus-independent; the
+    // bit ORDER is corpus-derived but ANY disjoint chunk partition
+    // preserves the pigeonhole completeness, so sharing the full-
+    // corpus order changes nothing). The capped miner runs on the
+    // full survivor set — its bucket sizes are what scale changes —
+    // and its output, hamming-verified, restricted to cohort pairs
+    // is ⊆ the cohort exact pairs.
     val surv = graft.operators.Dedup.dropExactDuplicates(docs)
       .select(org.apache.spark.sql.functions.col("doc_id"),
         org.apache.spark.sql.functions.col("text"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nSurv = surv.count()
     val bitOrder = Some(LshDedup.simhashBitOrder(surv))
-    val exactSimhash = LshDedup.simhashCandidates(surv,
+    val exactSurv = cohortMod match {
+      case Some(k) => surv.filter(
+        org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.lit(k)) === 0L)
+      case None => surv
+    }
+    val exactSimhash = LshDedup.simhashCandidates(exactSurv,
       maxHamming = 6, bitOrder).count()
     for (maxBucket <- knobList("SPARK_GRAFT_RECALL_BUCKETS",
         Seq(1L, 2L, 4L, 16L, 2000L)).map(_.toInt)) {
       val t0 = System.nanoTime()
-      val capped = LshDedup.simhashCandidatesCapped(surv,
-        maxHamming = 6, maxBucket = maxBucket, bitOrder).count()
+      val capped = restrictToCohort(LshDedup.simhashCandidatesCapped(surv,
+        maxHamming = 6, maxBucket = maxBucket, bitOrder)).count()
       emit("simhash", "max_bucket", maxBucket.toLong,
         Seq("n_docs" -> nDocs,
+          "cohort_mod" -> cohortMod.getOrElse(1L),
           "n_survivors" -> nSurv,
           "n_pairs_exact" -> exactSimhash,
           "n_pairs_capped" -> capped,

@@ -96,6 +96,21 @@ object RetryGate {
       .master(master)
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
+      // fetch mode names the driver's own block manager as the lost
+      // fetch location, and the DAGScheduler responds by unregistering
+      // that block manager ("executor lost"). A LOCAL master can never
+      // re-register it: BlockManagerMasterEndpoint.register's
+      // isExecutorAlive probe asks the CoarseGrainedScheduler RPC
+      // endpoint, which only cluster backends register — so any task
+      // whose result is too big for the inline path (1 MB
+      // maxDirectResultSize default) is stored in the unregistered
+      // block manager and dies as TaskResultLost, 4 of which abort the
+      // job (measured at sf0.1; sf0.01 passed only because every task
+      // result fit inline). Routing results inline keeps the gate
+      // testing what it is FOR — shuffle recompute determinism — not
+      // local mode's unrecoverable block-manager re-registration.
+      .config("spark.task.maxDirectResultSize", "100m")
+      .config("spark.rpc.message.maxSize", "256")
     if (master.startsWith("local-cluster")) {
       // executors are separate JVMs: ship our classes + module opens
       builder
