@@ -1077,6 +1077,16 @@ object LshDedup {
     * corpus skew. Answer EQUALS [[simhashCandidates]] whenever no
     * post-split bucket exceeds the cap; [[simhashDropStats]] is the
     * observability gate that says whether that held.
+    *
+    * Production envelope, measured (round 11, 10k-word Zipf corpus,
+    * sampled-cohort ground truth — RECALL_COHORT_r11.json): the
+    * default cap is lossless at 50k docs (recall 0.9998) but drops
+    * 42% of true hamming≤6 pairs at 500k docs (recall 0.578), and
+    * the buy-back is quadratic — maxBucket=4000 recovers 0.911 at
+    * ~2.5× the cost, 8000 exhausts a 48 GB heap. Past ~100k docs of
+    * a natural-vocabulary corpus, prefer the MinHash band path for
+    * near-dup (banding needs no recall-bearing cap) or accept the
+    * drop with [[simhashDropStats]] watching it.
     */
   def simhashCandidatesCapped(docs: DataFrame, maxHamming: Int = 3,
                               maxBucket: Int = 2000,
