@@ -141,6 +141,34 @@ object RecallBench {
           500000000L)))
       containmentPoint("budget", budget, Long.MaxValue / 4, budget)
 
+    // minhash band path: does ITS skew cap (default 1000) bind at
+    // this corpus size? The simhash envelope finding recommends the
+    // band path at 500k+ BECAUSE its cap should be a spam guard, not
+    // a recall knob — this point measures that claim instead of
+    // asserting it: dropStats says whether any bucket exceeded the
+    // cap, and when one did, capped-vs-near-uncapped candidate counts
+    // (cohort-restricted) give the candidate-recall impact.
+    {
+      val t0 = System.nanoTime()
+      val drop = LshDedup.dropStats(docs).collect()(0)
+      val nb = drop.getAs[Long]("n_buckets_dropped")
+      val ns = drop.getAs[Long]("n_doc_slots_dropped")
+      val cappedMh = restrictToCohort(LshDedup.minhashCandidates(docs)).count()
+      val uncappedMh =
+        if (nb == 0L) cappedMh
+        else restrictToCohort(
+          LshDedup.minhashCandidates(docs, maxBucket = 100000)).count()
+      emit("minhash", "max_bucket", 1000L,
+        Seq("n_docs" -> nDocs,
+          "cohort_mod" -> cohortMod.getOrElse(1L),
+          "n_buckets_dropped" -> nb,
+          "n_doc_slots_dropped" -> ns,
+          "n_pairs_capped" -> cappedMh,
+          "n_pairs_uncapped" -> uncappedMh,
+          "recall_micro" -> recallMicro(cappedMh, uncappedMh)),
+        (System.nanoTime() - t0) / 1e9)
+    }
+
     // simhash bucket-cap sweep (maxHamming=6, the q_dedup_simhash
     // knob): exact side + survivors + bit order computed once, the
     // sweep re-buckets the persisted survivors only.
@@ -158,6 +186,9 @@ object RecallBench {
     // full survivor set — its bucket sizes are what scale changes —
     // and its output, hamming-verified, restricted to cohort pairs
     // is ⊆ the cohort exact pairs.
+    val bucketSweep = knobList("SPARK_GRAFT_RECALL_BUCKETS",
+      Seq(1L, 2L, 4L, 16L, 2000L)).map(_.toInt)
+    if (bucketSweep.isEmpty) { spark.stop(); return }
     val surv = graft.operators.Dedup.dropExactDuplicates(docs)
       .select(org.apache.spark.sql.functions.col("doc_id"),
         org.apache.spark.sql.functions.col("text"))
@@ -173,8 +204,7 @@ object RecallBench {
     }
     val exactSimhash = LshDedup.simhashCandidates(exactSurv,
       maxHamming = 6, bitOrder).count()
-    for (maxBucket <- knobList("SPARK_GRAFT_RECALL_BUCKETS",
-        Seq(1L, 2L, 4L, 16L, 2000L)).map(_.toInt)) {
+    for (maxBucket <- bucketSweep) {
       val t0 = System.nanoTime()
       val capped = restrictToCohort(LshDedup.simhashCandidatesCapped(surv,
         maxHamming = 6, maxBucket = maxBucket, bitOrder)).count()
