@@ -79,35 +79,33 @@ object RecallBench {
     // and the count ratio is the production config's pair recall
     // measured on the cohort.
     val cohortMod = sys.env.get("SPARK_GRAFT_RECALL_COHORT_MOD").map(_.toLong)
-    val exactDocs = cohortMod match {
-      case Some(k) => docs.filter(
-        org.apache.spark.sql.functions.pmod(
-          org.apache.spark.sql.functions.col("doc_id"),
-          org.apache.spark.sql.functions.lit(k)) === 0L)
-      case None => docs
-    }
-    def restrictToCohort(pairs: org.apache.spark.sql.DataFrame) =
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    // one shared cohort predicate — three sites (exact docs, pair
+    // restriction, survivor restriction) must never diverge
+    def inCohort(df: org.apache.spark.sql.DataFrame,
+                 idCols: String*): org.apache.spark.sql.DataFrame =
       cohortMod match {
-        case Some(k) => pairs.filter(
-          org.apache.spark.sql.functions.pmod(
-            org.apache.spark.sql.functions.col("doc_a"),
-            org.apache.spark.sql.functions.lit(k)) === 0L &&
-          org.apache.spark.sql.functions.pmod(
-            org.apache.spark.sql.functions.col("doc_b"),
-            org.apache.spark.sql.functions.lit(k)) === 0L)
-        case None => pairs
+        case Some(k) => df.filter(
+          idCols.map(c => pmod(col(c), lit(k)) === 0L).reduce(_ && _))
+        case None => df
       }
+    def restrictToCohort(pairs: org.apache.spark.sql.DataFrame) =
+      inCohort(pairs, "doc_a", "doc_b")
 
     // The exact ground-truth miner is knob-INVARIANT (it depends only
     // on docs/threshold/n), so each family computes its denominator
     // ONCE and the sweep re-runs only the capped side — the per-point
     // numbers equal the one-shot *CappedRecallReport by construction
     // (capped ⊆ exact; recall is the count ratio both compute).
+    // LAZY: the miner is the bench's most expensive computation (and
+    // ExactScale-guarded at corpus sizes), so it must not run when
+    // both containment sweep lists are empty ("empty string = skip
+    // the family").
     val nDocs = docs.count()
 
     // containment: n=5, t=0.5 (the q_containment_scale knobs)
-    val exactContainment = LshDedup.containmentPairs(exactDocs,
-      threshold = 0.5, n = 5).count()
+    lazy val exactContainment = LshDedup.containmentPairs(
+      inCohort(docs, "doc_id"), threshold = 0.5, n = 5).count()
     def containmentPoint(knob: String, value: Long, maxDf: Long,
                          budget: Long): Unit = {
       val t0 = System.nanoTime()
@@ -150,19 +148,30 @@ object RecallBench {
     // (cohort-restricted) give the candidate-recall impact.
     {
       val t0 = System.nanoTime()
-      val drop = LshDedup.dropStats(docs).collect()(0)
+      val DefaultCap = 1000 // minhashCandidates' default maxBucket
+      val WideCap = 100000
+      val drop = LshDedup.dropStats(docs, maxBucket = DefaultCap).collect()(0)
       val nb = drop.getAs[Long]("n_buckets_dropped")
       val ns = drop.getAs[Long]("n_doc_slots_dropped")
-      val cappedMh = restrictToCohort(LshDedup.minhashCandidates(docs)).count()
-      val uncappedMh =
-        if (nb == 0L) cappedMh
-        else restrictToCohort(
-          LshDedup.minhashCandidates(docs, maxBucket = 100000)).count()
-      emit("minhash", "max_bucket", 1000L,
+      val cappedMh = restrictToCohort(
+        LshDedup.minhashCandidates(docs, maxBucket = DefaultCap)).count()
+      // the "uncapped" denominator is itself bounded at WideCap — the
+      // no-silent-caps rule demands the residual drop be OBSERVED, so
+      // a bucket past even the wide bound surfaces as a non-zero
+      // n_buckets_dropped_wide (recall_micro is then a lower bound on
+      // the impact, visibly, not silently)
+      val (uncappedMh, nbWide) =
+        if (nb == 0L) (cappedMh, 0L)
+        else (restrictToCohort(
+            LshDedup.minhashCandidates(docs, maxBucket = WideCap)).count(),
+          LshDedup.dropStats(docs, maxBucket = WideCap).collect()(0)
+            .getAs[Long]("n_buckets_dropped"))
+      emit("minhash", "max_bucket", DefaultCap.toLong,
         Seq("n_docs" -> nDocs,
           "cohort_mod" -> cohortMod.getOrElse(1L),
           "n_buckets_dropped" -> nb,
           "n_doc_slots_dropped" -> ns,
+          "n_buckets_dropped_wide" -> nbWide,
           "n_pairs_capped" -> cappedMh,
           "n_pairs_uncapped" -> uncappedMh,
           "recall_micro" -> recallMicro(cappedMh, uncappedMh)),
@@ -190,19 +199,11 @@ object RecallBench {
       Seq(1L, 2L, 4L, 16L, 2000L)).map(_.toInt)
     if (bucketSweep.isEmpty) { spark.stop(); return }
     val surv = graft.operators.Dedup.dropExactDuplicates(docs)
-      .select(org.apache.spark.sql.functions.col("doc_id"),
-        org.apache.spark.sql.functions.col("text"))
+      .select(col("doc_id"), col("text"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nSurv = surv.count()
     val bitOrder = Some(LshDedup.simhashBitOrder(surv))
-    val exactSurv = cohortMod match {
-      case Some(k) => surv.filter(
-        org.apache.spark.sql.functions.pmod(
-          org.apache.spark.sql.functions.col("doc_id"),
-          org.apache.spark.sql.functions.lit(k)) === 0L)
-      case None => surv
-    }
-    val exactSimhash = LshDedup.simhashCandidates(exactSurv,
+    val exactSimhash = LshDedup.simhashCandidates(inCohort(surv, "doc_id"),
       maxHamming = 6, bitOrder).count()
     for (maxBucket <- bucketSweep) {
       val t0 = System.nanoTime()

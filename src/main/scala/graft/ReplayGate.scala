@@ -106,6 +106,10 @@ object ReplayGate {
   final case class IngestReport(batches: Seq[Long], crashes: Int,
                                 restarts: Int, partiallyAppliedDocs: Long)
 
+  private def drain(q: java.util.concurrent.ConcurrentLinkedQueue[Long]): Seq[Long] =
+    scala.jdk.CollectionConverters.IteratorHasAsScala(q.iterator())
+      .asScala.toSeq
+
   /** Drive a streaming query to completion, restarting from the same
     * checkpoint after every injected crash. `partialProbe` runs
     * between a crash and its restart (the only window where partial
@@ -184,10 +188,7 @@ object ReplayGate {
         .count()
 
     val (restarts, partial) = driveWithRestarts(() => start(), () => partialProbe())
-    IngestReport(
-      scala.jdk.CollectionConverters.IteratorHasAsScala(batches.iterator())
-        .asScala.toSeq,
-      plan.fired.get(), restarts, partial)
+    IngestReport(drain(batches), plan.fired.get(), restarts, partial)
   }
 
   /** Embeddings ingest into the IVF store: bootstrap batch trains the
@@ -226,10 +227,7 @@ object ReplayGate {
       .start()
 
     val (restarts, _) = driveWithRestarts(() => start(), () => 0L)
-    IngestReport(
-      scala.jdk.CollectionConverters.IteratorHasAsScala(batches.iterator())
-        .asScala.toSeq,
-      plan.fired.get(), restarts, 0L)
+    IngestReport(drain(batches), plan.fired.get(), restarts, 0L)
   }
 
   /** Split `table` into `n` single-file parquet drops under a fresh
@@ -275,9 +273,9 @@ object ReplayGate {
                       root: String, chk: String,
                       crashAt: Map[Long, String]): IngestReport = {
     val storePath = s"$root/candles"
-    val schema = graft.operators.Candles.transactions(spark, sfDir)
-      .select(col("symbol"), col("price"), col("quantity"), col("ts"))
-      .schema
+    // Candles.transactions already returns exactly (symbol, price,
+    // quantity, ts)
+    val schema = graft.operators.Candles.transactions(spark, sfDir).schema
     val batches = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
     val plan = new CrashPlan(crashAt)
 
@@ -292,19 +290,22 @@ object ReplayGate {
       .option("checkpointLocation", chk)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         batches.add(id)
-        if (plan.fire(id, "pre"))
-          throw new InjectedCrash(s"$Marker (pre, batch $id)")
-        graft.streaming.CandleStream.mergeBatchIntoStore(batch, storePath)
-        if (plan.fire(id, "mid"))
-          throw new InjectedCrash(s"$Marker (mid, batch $id)")
+        // mergeBatchIntoStore references the batch in three subplans
+        // (affected-partition keys, superseded-row anti-join, union);
+        // unpersisted, each would re-run the stateful micro-batch plan
+        val candles = batch.persist()
+        try {
+          if (plan.fire(id, "pre"))
+            throw new InjectedCrash(s"$Marker (pre, batch $id)")
+          graft.streaming.CandleStream.mergeBatchIntoStore(candles, storePath)
+          if (plan.fire(id, "mid"))
+            throw new InjectedCrash(s"$Marker (mid, batch $id)")
+        } finally candles.unpersist()
       }
       .start()
 
     val (restarts, _) = driveWithRestarts(() => start(), () => 0L)
-    IngestReport(
-      scala.jdk.CollectionConverters.IteratorHasAsScala(batches.iterator())
-        .asScala.toSeq,
-      plan.fired.get(), restarts, 0L)
+    IngestReport(drain(batches), plan.fired.get(), restarts, 0L)
   }
 
   def main(args: Array[String]): Unit = {
@@ -344,7 +345,6 @@ object ReplayGate {
     val docs = Tables.documents(spark, sfDir)
     val emb = Tables.embeddings(spark, sfDir)
     val txns = graft.operators.Candles.transactions(spark, sfDir)
-      .select(col("symbol"), col("price"), col("quantity"), col("ts"))
     splitSource(docs, "doc_id", 3, s"$work/doc-src")
     splitSource(emb, "vec_id", 3, s"$work/emb-src")
     splitSourceByTime(txns, "ts", 3, s"$work/txn-src")
