@@ -166,15 +166,20 @@ object RecallBench {
             LshDedup.minhashCandidates(docs, maxBucket = WideCap)).count(),
           LshDedup.dropStats(docs, maxBucket = WideCap).collect()(0)
             .getAs[Long]("n_buckets_dropped"))
+      // field names mark these as CANDIDATE-level (pre-verification)
+      // counts and a candidate-level recall LOWER BOUND over the
+      // WideCap-bounded denominator — NOT the verified-pair recall the
+      // containment/simhash families emit; consumers aggregating
+      // recall_bench lines across families must not mix the two
       emit("minhash", "max_bucket", DefaultCap.toLong,
         Seq("n_docs" -> nDocs,
           "cohort_mod" -> cohortMod.getOrElse(1L),
           "n_buckets_dropped" -> nb,
           "n_doc_slots_dropped" -> ns,
           "n_buckets_dropped_wide" -> nbWide,
-          "n_pairs_capped" -> cappedMh,
-          "n_pairs_uncapped" -> uncappedMh,
-          "recall_micro" -> recallMicro(cappedMh, uncappedMh)),
+          "n_cands_capped" -> cappedMh,
+          "n_cands_wide" -> uncappedMh,
+          "candidate_recall_lb_micro" -> recallMicro(cappedMh, uncappedMh)),
         (System.nanoTime() - t0) / 1e9)
     }
 
@@ -197,27 +202,44 @@ object RecallBench {
     // is ⊆ the cohort exact pairs.
     val bucketSweep = knobList("SPARK_GRAFT_RECALL_BUCKETS",
       Seq(1L, 2L, 4L, 16L, 2000L)).map(_.toInt)
-    if (bucketSweep.isEmpty) { spark.stop(); return }
+    // recursion-depth sweep at the default cap: depth 1 = the
+    // round-7 one-level guard, depth 2 = the round-10/11 complement
+    // split (whose DEFAULT measured 0.578 recall at 500k Zipf docs —
+    // RECALL_COHORT_r11), depth 24 = the round-12 default (clique
+    // collapse + recursion to the natural exit). The depth points
+    // are what gates verdict-r11 #1: the DEFAULT path's recall at
+    // 500k docs
+    val depthSweep = knobList("SPARK_GRAFT_RECALL_DEPTHS",
+      Seq(1L, 2L, 24L)).map(_.toInt)
+    if (bucketSweep.isEmpty && depthSweep.isEmpty) { spark.stop(); return }
     val surv = graft.operators.Dedup.dropExactDuplicates(docs)
       .select(col("doc_id"), col("text"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nSurv = surv.count()
     val bitOrder = Some(LshDedup.simhashBitOrder(surv))
-    val exactSimhash = LshDedup.simhashCandidates(inCohort(surv, "doc_id"),
+    lazy val exactSimhash = LshDedup.simhashCandidates(inCohort(surv, "doc_id"),
       maxHamming = 6, bitOrder).count()
-    for (maxBucket <- bucketSweep) {
+    def simhashPoint(knob: String, value: Long, maxBucket: Int,
+                     maxDepth: Int): Unit = {
       val t0 = System.nanoTime()
       val capped = restrictToCohort(LshDedup.simhashCandidatesCapped(surv,
-        maxHamming = 6, maxBucket = maxBucket, bitOrder)).count()
-      emit("simhash", "max_bucket", maxBucket.toLong,
+        maxHamming = 6, maxBucket = maxBucket, bitOrder,
+        maxDepth = maxDepth)).count()
+      emit("simhash", knob, value,
         Seq("n_docs" -> nDocs,
           "cohort_mod" -> cohortMod.getOrElse(1L),
           "n_survivors" -> nSurv,
+          "max_bucket" -> maxBucket.toLong,
+          "max_depth" -> maxDepth.toLong,
           "n_pairs_exact" -> exactSimhash,
           "n_pairs_capped" -> capped,
           "recall_micro" -> recallMicro(capped, exactSimhash)),
         (System.nanoTime() - t0) / 1e9)
     }
+    for (maxBucket <- bucketSweep)
+      simhashPoint("max_bucket", maxBucket.toLong, maxBucket, 24)
+    for (maxDepth <- depthSweep)
+      simhashPoint("depth", maxDepth.toLong, 2000, maxDepth)
     surv.unpersist()
     spark.stop()
   }

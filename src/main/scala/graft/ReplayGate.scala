@@ -34,15 +34,26 @@ import graft.sources.Tables
   *
   *  - documents ingest: three parquet files (doc_id mod 3), one
   *    micro-batch each (maxFilesPerTrigger=1), folding into the
-  *    DSIR count store + posting store + band store. Crashes: one
-  *    "mid" (after DSIR+posting append, before band append — the
-  *    partial-application case; partially_applied_docs counts the
-  *    docs visible in the DSIR store but absent from the band store
-  *    at crash time, proving the replay had something to no-op) and
-  *    one "pre" (before any append — the pure re-delivery case).
+  *    DSIR count store + posting store + band store. Crashes: a
+  *    batch-0 "mid" (INSIDE the bootstrap batch — DSIR and posting
+  *    stores created, band store not yet; the replayed bootstrap
+  *    must create the missing store and no-op the landed ones, which
+  *    is why each store's write/append choice gates on its OWN
+  *    existence), a batch-1 "mid" (after DSIR+posting append, before
+  *    band append — the partial-application case;
+  *    partially_applied_docs counts the docs visible in the DSIR
+  *    store but absent from the band store at crash time, proving
+  *    the replay had something to no-op) and a batch-2 "pre" (before
+  *    any append — the pure re-delivery case).
   *  - embeddings ingest: same shape into the IVF index store
   *    (centroids fixed by the bootstrap batch), crash after the
   *    append.
+  *  - composed pipeline (BATCH crash/resume): fullPipelineStaged
+  *    killed at a tier boundary; restart over the same tierDir must
+  *    resume from the last complete tier — completed tiers
+  *    byte-untouched — and converge bit-identically to an
+  *    uninterrupted run and the in-memory variant
+  *    ([[runPipelineResume]]).
   *  - transactions ingest (STATEFUL): tumbling hour-candle
   *    aggregation in update mode — windowed state store — merged
   *    into the partitioned candle store per batch
@@ -163,17 +174,22 @@ object ReplayGate {
         try {
           if (plan.fire(id, "pre"))
             throw new InjectedCrash(s"$Marker (pre, batch $id)")
-          if (!exists(spark, dsirPath)) {
-            DsirStore.write(docs, isTarget, dsirPath)
-            PostingStore.write(docs, postPath)
-            BandStore.write(docs, bandPath)
-          } else {
-            DsirStore.append(docs, isTarget, dsirPath)
-            PostingStore.append(docs, postPath)
-            if (plan.fire(id, "mid"))
-              throw new InjectedCrash(s"$Marker (mid, batch $id)")
-            BandStore.append(docs, bandPath)
-          }
+          // each write is gated on ITS OWN store's existence — the
+          // contract pattern for production ingest: a crash between
+          // the bootstrap batch's first and second store write leaves
+          // the replayed batch taking write for the missing stores and
+          // (probed, no-op) append for the landed ones. A single
+          // shared !exists branch would re-enter append against
+          // stores that were never created (round-11 advisor finding,
+          // now exercised by the batch-0 "mid" crash below).
+          if (!exists(spark, dsirPath)) DsirStore.write(docs, isTarget, dsirPath)
+          else DsirStore.append(docs, isTarget, dsirPath)
+          if (!exists(spark, postPath)) PostingStore.write(docs, postPath)
+          else PostingStore.append(docs, postPath)
+          if (plan.fire(id, "mid"))
+            throw new InjectedCrash(s"$Marker (mid, batch $id)")
+          if (!exists(spark, bandPath)) BandStore.write(docs, bandPath)
+          else BandStore.append(docs, bandPath)
         } finally docs.unpersist()
       }
       .start()
@@ -230,14 +246,42 @@ object ReplayGate {
     IngestReport(drain(batches), plan.fired.get(), restarts, 0L)
   }
 
-  /** Split `table` into `n` single-file parquet drops under a fresh
-    * dir (one micro-batch each under maxFilesPerTrigger=1).
+  /** Force strictly increasing, split-ordered modification times on
+    * the files each split wrote. FileStreamSource orders new files by
+    * mtime: two splits landing within the filesystem's timestamp
+    * granularity would make batch order NONDETERMINISTIC, flaking the
+    * cross-run determinism this gate asserts (the IVF centroids are
+    * trained on "the bootstrap batch"; the candle splits rely on
+    * time-ordered arrival). Explicit setTimes makes the write order
+    * the delivery order by construction instead of by luck.
     */
-  def splitSource(df: DataFrame, keyCol: String, n: Int, dir: String): Unit =
+  private def stampSplit(spark: SparkSession, dir: String, split: Int,
+                         seen: scala.collection.mutable.Set[String]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val t0 = 1700000000000L // fixed epoch base: deterministic across runs
+    fs.listStatus(p).foreach { st =>
+      val name = st.getPath.getName
+      if (!st.isDirectory && !name.startsWith("_") && !name.startsWith(".") &&
+          !seen.contains(name)) {
+        fs.setTimes(st.getPath, t0 + split * 60000L, -1)
+        seen += name
+      }
+    }
+  }
+
+  /** Split `table` into `n` single-file parquet drops under a fresh
+    * dir (one micro-batch each under maxFilesPerTrigger=1), with
+    * mtimes forced to the split order (see [[stampSplit]]).
+    */
+  def splitSource(df: DataFrame, keyCol: String, n: Int, dir: String): Unit = {
+    val seen = scala.collection.mutable.Set[String]()
     (0 until n).foreach { i =>
       df.filter(pmod(col(keyCol), lit(n.toLong)) === i.toLong)
         .coalesce(1).write.mode("append").parquet(dir)
+      stampSplit(df.sparkSession, dir, i, seen)
     }
+  }
 
   /** Split an EVENT-TIME table into `n` contiguous time ranges, one
     * file each — batches arrive in time order, so a watermarked
@@ -252,12 +296,14 @@ object ReplayGate {
       max(col(tsCol)).cast("long").as("hi")).collect()(0)
     val (lo, hi) = (mm.getLong(0), mm.getLong(1))
     val step = math.max(1L, (hi - lo + n) / n)
+    val seen = scala.collection.mutable.Set[String]()
     (0 until n).foreach { i =>
       val from = lo + i * step
       val until = lo + (i + 1) * step
       df.filter(col(tsCol).cast("long") >= from &&
           (if (i == n - 1) lit(true) else col(tsCol).cast("long") < until))
         .coalesce(1).write.mode("append").parquet(dir)
+      stampSplit(df.sparkSession, dir, i, seen)
     }
   }
 
@@ -308,6 +354,56 @@ object ReplayGate {
     IngestReport(drain(batches), plan.fired.get(), restarts, 0L)
   }
 
+  /** Composed-pipeline crash/resume (the batch sibling of the
+    * streaming scenarios): Curation.fullPipelineStaged killed at a
+    * tier boundary — the crash hook fires right after the
+    * containment-pair tier's write commits, so report_head/sv5/cp
+    * exist and sv6/sv7 do not — must, restarted over the SAME
+    * tierDir, (a) leave every completed tier byte-untouched (file
+    * lengths + mtimes compared before/after the resume; tier() skips
+    * a tier whose _SUCCESS exists, so any rewrite would show), and
+    * (b) produce a report bit-identical to an uninterrupted staged
+    * run in a fresh tierDir AND to the in-memory localCheckpoint
+    * variant. Returns (resumedMatchesClean, tiersUntouched,
+    * stagedMatchesInMemory, crashes).
+    */
+  def runPipelineResume(spark: SparkSession, sfDir: String,
+                        root: String): (Boolean, Boolean, Boolean, Int) = {
+    import graft.operators.Curation
+    val docs = Tables.documents(spark, sfDir)
+    val clean = canon(Curation.fullPipelineStaged(docs, s"$root/tiers-clean"))
+    val crashedDir = s"$root/tiers-crashed"
+    var crashes = 0
+    try {
+      Curation.fullPipelineStaged(docs, crashedDir, onTierWritten = p =>
+        if (p.endsWith("/cp")) {
+          crashes += 1
+          throw new InjectedCrash(s"$Marker (tier boundary, after cp)")
+        })
+      throw new IllegalStateException("pipeline tier crash did not fire")
+    } catch { case e: Throwable if isInjected(e) => () }
+    def lsTiers(dir: String): Map[String, (Long, Long)] = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(p, true)
+      val b = Map.newBuilder[String, (Long, Long)]
+      while (it.hasNext) {
+        val st = it.next()
+        b += (st.getPath.toString -> (st.getLen, st.getModificationTime))
+      }
+      b.result()
+    }
+    val before = lsTiers(crashedDir)
+    val resumed = canon(Curation.fullPipelineStaged(docs, crashedDir))
+    val after = lsTiers(crashedDir)
+    val untouched = before.forall { case (k, v) => after.get(k).contains(v) }
+    val vsInMem = java.util.Arrays.equals(
+      canon(Curation.fullPipeline(docs)).asInstanceOf[Array[AnyRef]],
+      clean.asInstanceOf[Array[AnyRef]])
+    (java.util.Arrays.equals(resumed.asInstanceOf[Array[AnyRef]],
+      clean.asInstanceOf[Array[AnyRef]]), untouched, vsInMem, crashes)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption
       .orElse(sys.env.get("SPARK_GRAFT_SF_DIR"))
@@ -354,7 +450,10 @@ object ReplayGate {
       s"$work/clean", s"$work/clean-chk", Map.empty)
     val crashedDoc = runDocIngest(spark, sfDir, s"$work/doc-src",
       s"$work/crashed", s"$work/crashed-chk",
-      Map(1L -> "mid", 2L -> "pre"))
+      // batch-0 "mid" = a crash INSIDE the bootstrap batch (DSIR +
+      // posting written, band store never created) — the replayed
+      // bootstrap must write the missing store and no-op the others
+      Map(0L -> "mid", 1L -> "mid", 2L -> "pre"))
     val cleanIvf = runIvfIngest(spark, sfDir, s"$work/emb-src",
       s"$work/clean", s"$work/clean-ivf-chk", Map.empty)
     val crashedIvf = runIvfIngest(spark, sfDir, s"$work/emb-src",
@@ -364,6 +463,8 @@ object ReplayGate {
     val crashedCandle = runCandleIngest(spark, sfDir, s"$work/txn-src",
       s"$work/crashed", s"$work/crashed-candle-chk",
       Map(1L -> "mid", 2L -> "pre"))
+    val (pipeMatch, pipeUntouched, pipeVsInMem, pipeCrashes) =
+      runPipelineResume(spark, sfDir, work)
 
     def storesEqual(sub: String): Boolean =
       java.util.Arrays.equals(
@@ -430,11 +531,12 @@ object ReplayGate {
       candleMatch &&
       dsirVsFull && bandVsFull && postVsFull && ivfVsFull &&
       candleVsFull &&
-      crashedDoc.crashes == 2 && crashedIvf.crashes == 1 &&
+      crashedDoc.crashes == 3 && crashedIvf.crashes == 1 &&
       crashedCandle.crashes == 2 &&
       crashedDoc.partiallyAppliedDocs > 0L &&
       cleanDoc.crashes == 0 && cleanIvf.crashes == 0 &&
-      cleanCandle.crashes == 0
+      cleanCandle.crashes == 0 &&
+      pipeMatch && pipeUntouched && pipeVsInMem && pipeCrashes == 1
 
     println(s"""{"metric":"replay_gate","all_match":$allMatch,""" +
       s""""doc_crashes":${crashedDoc.crashes},"doc_restarts":${crashedDoc.restarts},""" +
@@ -449,6 +551,10 @@ object ReplayGate {
       s""""dsir_vs_full":$dsirVsFull,"band_vs_full":$bandVsFull,""" +
       s""""posting_vs_full":$postVsFull,"ivf_vs_full":$ivfVsFull,""" +
       s""""candle_vs_full":$candleVsFull,""" +
+      s""""pipeline_match":$pipeMatch,""" +
+      s""""pipeline_tiers_untouched":$pipeUntouched,""" +
+      s""""pipeline_vs_inmem":$pipeVsInMem,""" +
+      s""""pipeline_crashes":$pipeCrashes,""" +
       s""""state_provider":"$provider",""" +
       s""""sf":"$sfDir"}""")
     spark.stop()

@@ -2438,8 +2438,11 @@ object SparkEntry {
       // composition the brief's product actually ships, gated as one
       // query so a stage wired to the wrong survivor set (or a lost
       // cache forcing a re-scan) is a correctness diff, not a
-      // slowdown
-      graft.operators.Curation.fullPipeline(Tables.documents(s, dir))
+      // slowdown. Round 12: gated over the PRODUCTION tier path
+      // (fullPipelineStaged — parquet tiers, crash/resumable; fresh
+      // tier dir per invocation, resume itself is ReplayGate's axis)
+      graft.operators.Curation.fullPipelineStaged(Tables.documents(s, dir),
+          java.nio.file.Files.createTempDirectory("graft_tiers").toString)
         .orderBy(col("stage_id"))),
     "q_gopher_rules" -> ((s, dir) =>
       // the Gopher heuristic rule battery (Rae et al. 2021 A.1.1):

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.{CosineSimF, GraftShim, HyperplaneSig, Int8Dot, L2SqLong, MinHashBandHashes, MinHashSignature, PolyFingerprint64, QuantizeI8, ShingleHashes, SimHash64, TextProfile, TokenFnvHashes}
+import org.apache.spark.sql.graft.{CosineSimF, GraftShim, HyperplaneSig, Int8Dot, L2SqLong, MinHashBandHashes, MinHashSignature, PigeonholeSplit, PolyFingerprint64, QuantizeI8, ShingleHashes, SimHash64, TextProfile, TokenFnvHashes}
 
 /** User-facing Column wrappers for graft's native Catalyst
   * expressions (see org.apache.spark.sql.graft.GraftExpressions).
@@ -56,6 +56,17 @@ package object functions {
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
+
+  /** One pigeonhole re-bucketing step of the capped SimHash miner:
+    * deal the signature bits not yet fixed by `mask` round-robin in
+    * entropy `order` into `chunks` groups; array element c =
+    * struct(sub_val = projection onto group c, sub_mask = mask ∪
+    * group c's bits). See org.apache.spark.sql.graft.PigeonholeSplit.
+    */
+  def pigeonhole_split(sig: Column, mask: Column, chunks: Int,
+                       order: Seq[Int]): Column =
+    GraftShim.toColumn(PigeonholeSplit(GraftShim.toExpression(sig),
+      GraftShim.toExpression(mask), chunks, order))
 
   /** One-pass text profile struct (token/bpeish/punct/CJK/stopword
     * counts) — the codegen'd scan behind TextAnalysis (see

@@ -624,8 +624,12 @@ object Curation {
     * un-cut composed logical plan grows into the 10^5-node range and
     * the ANALYZER (not execution) runs for minutes. Cutting lineage
     * at tier boundaries is exactly what a production pipeline does
-    * between stages — it writes parquet intermediates; swap
-    * localCheckpoint for checkpointed tables there.
+    * between stages. This variant cuts with localCheckpoint — fast,
+    * in-memory, but NOT fault-tolerant on a cluster (an executor
+    * loss makes the truncated lineage unrecoverable and a driver
+    * loss restarts from nothing); [[fullPipelineStaged]] is the
+    * production shape — parquet tiers with crash/resume — and the
+    * oracle-gated path (q_pipeline_full).
     */
   def fullPipeline(docs: DataFrame, minTokens: Int = 40,
                    minQuality: Double = 0.5, trainFraction: Double = 0.8,
@@ -634,11 +638,119 @@ object Curation {
                    targetSource: String = "src0",
                    chunkSize: Int = 32, overlap: Int = 8,
                    seqLen: Int = 256, nBuckets: Int = 8, nShards: Int = 8,
-                   textCol: String = "text"): DataFrame = {
+                   textCol: String = "text"): DataFrame =
+    pipelineImpl(docs, minTokens, minQuality, trainFraction, nGram,
+      contThreshold, contMaxDf, contMaxDfPercent, targetSource, chunkSize,
+      overlap, seqLen, nBuckets, nShards, textCol,
+      cut = (_, compute) => compute().localCheckpoint(true),
+      headCut = compute => compute())
+
+  /** The production-tier form of [[fullPipeline]]: every tier
+    * boundary is a PARQUET table under `tierDir` (report_head, sv5,
+    * cp, sv6, sv7), written once and read back — so the composed
+    * funnel is RESTARTABLE: a tier whose `_SUCCESS` marker exists is
+    * read, never recomputed, and a run killed at any tier boundary
+    * resumes from the last complete tier (a partial, crashed write
+    * has no `_SUCCESS` and is overwritten). This is the property a
+    * multi-hour 100 TB funnel needs most — localCheckpoint blocks
+    * die with their executors; parquet tiers survive the driver.
+    * Crash/resume is gated end to end by graft.ReplayGate (kill
+    * after a tier lands → restart must leave completed tiers
+    * byte-untouched and converge bit-identically to an uninterrupted
+    * run) and by ReplaySpec in `sbt test`.
+    *
+    * `tierDir` identifies (input corpus, knob set): resuming with
+    * different knobs against existing tiers would silently mix
+    * funnels, so the knob fingerprint is written on first use and
+    * re-verified on every call. The input itself is not
+    * fingerprinted (100 TB hashes are not free) — reusing a tierDir
+    * across corpora is the caller's contract to keep.
+    *
+    * `onTierWritten` fires after each tier's write commits — the
+    * crash-injection seam the replay gate uses; production leaves it
+    * default.
+    */
+  def fullPipelineStaged(docs: DataFrame, tierDir: String,
+                         minTokens: Int = 40,
+                         minQuality: Double = 0.5, trainFraction: Double = 0.8,
+                         nGram: Int = 5, contThreshold: Double = 0.5,
+                         contMaxDf: Long = 1000L, contMaxDfPercent: Int = 1,
+                         targetSource: String = "src0",
+                         chunkSize: Int = 32, overlap: Int = 8,
+                         seqLen: Int = 256, nBuckets: Int = 8, nShards: Int = 8,
+                         textCol: String = "text",
+                         onTierWritten: String => Unit = _ => ()): DataFrame = {
+    val spark = docs.sparkSession
+    val fp = s"minTokens=$minTokens|minQuality=$minQuality|" +
+      s"trainFraction=$trainFraction|nGram=$nGram|" +
+      s"contThreshold=$contThreshold|contMaxDf=$contMaxDf|" +
+      s"contMaxDfPercent=$contMaxDfPercent|targetSource=$targetSource|" +
+      s"chunkSize=$chunkSize|overlap=$overlap|seqLen=$seqLen|" +
+      s"nBuckets=$nBuckets|nShards=$nShards|textCol=$textCol"
+    checkKnobs(spark, tierDir, fp)
+    pipelineImpl(docs, minTokens, minQuality, trainFraction, nGram,
+      contThreshold, contMaxDf, contMaxDfPercent, targetSource, chunkSize,
+      overlap, seqLen, nBuckets, nShards, textCol,
+      cut = (name, compute) =>
+        tier(spark, s"$tierDir/$name", compute, onTierWritten),
+      headCut = compute =>
+        tier(spark, s"$tierDir/report_head", compute, onTierWritten))
+  }
+
+  /** Write-once/read-back tier: compute and write the parquet only
+    * when `_SUCCESS` is absent (job-atomic v1 committer — a crashed
+    * partial write never carries the marker and is overwritten on
+    * resume), then return the READ of the table — every downstream
+    * stage's lineage starts at a fault-tolerant parquet scan.
+    */
+  private def tier(spark: org.apache.spark.sql.SparkSession, path: String,
+                   compute: () => DataFrame,
+                   onWritten: String => Unit): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) {
+      compute().write.mode("overwrite").parquet(path)
+      onWritten(path)
+    }
+    spark.read.parquet(path)
+  }
+
+  /** First use writes the knob fingerprint; every later use requires
+    * an exact match — resume with different knobs must fail loudly,
+    * not mix tiers from two different funnels.
+    */
+  private def checkKnobs(spark: org.apache.spark.sql.SparkSession,
+                         tierDir: String, fp: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(tierDir, "knobs.txt")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val prior = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      require(prior == fp,
+        s"tierDir $tierDir was built with different knobs:\n  $prior\nvs\n  $fp")
+    } else {
+      val out = fs.create(p, false)
+      try out.write(fp.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
+  private def pipelineImpl(docs: DataFrame, minTokens: Int,
+                           minQuality: Double, trainFraction: Double,
+                           nGram: Int, contThreshold: Double,
+                           contMaxDf: Long, contMaxDfPercent: Int,
+                           targetSource: String,
+                           chunkSize: Int, overlap: Int,
+                           seqLen: Int, nBuckets: Int, nShards: Int,
+                           textCol: String,
+                           cut: (String, () => DataFrame) => DataFrame,
+                           headCut: (() => DataFrame) => DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = docs.sparkSession
     import spark.implicits._
-    val staged = docs
+    // lazy: a fully-resumed staged run (every tier's _SUCCESS
+    // present) reads tiers only and never scans the corpus at all
+    lazy val staged = docs
       .withColumn("__p", TextAnalysis.profile(col(textCol)))
       .withColumn("__kept",
         col("__p.n_tokens") >= minTokens &&
@@ -657,47 +769,58 @@ object Curation {
     def grams(side: DataFrame): DataFrame =
       LshDedup.shingleHashes(side, "text", nGram)
         .select(col("doc_id"), explode(col("shingle_hashes")).as("gram"))
-    val uniq = staged.filter(col("__unique"))
-    val evalGrams = grams(uniq.filter(col("__cohort") === "eval"))
-      .select("gram").distinct()
-    val contaminated = grams(uniq.filter(col("__cohort") === "train"))
-      .join(evalGrams, "gram")
-      .select("doc_id").distinct()
-    val sv5 = uniq.filter(col("__cohort") === "train")
-      .join(contaminated, Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("source"), col("text"), col("n_tokens"))
-      .localCheckpoint(true)
-    // stage 6: capped containment prune — drop the contained side;
-    // mutual containment (a in b AND b in a) keeps min(doc_id)
-    val cp = LshDedup.containmentPairsCapped(sv5, contThreshold, nGram,
-        contMaxDf, contMaxDfPercent)
-      .select(col("doc_a"), col("doc_b"))
-      .localCheckpoint(true)
-    val cdrop = cp.as("p")
-      .join(cp.as("q"),
-        col("q.doc_a") === col("p.doc_b") && col("q.doc_b") === col("p.doc_a"),
-        "left")
-      .filter(col("q.doc_a").isNull || col("p.doc_a") > col("p.doc_b"))
-      .select(col("p.doc_a").as("doc_id")).distinct()
-    val sv6 = sv5.join(cdrop, Seq("doc_id"), "left_anti")
-      .localCheckpoint(true)
-    // stage 7: DSIR threshold resample (targets pass through; raw
-    // docs keep iff STRICTLY above the mean raw weight — w·n > Σw is
-    // the integer-exact form, no division, no global sort)
-    val keepIds = Ranks.withGlobalAgg(
-        dsirWeights(sv6, col("source") === targetSource, textCol = "text"),
-        Seq(sum(col("weight_micro")).as("__tot"), count(lit(1)).as("__n")))
-      .filter(col("weight_micro") * col("__n") > col("__tot"))
-      .select("doc_id")
-    val sv7 = sv6.filter(col("source") === targetSource)
-      .unionByName(sv6.filter(col("source") =!= targetSource)
-        .join(keepIds, Seq("doc_id"), "left_semi"))
-      .localCheckpoint(true)
+    lazy val uniq = staged.filter(col("__unique"))
     def stageRow(id: Int, name: String, side: DataFrame) =
       side.agg(count(lit(1)).as("n_docs"),
           coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"))
         .select(lit(id).as("stage_id"), lit(name).as("stage"),
           col("n_docs"), col("n_tokens"))
+    // stages 1-4 report over the shared staged scan — one tier in the
+    // staged variant (resume must not re-scan the corpus for counts)
+    val head = headCut(() =>
+      stageRow(1, "raw", staged)
+        .unionByName(stageRow(2, "quality", staged.filter(col("__kept"))))
+        .unionByName(stageRow(3, "unique", uniq))
+        .unionByName(stageRow(4, "train",
+          uniq.filter(col("__cohort") === "train"))))
+    val sv5 = cut("sv5", () => {
+      val evalGrams = grams(uniq.filter(col("__cohort") === "eval"))
+        .select("gram").distinct()
+      val contaminated = grams(uniq.filter(col("__cohort") === "train"))
+        .join(evalGrams, "gram")
+        .select("doc_id").distinct()
+      uniq.filter(col("__cohort") === "train")
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("source"), col("text"), col("n_tokens"))
+    })
+    // stage 6: capped containment prune — drop the contained side;
+    // mutual containment (a in b AND b in a) keeps min(doc_id)
+    val cp = cut("cp", () =>
+      LshDedup.containmentPairsCapped(sv5, contThreshold, nGram,
+          contMaxDf, contMaxDfPercent)
+        .select(col("doc_a"), col("doc_b")))
+    val sv6 = cut("sv6", () => {
+      val cdrop = cp.as("p")
+        .join(cp.as("q"),
+          col("q.doc_a") === col("p.doc_b") && col("q.doc_b") === col("p.doc_a"),
+          "left")
+        .filter(col("q.doc_a").isNull || col("p.doc_a") > col("p.doc_b"))
+        .select(col("p.doc_a").as("doc_id")).distinct()
+      sv5.join(cdrop, Seq("doc_id"), "left_anti")
+    })
+    // stage 7: DSIR threshold resample (targets pass through; raw
+    // docs keep iff STRICTLY above the mean raw weight — w·n > Σw is
+    // the integer-exact form, no division, no global sort)
+    val sv7 = cut("sv7", () => {
+      val keepIds = Ranks.withGlobalAgg(
+          dsirWeights(sv6, col("source") === targetSource, textCol = "text"),
+          Seq(sum(col("weight_micro")).as("__tot"), count(lit(1)).as("__n")))
+        .filter(col("weight_micro") * col("__n") > col("__tot"))
+        .select("doc_id")
+      sv6.filter(col("source") === targetSource)
+        .unionByName(sv6.filter(col("source") =!= targetSource)
+          .join(keepIds, Seq("doc_id"), "left_semi"))
+    })
     val mix = unimaxMix(sv7, textCol = "text")
       .agg(count(lit(1)).as("n_docs"),
         coalesce(sum(col("planned_tokens")), lit(0L)).as("n_tokens"))
@@ -714,11 +837,7 @@ object Curation {
         coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"))
       .select(lit(10).as("stage_id"), lit("pack").as("stage"),
         col("n_docs"), col("n_tokens"))
-    val report = stageRow(1, "raw", staged)
-      .unionByName(stageRow(2, "quality", staged.filter(col("__kept"))))
-      .unionByName(stageRow(3, "unique", uniq))
-      .unionByName(stageRow(4, "train",
-        uniq.filter(col("__cohort") === "train")))
+    val report = head
       .unionByName(stageRow(5, "clean", sv5))
       .unionByName(stageRow(6, "containment", sv6))
       .unionByName(stageRow(7, "dsir", sv7))

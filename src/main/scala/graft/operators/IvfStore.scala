@@ -58,11 +58,41 @@ object IvfStore {
     * presence probe ([[StoreOps.antiPresent]]; assignment against a
     * fixed centroid set is deterministic, and a duplicated vec_id
     * would surface the same vector twice in every top-k it reaches).
+    *
+    * Probe cost is TOUCHED-CELL-scaled, not store-scaled: the batch
+    * is assigned FIRST, and because assignment against the store's
+    * centroids is deterministic, an already-indexed vec_id can only
+    * live in exactly the cell this batch assigns it to — so the
+    * presence probe scans only the batch's cells, pruned at the
+    * parquet partition layout. (The round-11 shape probed the FULL
+    * index by vec_id against the cell_id partitioning — a per-batch
+    * cost that grew with store size for streaming ingest. A vec_id
+    * sidecar table was the alternative fix, rejected: a crash
+    * between index and sidecar appends desynchronizes them in
+    * whichever order they run — either replay loses the vector or
+    * duplicates it — while cell pruning needs no second artifact.)
+    * The touched-cell collect is bounded by nCells — centroid-,
+    * never batch- or store-scaled. Soundness assumes one centroid
+    * generation: [[write]] (rebuild) overwrites centroids and index
+    * together and must not interleave with appends.
     */
   def append(batch: DataFrame, path: String): Unit = {
     val spark = batch.sparkSession
-    val fresh = StoreOps.antiPresent(batch, index(spark, path), key = "vec_id")
-    Similarity.ivfAssign(fresh, centroids(spark, path))
+    val assigned = Similarity.ivfAssign(batch, centroids(spark, path))
+    val touched = assigned.select(col("cell_id")).distinct()
+      .collect().map(_.getLong(0))
+    val idx = index(spark, path)
+    // partition-column type inference reads cell_id back as the
+    // smallest fitting integral type; the IN literals must match it
+    // exactly or the planner casts the partition ATTRIBUTE and the
+    // pruning this probe exists for is lost
+    val cellLits: Array[Any] = idx.schema("cell_id").dataType match {
+      case org.apache.spark.sql.types.IntegerType =>
+        touched.map(v => Int.box(v.toInt))
+      case _ => touched.map(Long.box)
+    }
+    val pruned = idx.filter(col("cell_id").isin(cellLits: _*))
+    StoreOps.antiPresent(assigned, pruned, key = "vec_id")
       .write.mode(SaveMode.Append)
       .partitionBy("cell_id")
       .parquet(s"$path/index")

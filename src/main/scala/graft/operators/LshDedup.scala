@@ -164,12 +164,7 @@ object LshDedup {
     * quadratic-size bucket means exact-duplicate spam, which exact
     * dedup already catches at linear cost).
     */
-  def candidatePairs(buckets: DataFrame, maxBucket: Int): DataFrame = {
-    import org.apache.spark.sql.Column
-    def pairCombos(ids: Column): Column =
-      flatten(transform(ids, (x, i) =>
-        transform(slice(ids, i + 2, size(ids)),
-          y => struct(x.as("doc_a"), y.as("doc_b")))))
+  def candidatePairs(buckets: DataFrame, maxBucket: Int): DataFrame =
     buckets
       .groupBy(col("band"), col("band_hash"))
       // array_distinct guards against duplicated input band rows (a
@@ -178,10 +173,12 @@ object LshDedup {
       // size the skew cap sees
       .agg(array_distinct(sort_array(collect_list(col("doc_id")))).as("ids"))
       .filter(size(col("ids")).between(2, maxBucket))
-      .select(explode(pairCombos(col("ids"))).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
+      // chunked emission (heap ∝ bucket size, not its square — see
+      // chunkedPairs): lets observability probes run with the cap
+      // held wide open without materializing a bucket's pair array
+      .transform(chunkedPairs(_, "ids"))
+      .select(col("a").as("doc_a"), col("b").as("doc_b"))
       .distinct()
-  }
 
   /** Observability companion to candidatePairs: the buckets the
     * `maxBucket` skew guard will DROP, as (band, band_hash, n_docs).
@@ -993,130 +990,208 @@ object LshDedup {
       .withColumnsRenamed(Map("pos" -> "chunk", "col" -> "chunk_val"))
   }
 
-  private def combos(ids: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    flatten(transform(ids, (x, i) =>
-      transform(slice(ids, i + 2, size(ids)),
-        y => struct(x.as("a"), y.as("b")))))
+  /** Every (i < j) pair from each row's sorted `idsCol` array,
+    * emitted through posexplode + slice so the per-row working set
+    * scales with the array LENGTH, not its square. The previous
+    * columnar form (flatten of nested transforms) materialized the
+    * full n²/2 pair array as ONE value per bucket row — the round-11
+    * maxBucket=8000 recall sweep exhausted a 48 GB heap on exactly
+    * that. Here each exploded element re-slices the parent array, so
+    * at most one array copy per in-flight row exists and the pair
+    * stream never lives in memory whole: heap ∝ cap, work ∝ pairs.
+    */
+  private def chunkedPairs(buckets: DataFrame, idsCol: String): DataFrame =
+    buckets
+      .select(col(idsCol), posexplode(col(idsCol)))
+      .select(col("col").as("a"),
+        explode(slice(col(idsCol), col("pos") + lit(2),
+          size(col(idsCol)))).as("b"))
 
-  /** The kept (level-1 small + level-2 split) bucket member rows and
-    * the still-oversized level-2 bucket sizes behind
-    * [[simhashCandidatesCapped]] / [[simhashDropStats]].
+  /** The kept bucket member rows and the terminally-oversized bucket
+    * sizes behind [[simhashCandidatesCapped]] / [[simhashDropStats]]
+    * — pigeonhole recursion over the DISTINCT-signature universe.
     *
-    * Two-level pigeonhole: a bucket larger than the cap is NOT
-    * dropped outright — its members, which already agree on chunk c,
-    * are re-bucketed by a SECOND pigeonhole over the 64−|c| bits c
-    * does not cover (dealt into maxHamming+1 sub-chunks in the same
-    * entropy order). A pair within the hamming budget has ≤ h
-    * mismatches among those complement bits, so at least one of the
-    * h+1 sub-chunks agrees — recall through the split is EXACT, and
-    * sub-buckets split well precisely where the parent was
-    * degenerate (the parent collapsed because chunk c carried no
-    * entropy; the complement holds the bits that do). Only
-    * sub-buckets STILL larger than the cap are dropped — and a
-    * bucket that an entropy-ordered second pigeonhole cannot split
-    * is a near-identical-signature cluster (measured at sf1:
-    * post-split drops are signature-duplicate spam), which is what
-    * exact/content dedup removes at linear cost.
+    * Each level deals the bits not yet fixed by the bucket's path
+    * into maxHamming+1 groups in entropy order
+    * ([[graft.functions.pigeonhole_split]]); a bucket larger than the
+    * cap is re-bucketed by the next level's groups instead of being
+    * dropped. Recall through every split is EXACT: two signatures in
+    * the same bucket agree on all fixed bits, so a within-budget pair
+    * has ≤ h mismatches among the free bits and lands together in at
+    * least one sub-group (pigeonhole), whatever the depth. Depth 2 of
+    * this recursion IS round 10's complement split (the mask-based
+    * deal of the free bits reproduces dealBits(complement) exactly);
+    * deeper levels are what round 11 measured missing — the DEFAULT
+    * two-level cut dropped 42% of true pairs at 500k Zipf docs
+    * (RECALL_COHORT_r11), because hot buckets of distinct signatures
+    * still exceeded the cap after one split.
+    *
+    * Termination and progress (why recursion cannot multiply
+    * unboundedly): members here are DISTINCT signatures — the
+    * identical-signature cliques that defeat any split are collapsed
+    * BEFORE bucketing (see [[simhashCandidatesCapped]]) — so a bucket
+    * of n distinct signatures with f free bits needs 2^f ≥ n; an
+    * over-cap bucket therefore always has f > log₂(cap) free bits,
+    * every level keys ~f/(h+1) of them, and bucket sizes are forced
+    * under the cap within O(log₆/₇(64)) levels. A bucket whose free
+    * bits fall below h+1 cannot give every pigeonhole group a fresh
+    * bit — its empty groups would re-emit the bucket verbatim forever
+    * — so such buckets are terminal: dropped and REPORTED. They are
+    * unreachable at production caps (oversized ⇒ f > log₂(cap), so
+    * any cap ≥ 2^(h+1) keeps f ≥ h+1); only guard-sized unit caps can
+    * hit them. `maxDepth` is a second backstop of the same kind;
+    * with every split group taking ≥ 1 fresh bit, masks strictly grow
+    * and the natural exit lands well before it.
     *
     * Memory discipline: bucket sizes come from a constant-memory
-    * count aggregate joined back to member rows, so no task ever
-    * materializes an oversized bucket's member array — collect_list
-    * runs only on buckets already ≤ cap. Work bound: combos ≤
-    * buckets × cap²; the split explodes oversized members by
-    * (h+1)× once.
+    * count aggregate joined back to member rows; collect_list runs
+    * only on buckets already ≤ cap. Each level's member frame is
+    * persisted (the kept/oversized branches and the next level all
+    * read it) and released after the first action on the caller's
+    * result. The per-level `isEmpty` probe makes the loop eager —
+    * at scales where no bucket exceeds the cap the recursion costs
+    * one empty-check job and builds no extra plan.
     */
-  private def cappedMembers(docs: DataFrame, maxHamming: Int,
-                            maxBucket: Int, bitOrder: Option[Seq[Int]])
-      : (DataFrame, DataFrame) = {
+  private def cappedSigBuckets(sigs: DataFrame, maxHamming: Int,
+                               maxBucket: Int, order: Seq[Int], maxDepth: Int)
+      : (DataFrame, DataFrame, Seq[DataFrame]) = {
+    import graft.functions.pigeonhole_split
     val chunks = maxHamming + 1
-    val order = bitOrder.getOrElse(simhashBitOrder(docs))
-    val members = simhashBuckets(docs, maxHamming, Some(order))
-    val bkey = Seq("chunk", "chunk_val")
-    val sizes = members.groupBy(bkey.map(col): _*).agg(count(lit(1)).as("n"))
-    val tagged = members.join(sizes, bkey)
-    val lvl1 = tagged.filter(col("n").between(2, maxBucket))
-      .select(col("chunk"), col("chunk_val"),
-        lit(-1).as("sub"), lit(0L).as("sub_val"),
-        col("doc_id"), col("simhash"))
-    // complement sub-chunk values, parent-chunk-dependent
-    val chunkBits = dealBits(order, chunks)
-    val subValArr = (0 until chunks).map { c =>
-      val comp = order.filterNot(chunkBits(c).toSet)
-      (c, array(dealBits(comp, chunks)
-        .map(packBits(col("simhash"), _)): _*))
-    }.foldLeft(lit(null).cast("array<bigint>")) { case (acc, (c, arr)) =>
-      when(col("chunk") === lit(c), arr).otherwise(acc)
+    require(chunks <= 64, s"maxHamming=$maxHamming needs more chunks than bits")
+    require(maxDepth >= 1, s"maxDepth=$maxDepth must be >= 1")
+    def splitLevel(df: DataFrame, path: org.apache.spark.sql.Column,
+                   mask: org.apache.spark.sql.Column): DataFrame =
+      df.select(col("simhash"), path.as("parent_path"),
+          posexplode(pigeonhole_split(col("simhash"), mask, chunks, order)))
+        .select(
+          concat(col("parent_path"),
+            array(col("pos").cast("long"), col("col.sub_val"))).as("path"),
+          col("simhash"), col("col.sub_mask").as("fixed_mask"))
+    var members = splitLevel(sigs,
+      array().cast("array<bigint>"), lit(0L))
+    val keptParts = scala.collection.mutable.Buffer[DataFrame]()
+    val droppedParts = scala.collection.mutable.Buffer[DataFrame]()
+    val persisted = scala.collection.mutable.Buffer[DataFrame]()
+    var depth = 1
+    var done = false
+    while (!done) {
+      members.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      persisted += members
+      val sizes = members.groupBy("path").agg(count(lit(1)).as("n2"))
+      val tagged = members.join(sizes, Seq("path"))
+      keptParts += tagged.filter(col("n2").between(2, maxBucket))
+        .select(col("path"), col("simhash"))
+      val over = tagged.filter(col("n2") > maxBucket)
+      // a group split needs a fresh bit per pigeonhole group; below
+      // that the bucket is terminal (see scaladoc)
+      val freeBits = lit(64) - bit_count(col("fixed_mask"))
+      if (depth >= maxDepth) {
+        droppedParts += over.select(col("path"), col("n2")).distinct()
+        done = true
+      } else {
+        droppedParts += over.filter(freeBits < lit(chunks))
+          .select(col("path"), col("n2")).distinct()
+        val splittable = over.filter(freeBits >= lit(chunks))
+        if (splittable.isEmpty) done = true
+        else {
+          members = splitLevel(splittable, col("path"), col("fixed_mask"))
+          depth += 1
+        }
+      }
     }
-    val exploded = tagged.filter(col("n") > maxBucket)
-      .select(col("chunk"), col("chunk_val"), col("doc_id"), col("simhash"),
-        posexplode(subValArr))
-      .withColumnsRenamed(Map("pos" -> "sub", "col" -> "sub_val"))
-    val skey = Seq("chunk", "chunk_val", "sub", "sub_val")
-    val subSizes = exploded.groupBy(skey.map(col): _*)
-      .agg(count(lit(1)).as("n2"))
-    val lvl2 = exploded.join(subSizes, skey)
-      .filter(col("n2").between(2, maxBucket))
-      .select(col("chunk"), col("chunk_val"), col("sub"), col("sub_val"),
-        col("doc_id"), col("simhash"))
-    (lvl1.union(lvl2), subSizes.filter(col("n2") > maxBucket))
+    (keptParts.reduce(_.unionByName(_)),
+      droppedParts.reduce(_.unionByName(_)), persisted.toSeq)
   }
 
-  /** The skew-capped sibling of [[simhashCandidates]] — the maxBucket
-    * guard the MinHash path ships ([[candidatePairs]]), refined with
-    * a second-level pigeonhole: oversized buckets are split by the
-    * complement bits (exact recall through the split — see
-    * [[cappedMembers]]) and only sub-buckets STILL above the cap are
-    * dropped. Measured at sf1 (50k docs, cap 2000): the one-level
-    * drop lost 53% of true pairs (the hot buckets were DISTINCT
-    * signatures agreeing on a low-entropy chunk, not dup clusters —
-    * the round-7 claim this gate refuted); the split recovers them
-    * at bounded work, and what still drops is genuine
-    * identical-signature spam. Pairs are emitted columnar-side from
-    * each kept bucket's sorted member array — no bucket self-join —
-    * so worst-case combo work is buckets × maxBucket² under any
-    * corpus skew. Answer EQUALS [[simhashCandidates]] whenever no
-    * post-split bucket exceeds the cap; [[simhashDropStats]] is the
-    * observability gate that says whether that held.
+  /** The skew-capped sibling of [[simhashCandidates]], round 12:
+    * clique-collapse + deep pigeonhole recursion.
     *
-    * Production envelope, measured (round 11, 10k-word Zipf corpus,
-    * sampled-cohort ground truth — RECALL_COHORT_r11.json): the
-    * default cap is lossless at 50k docs (recall 0.9998) but drops
-    * 42% of true hamming≤6 pairs at 500k docs (recall 0.578), and
-    * the buy-back is quadratic — maxBucket=4000 recovers 0.911 at
-    * ~2.5× the cost, 8000 exhausts a 48 GB heap. Past ~100k docs of
-    * a natural-vocabulary corpus, prefer the MinHash band path for
-    * near-dup (banding needs no recall-bearing cap) or accept the
-    * drop with [[simhashDropStats]] watching it.
+    * 1. Docs are grouped by signature FIRST (one linear shuffle).
+    *    Identical-signature cliques — the buckets no bit split can
+    *    separate, and the round-11 measured source of the capped
+    *    default's 42% recall loss at 500k Zipf docs — never enter
+    *    bucketing at all: their hamming-0 pairs are emitted directly
+    *    from each clique's sorted id array, output-sized work with
+    *    heap ∝ clique size ([[chunkedPairs]]).
+    * 2. Candidate mining runs over the DISTINCT-signature universe
+    *    (strictly smaller, and head-heavy corpora shrink most), with
+    *    the pigeonhole recursion of [[cappedSigBuckets]]: oversized
+    *    buckets split level after level over their still-free bits —
+    *    exact recall through every split — and `maxBucket` now caps
+    *    distinct SIGNATURES per bucket, so mining work is bounded by
+    *    buckets × cap² signature pairs regardless of how many docs
+    *    share a signature.
+    * 3. Verified signature pairs (hamming 1..maxHamming, distinct)
+    *    expand back to doc pairs through the per-signature id arrays
+    *    — output-sized, every emitted row a true result.
+    *
+    * Answer EQUALS [[simhashCandidates]] whenever no terminal bucket
+    * exceeds the cap — [[simhashDropStats]] is the observability gate
+    * that says whether that held. Work: one signature groupBy + per
+    * level one count aggregate and a (h+1)-way explode of oversized
+    * members only + buckets × cap² candidate signature pairs +
+    * output-sized expansion. The round-11 envelope (default cap
+    * lossless at 50k docs, 0.578 recall at 500k, quadratic buy-back,
+    * 8000 OOM) was measured on the two-level doc-grain form this
+    * replaces; RecallBench's depth sweep re-measures this form at
+    * both scales (RECALL_COHORT_r12).
     */
   def simhashCandidatesCapped(docs: DataFrame, maxHamming: Int = 3,
                               maxBucket: Int = 2000,
-                              bitOrder: Option[Seq[Int]] = None): DataFrame =
-    cappedMembers(docs, maxHamming, maxBucket, bitOrder)._1
-      .groupBy(col("chunk"), col("chunk_val"), col("sub"), col("sub_val"))
-      .agg(array_distinct(sort_array(collect_list(
-        struct(col("doc_id"), col("simhash"))))).as("ids"))
-      .select(explode(combos(col("ids"))).as("p"))
-      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
-        hamming64(col("p.a.simhash"), col("p.b.simhash")).as("hamming"))
+                              bitOrder: Option[Seq[Int]] = None,
+                              maxDepth: Int = 24): DataFrame = {
+    val order = bitOrder.getOrElse(simhashBitOrder(docs))
+    val bySig = simhashes(docs).groupBy(col("simhash"))
+      .agg(array_distinct(sort_array(collect_list(col("doc_id")))).as("ids"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val clique = chunkedPairs(bySig.filter(size(col("ids")) >= 2), "ids")
+      .select(col("a").as("doc_a"), col("b").as("doc_b"),
+        lit(0).as("hamming"))
+    val (kept, _, persisted) = cappedSigBuckets(bySig.select(col("simhash")),
+      maxHamming, maxBucket, order, maxDepth)
+    val sigPairs = kept
+      .groupBy(col("path"))
+      .agg(sort_array(collect_list(col("simhash"))).as("sigs"))
+      .transform(chunkedPairs(_, "sigs"))
+      .select(col("a").as("sig_a"), col("b").as("sig_b"),
+        hamming64(col("a"), col("b")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+    val cross = sigPairs
+      .join(bySig.select(col("simhash").as("sig_a"), col("ids").as("ids_a")),
+        Seq("sig_a"))
+      .join(bySig.select(col("simhash").as("sig_b"), col("ids").as("ids_b")),
+        Seq("sig_b"))
+      .select(explode(col("ids_a")).as("x"), col("ids_b"), col("hamming"))
+      .select(col("x"), explode(col("ids_b")).as("y"), col("hamming"))
+      .select(least(col("x"), col("y")).as("doc_a"),
+        greatest(col("x"), col("y")).as("doc_b"), col("hamming"))
+    unpersistAfterFirstUse(clique.unionByName(cross), (bySig +: persisted): _*)
+  }
 
   /** One-row summary of what [[simhashCandidatesCapped]]'s skew cap
-    * drops AFTER the second-level split: (n_buckets_dropped,
-    * n_doc_slots_dropped) over the still-oversized sub-buckets — the
-    * simhash analogue of [[dropStats]]. Non-zero means the capped
-    * answer may under-report pairs, and the dropped docs are
-    * near-identical-signature clusters that belong in exact dedup.
-    * (Slots count doc·sub-bucket memberships, so one doc in k
-    * dropped sub-buckets contributes k — the same slot convention
-    * as the MinHash report.)
+    * drops at the recursion's depth backstop: (n_buckets_dropped,
+    * n_sig_slots_dropped) over the terminally-oversized buckets — the
+    * simhash analogue of [[dropStats]]. Slots count SIGNATURE·bucket
+    * memberships (the mining grain since the clique collapse; one
+    * signature in k dropped buckets contributes k). Non-zero means
+    * the capped answer may under-report CROSS-signature pairs —
+    * identical-signature cliques are emitted unconditionally and can
+    * no longer be dropped.
     */
   def simhashDropStats(docs: DataFrame, maxHamming: Int = 3,
                        maxBucket: Int = 2000,
-                       bitOrder: Option[Seq[Int]] = None): DataFrame =
-    cappedMembers(docs, maxHamming, maxBucket, bitOrder)._2
-      .agg(count(lit(1)).as("n_buckets_dropped"),
-        coalesce(sum(col("n2")), lit(0L)).as("n_doc_slots_dropped"))
+                       bitOrder: Option[Seq[Int]] = None,
+                       maxDepth: Int = 24): DataFrame = {
+    val order = bitOrder.getOrElse(simhashBitOrder(docs))
+    val sigs = simhashes(docs).select(col("simhash")).distinct()
+    val (_, dropped, persisted) = cappedSigBuckets(sigs, maxHamming,
+      maxBucket, order, maxDepth)
+    unpersistAfterFirstUse(
+      dropped.agg(count(lit(1)).as("n_buckets_dropped"),
+        coalesce(sum(col("n2")), lit(0L)).as("n_sig_slots_dropped")),
+      persisted: _*)
+  }
 
   /** The composed-pipeline recall gate for
     * [[simhashCandidatesCapped]] — the measured answer to "are the

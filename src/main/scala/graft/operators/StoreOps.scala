@@ -1,26 +1,41 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Shared maintenance plumbing for the persisted-artifact stores
   * (CandleStore, BandStore, IvfStore): the rewrite-and-swap step of
   * in-place compaction, and the materialized idempotence probe the
   * appending stores share.
   */
-private[operators] object StoreOps {
+private[graft] object StoreOps {
 
   /** `batch` minus the rows whose `key` already exists in `store` —
     * the retry-idempotence probe of the appending stores (BandStore,
     * DsirStore, PostingStore, IvfStore). The present set is
-    * MATERIALIZED on the driver before the caller opens its writer:
-    * the probe reads the same path the append will write, and a probe
-    * left lazy could be re-evaluated after the append's own files
-    * land (Spark's append-to-self lists files at planning time today,
-    * but a second action over the result would re-plan). The set is
-    * bounded by the batch's distinct keys — batch-scaled, never
-    * store-scaled — because the store scan is semi-join-pruned to
-    * batch keys first.
+    * MATERIALIZED before the caller opens its writer: the probe reads
+    * the same path the append will write, and a probe left lazy could
+    * be re-evaluated after the append's own files land (Spark's
+    * append-to-self lists files at planning time today, but a second
+    * action over the result would re-plan). Materialization is
+    * EXECUTOR-SIDE — `localCheckpoint(eager = true)` runs the probe
+    * now and stores its partitions as executor blocks, truncating the
+    * lineage back to the store scan — so the decoupling holds with no
+    * driver-heap bill: through round 11 this was a `.collect()` +
+    * re-parallelize, a known driver OOM at production micro-batches
+    * (10–100M keys). The set stays bounded by the batch's distinct
+    * keys — batch-scaled, never store-scaled — because the store scan
+    * is semi-join-pruned to batch keys first. Join strategies are
+    * left to AQE: both sides are batch-scaled, and AQE broadcasts
+    * from MEASURED sizes when they are small.
+    *
+    * localCheckpoint durability caveat: the materialized blocks are
+    * not fault-tolerant — losing an executor mid-append fails the
+    * batch's job rather than silently re-reading post-append state.
+    * That failure is SAFE here: the batch retries from the source,
+    * re-probes from scratch, and the probe-then-append idempotence
+    * (gated by graft.ReplayGate) makes the re-apply a no-op for rows
+    * that landed.
     *
     * SINGLE-WRITER contract: probe-then-append is idempotent under
     * RE-EXECUTION of one writer (task retry, foreachBatch replay —
@@ -34,15 +49,12 @@ private[operators] object StoreOps {
     */
   def antiPresent(batch: DataFrame, store: DataFrame,
                   key: String = "doc_id"): DataFrame = {
-    val spark = batch.sparkSession
     val ids = batch.select(col(key)).distinct()
-    val present: Array[Row] = store.select(col(key))
-      .join(broadcast(ids), Seq(key), "left_semi")
-      .distinct().collect()
-    val presentDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(present.toIndexedSeq, 1),
-      ids.schema)
-    batch.join(broadcast(presentDf), Seq(key), "left_anti")
+    val present = store.select(col(key))
+      .join(ids, Seq(key), "left_semi")
+      .distinct()
+      .localCheckpoint(true)
+    batch.join(present, Seq(key), "left_anti")
   }
 
   /** Promote a rewritten copy over the live store. Atomic-ish swap

@@ -327,6 +327,79 @@ object SimHash64 {
   }
 }
 
+/** One pigeonhole re-bucketing step of the capped SimHash miner
+  * (graft.operators.LshDedup.simhashCandidatesCapped): deal the
+  * signature bits NOT yet fixed by `mask` round-robin in the given
+  * entropy `order` into `chunks` disjoint groups, and emit one
+  * struct per group — sub_val = the signature's bit projection onto
+  * that group (bit j of sub_val = the j-th group bit in order),
+  * sub_mask = mask ∪ the group's bits. Pigeonhole guarantee: two
+  * signatures agreeing on every `mask` bit with ≤ chunks−1
+  * mismatches among the free bits agree on at least one emitted
+  * (group, sub_val) — mismatched bits touch at most chunks−1 of the
+  * `chunks` groups (groups left empty when free bits < chunks agree
+  * trivially, preserving the guarantee at deep recursion levels).
+  *
+  * A native expression rather than higher-order-function composition
+  * because the recursion's split level runs once per OVERSIZED
+  * bucket member — the skew hot path — and the HOF form
+  * (filter + per-chunk aggregate over a 64-element array) is ~500
+  * interpreted array ops per row.
+  */
+case class PigeonholeSplit(left: Expression, right: Expression,
+                           chunks: Int, order: Seq[Int])
+    extends BinaryExpression with ExpectsInputTypes {
+  require(chunks >= 1 && chunks <= 64, s"chunks=$chunks out of range")
+  require(order.sorted == (0 until 64), "order must be a permutation of 0..63")
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType, LongType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("sub_val", LongType, nullable = false),
+    StructField("sub_mask", LongType, nullable = false))),
+    containsNull = false)
+  private lazy val orderArr: Array[Int] = order.toArray
+  override def nullSafeEval(sig: Any, mask: Any): Any =
+    PigeonholeSplit.split(sig.asInstanceOf[Long], mask.asInstanceOf[Long],
+      chunks, orderArr)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val orderRef = ctx.addReferenceObj("phOrder", orderArr, "int[]")
+    nullSafeCodeGen(ctx, ev, (sig, mask) =>
+      s"""${ev.value} = org.apache.spark.sql.graft.PigeonholeSplit
+         |  .split($sig, $mask, $chunks, $orderRef);""".stripMargin)
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object PigeonholeSplit {
+  /** Shared by interpreted eval and generated code. */
+  def split(sig: Long, mask: Long, chunks: Int, order: Array[Int]): ArrayData = {
+    val vals = new Array[Long](chunks)
+    val masks = new Array[Long](chunks)
+    val cnt = new Array[Int](chunks)
+    var i = 0
+    var f = 0
+    while (i < 64) {
+      val b = order(i)
+      if (((mask >>> b) & 1L) == 0L) {
+        val c = f % chunks
+        vals(c) |= ((sig >>> b) & 1L) << cnt(c)
+        masks(c) |= 1L << b
+        cnt(c) += 1
+        f += 1
+      }
+      i += 1
+    }
+    val rows = new Array[Any](chunks)
+    var c = 0
+    while (c < chunks) {
+      rows(c) = org.apache.spark.sql.catalyst.InternalRow(vals(c), mask | masks(c))
+      c += 1
+    }
+    new GenericArrayData(rows)
+  }
+}
+
 /** Random-hyperplane LSH signature of a float-array embedding: bit j
   * = sign(dot(v, h_j)), hyperplane components ±1 derived from a
   * deterministic hash of (j, i) — no stored model, identical on any

@@ -29,6 +29,8 @@ class CodegenSpec extends SparkSpec {
     "ShingleHashesPos" -> ShingleHashes(longArr, 3, dedup = false),
     "MinHashBandHashes" -> MinHashBandHashes(longArr, 8, 4),
     "SimHash64" -> SimHash64(longArr),
+    "PigeonholeSplit" -> PigeonholeSplit(Literal.create(7L, LongType),
+      Literal.create(0L, LongType), 7, 0 until 64),
     "HyperplaneSig" -> HyperplaneSig(floatArr, 16),
     "CosineSimF" -> CosineSimF(floatArr, floatArr),
     "TextProfile" -> TextProfile(str),

@@ -156,21 +156,24 @@ class LshSpec extends SparkSpec {
       maxHamming = 6, maxBucket = 2000))
     assert(capped === exact)
     // degenerate spam corpus: 40 IDENTICAL docs, cap 10 — identical
-    // signatures defeat the second-level split (every complement
-    // sub-chunk value is identical too), so all 7 parent buckets ×
-    // 7 sub-chunks stay oversized, every pair is dropped, and the
-    // report says so. This is the exact case the cap is FOR: an
-    // un-splittable bucket is an identical-signature cluster, which
-    // exact content dedup removes at linear cost.
+    // signatures defeat ANY bit split (rounds 7-11 dropped these
+    // buckets, which round 11 measured as the default cap's 42%
+    // recall loss at 500k docs). The round-12 clique collapse emits
+    // their hamming-0 pairs directly — all 780, output-sized work —
+    // and bucketing (which now sees ONE distinct signature) never
+    // exceeds the cap: zero drops, exact answer.
     val spam = spark.createDataFrame(
       (1L to 40L).map(i => (i, "the same spam text repeated verbatim")))
       .toDF("doc_id", "text")
-    assert(LshDedup.simhashCandidatesCapped(spam, maxHamming = 6,
-      maxBucket = 10).count() === 0)
+    val spamPairs = LshDedup.simhashCandidatesCapped(spam, maxHamming = 6,
+      maxBucket = 10).collect()
+    assert(spamPairs.length === (40 * 39) / 2)
+    assert(spamPairs.forall(_.getAs[Int]("hamming") === 0))
+    assert(spamPairs.forall(r => r.getLong(0) < r.getLong(1)))
     val st = LshDedup.simhashDropStats(spam, maxHamming = 6, maxBucket = 10)
       .head()
-    assert(st.getAs[Long]("n_buckets_dropped") === 49L)
-    assert(st.getAs[Long]("n_doc_slots_dropped") === 1960L)
+    assert(st.getAs[Long]("n_buckets_dropped") === 0L)
+    assert(st.getAs[Long]("n_sig_slots_dropped") === 0L)
   }
 
   test("simhash two-level split: distinct-signature hot buckets are split, not dropped") {
@@ -190,32 +193,56 @@ class LshSpec extends SparkSpec {
       s"split recall ${capped.size}/${exact.size} must be >= 90%")
   }
 
-  test("simhashCappedRecallReport: exact dedup first recovers the pairs the raw cap drops") {
+  test("capped miner is exact on clique-heavy corpora; recall report composes") {
+    // through round 11 a 300-copy spam cluster blew every bucket it
+    // touched past the cap and lost its 44,850 pairs (plus real pairs
+    // sharing those buckets) — the measured 42% recall loss at 500k
+    // docs. The round-12 clique collapse makes the same corpus EXACT:
+    // identical signatures are one mining unit, their pairs emitted
+    // output-sized; the tiny cap binds on nothing
     val base = docs.limit(150).select($"doc_id", $"text")
     val spamText = "the same spam text repeated verbatim across the corpus"
     val spam = spark.range(10000, 10300)
       .select($"id".as("doc_id"), lit(spamText).as("text"))
     val corpus = base.union(spam)
     val cap = 50
-    // capped-alone on the RAW corpus: the 300-copy spam cluster blows
-    // every one of its chunk buckets past the cap, dropping its 44850
-    // pairs (plus any real pairs sharing those buckets)
     val exactRaw = LshDedup.simhashCandidates(corpus, maxHamming = 6).count()
     val cappedRaw = LshDedup.simhashCandidatesCapped(corpus,
       maxHamming = 6, maxBucket = cap).count()
-    assert(cappedRaw < exactRaw, "cap must bind on the raw spam corpus")
-    val rawRecallMicro =
-      math.floor(cappedRaw.toDouble / exactRaw * 1e6).toLong
-    // composed: exact dedup collapses the spam to one survivor, so
-    // the capped miner over survivors loses nothing the raw cap lost
+    assert(cappedRaw === exactRaw,
+      s"deep recursion + clique collapse must be exact here: $cappedRaw/$exactRaw")
+    // the composed recall report (exact content dedup first, the
+    // production order) stays coherent: capped ⊆ exact, recall 1.0
     val rep = LshDedup.simhashCappedRecallReport(corpus,
       maxHamming = 6, maxBucket = cap).head()
     assert(rep.getAs[Long]("n_docs") === 450L)
     assert(rep.getAs[Long]("n_survivors") <= 151L)
-    assert(rep.getAs[Long]("n_pairs_capped") <= rep.getAs[Long]("n_pairs_exact"))
-    assert(rep.getAs[Long]("recall_micro") >= rawRecallMicro,
-      s"composition recall ${rep.getAs[Long]("recall_micro")} must be >= " +
-        s"capped-alone recall $rawRecallMicro")
+    assert(rep.getAs[Long]("n_pairs_capped") === rep.getAs[Long]("n_pairs_exact"))
+    assert(rep.getAs[Long]("recall_micro") === 1000000L)
+  }
+
+  test("maxDepth backstop: terminally-oversized buckets drop, are reported, and never emit false pairs") {
+    val d = docs.limit(200)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val exact = key(LshDedup.simhashCandidates(d, maxHamming = 6))
+    // depth 1 = no recursion at all: level-1 buckets over the cap are
+    // dropped outright — the round-7 one-level guard, as a floor
+    val capped = key(LshDedup.simhashCandidatesCapped(d, maxHamming = 6,
+      maxBucket = 5, maxDepth = 1))
+    assert(capped.subsetOf(exact))
+    val st = LshDedup.simhashDropStats(d, maxHamming = 6, maxBucket = 5,
+      maxDepth = 1).head()
+    assert(st.getAs[Long]("n_buckets_dropped") > 0L,
+      "a 5-cap one-level guard must drop buckets on 200 docs")
+    assert(st.getAs[Long]("n_sig_slots_dropped") >
+      st.getAs[Long]("n_buckets_dropped"))
+    // unbounded depth with the same tiny cap recovers strictly more
+    val deep = key(LshDedup.simhashCandidatesCapped(d, maxHamming = 6,
+      maxBucket = 5))
+    assert(capped.subsetOf(deep) && deep.subsetOf(exact))
+    assert(deep.size > capped.size,
+      s"recursion must recover pairs: depth1=${capped.size} deep=${deep.size}")
   }
 
   test("simhashBitOrder: one stats scan per input shared across simhash calls; explicit order is lazy") {

@@ -88,4 +88,22 @@ class ReplaySpec extends SparkSpec {
         graft.operators.Candles.minuteCandles(txns),
         graft.model.CandleTimeFrame.Hour)))
   }
+
+  test("staged pipeline crashed at a tier boundary resumes without recompute, bit-identical") {
+    val work = Files.createTempDirectory("replay-pipe").toString
+    val (resumedMatch, tiersUntouched, vsInMem, crashes) =
+      ReplayGate.runPipelineResume(spark, sf, work)
+    assert(crashes === 1)
+    assert(resumedMatch, "resumed staged report != uninterrupted staged report")
+    assert(tiersUntouched, "resume rewrote tiers that were already complete")
+    assert(vsInMem, "staged report != in-memory (localCheckpoint) report")
+    // knob-fingerprint guard: resuming the same tierDir with
+    // different knobs must fail loudly, not mix funnels
+    val docs = Tables.documents(spark, sf)
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Curation.fullPipelineStaged(docs,
+        s"$work/tiers-crashed", minTokens = 41)
+    }
+    assert(e.getMessage.contains("different knobs"))
+  }
 }
