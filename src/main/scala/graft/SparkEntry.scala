@@ -2423,6 +2423,64 @@ object SparkEntry {
       // (source, lang) — one scan, one hash window, one rollup
       graft.operators.Curation.intakeReport(Tables.documents(s, dir))
         .orderBy(col("source"), col("lang"))),
+    "q_ingest_quarantine" -> ((s, dir) => {
+      // third-party-format ingest with the PERMISSIVE quarantine
+      // contract, end to end on REAL file drops built from the
+      // documents table: a zstd-compressed jsonl drop (via the
+      // ZstdJniCodec bridge — no native Hadoop zstd in this or many
+      // a stock deployment) where every doc_id % 50 == 0 line is
+      // garbage, and a gzip csv drop where every doc_id % 71 == 0
+      // row carries an unparseable numeric. Clean rows flow on; the
+      // quarantine captures the raw text of every bad line. The
+      // corruption rule is a pure function of doc_id, so DuckDB
+      // reproduces every aggregate from the parquet table alone —
+      // the oracle certifies the parse split, not just row counts.
+      import graft.sources.{Ingest, ZstdJniCodec}
+      import org.apache.spark.sql.types.{LongType, StringType, StructType}
+      ZstdJniCodec.register(s)
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("text"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+      docs.select(when(pmod(col("doc_id"), lit(50L)) === 0L,
+            concat(lit("{corrupt drop line for doc "),
+              col("doc_id").cast("string")))
+          .otherwise(to_json(struct(col("doc_id"), col("source"), col("text"))))
+          .as("value"))
+        .write.option("compression", classOf[ZstdJniCodec].getName)
+        .text(s"$tmp/jsonl")
+      docs.select(when(pmod(col("doc_id"), lit(71L)) === 0L,
+            concat(col("doc_id").cast("string"), lit(",notanumber")))
+          .otherwise(concat(col("doc_id").cast("string"), lit(","),
+            length(col("text")).cast("string")))
+          .as("value"))
+        .write.option("compression", "gzip")
+        .text(s"$tmp/csv")
+      val jsonSchema = new StructType()
+        .add("doc_id", LongType).add("source", StringType)
+        .add("text", StringType)
+      val jp = Ingest.jsonWithQuarantine(s, s"$tmp/jsonl", jsonSchema)
+      val csvSchema = new StructType()
+        .add("doc_id", LongType).add("n", LongType)
+      val cp = Ingest.csvWithQuarantine(s, s"$tmp/csv", csvSchema)
+      val res = Ingest.good(jp).agg(
+          count(lit(1)).as("n_json_good"),
+          sum(col("doc_id")).as("sum_json_good_ids"),
+          sum(length(col("text"))).as("sum_json_good_text_len"))
+        .crossJoin(Ingest.quarantined(jp).agg(
+          count(lit(1)).as("n_json_quarantined"),
+          sum(length(col("raw_record"))).as("sum_json_quarantined_len")))
+        .crossJoin(Ingest.good(cp).agg(
+          count(lit(1)).as("n_csv_good"),
+          sum(col("n")).as("sum_csv_good_n")))
+        .crossJoin(Ingest.quarantined(cp).agg(
+          count(lit(1)).as("n_csv_quarantined"),
+          sum(length(col("raw_record"))).as("sum_csv_quarantined_len")))
+      // jp/cp stay persisted until the session drops them: the
+      // quarantine split MUST read the materialized parse (Ingest
+      // scaladoc — a lazily re-parsed corrupt-column-only filter is
+      // rejected at analysis), and `res` here is still lazy
+      res
+    }),
     "q_pipeline_curate" -> ((s, dir) =>
       // the composed end-to-end funnel: quality gate -> exact dedup
       // -> train/eval split -> eval decontamination, per-source stage
@@ -4661,6 +4719,32 @@ object SparkEntry {
         |FROM r WHERE rk <= 40 ORDER BY source, rk""".stripMargin,
     // same quality/lang/sample/dedup rules as their standalone oracles,
     // composed into the intake funnel counts
+    // q_ingest_quarantine: the corruption rule is a pure function of
+    // doc_id (json: % 50, csv: % 71) and both bad-line shapes are
+    // deterministic strings, so the oracle reproduces every aggregate
+    // of the PERMISSIVE parse split from the parquet table alone —
+    // good-side ids/lengths AND quarantined raw-record lengths
+    "q_ingest_quarantine" ->
+      """SELECT * FROM
+        | (SELECT count(*) AS n_json_good,
+        |         sum(doc_id) AS sum_json_good_ids,
+        |         sum(length(text)) AS sum_json_good_text_len
+        |  FROM documents WHERE doc_id % 50 <> 0)
+        |CROSS JOIN
+        | (SELECT count(*) AS n_json_quarantined,
+        |         sum(length('{corrupt drop line for doc '
+        |                    || CAST(doc_id AS VARCHAR))) AS sum_json_quarantined_len
+        |  FROM documents WHERE doc_id % 50 = 0)
+        |CROSS JOIN
+        | (SELECT count(*) AS n_csv_good,
+        |         sum(length(text)) AS sum_csv_good_n
+        |  FROM documents WHERE doc_id % 71 <> 0)
+        |CROSS JOIN
+        | (SELECT count(*) AS n_csv_quarantined,
+        |         sum(length(CAST(doc_id AS VARCHAR)
+        |                    || ',notanumber')) AS sum_csv_quarantined_len
+        |  FROM documents WHERE doc_id % 71 = 0)
+        |""".stripMargin,
     "q_corpus_intake" ->
       """WITH t AS (
         |  SELECT doc_id, source, lang, text,
