@@ -3000,6 +3000,18 @@ object SparkEntry {
         .select(col("doc_id"), col("mime"), col("width"), col("height"),
           col("n_px"), col("mean_px"), col("min_px"), col("max_px"))
         .orderBy(col("doc_id"))),
+    "q_media_gif" -> ((s, dir) =>
+      // REAL LZW decode, pure JVM: packMediaGif synthesizes complete
+      // GIF89a streams (variable-width LSB-first LZW codes with
+      // width growth and clear-code resets, 256-entry palette,
+      // extension blocks) and decodeGifPixels unpacks them back to
+      // RGB samples — the diagonal-gradient pixel rule gives the
+      // oracle closed-form stats, so a hash match proves the LZW
+      // unpack + palette resolve, not echoed metadata
+      Media.decodeGifPixels(Media.packMediaGif(Tables.documents(s, dir)))
+        .select(col("doc_id"), col("mime"), col("width"), col("height"),
+          col("n_px"), col("mean_px"), col("min_px"), col("max_px"))
+        .orderBy(col("doc_id"))),
     "q_media_audio" -> ((s, dir) =>
       // REAL sample decode: packMediaPcm writes genuine 16-bit LE PCM
       // WAVs and decodePcmFeatures walks the RIFF chunks and decodes
@@ -5911,6 +5923,25 @@ object SparkEntry {
         |  base AS min_px,
         |  CAST(base + CASE rgb WHEN 0 THEN 0 ELSE 80 END + h - 1
         |    AS INTEGER) AS max_px
+        |FROM m ORDER BY doc_id""".stripMargin,
+    // GIF pixel index at (x, y) is base + x + y (base = doc_id%64,
+    // w,h ≤ 63 so no 8-bit wrap), palette grayscale — decoded RGB
+    // stats have closed forms: mean = base + (w−1)/2 + (h−1)/2,
+    // min = base, max = base + w + h − 2. The Spark side must unpack
+    // the variable-width LZW stream to reproduce them.
+    "q_media_gif" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(16 + (doc_id * 6007 + length(text)) % 48 AS INTEGER) AS w,
+        |    CAST(16 + (doc_id * 9973 + length(text)) % 48 AS INTEGER) AS h,
+        |    CAST(doc_id % 64 AS INTEGER) AS base
+        |  FROM documents
+        |)
+        |SELECT doc_id, 'image/gif' AS mime, w AS width, h AS height,
+        |  CAST(w * h AS INTEGER) AS n_px,
+        |  base + (w - 1) / 2.0 + (h - 1) / 2.0 AS mean_px,
+        |  base AS min_px,
+        |  CAST(base + w + h - 2 AS INTEGER) AS max_px
         |FROM m ORDER BY doc_id""".stripMargin,
     // samples are a·((i mod 200) − 100): per-200-cycle sums are
     // constants (Σ = −100, Σ² = 666700) and the partial ramp has

@@ -609,6 +609,326 @@ object Media {
   }
 
   // ---------------------------------------------------------------
+  // GIF pixel decode — the LZW sibling of the PNG path, closing the
+  // palette-format decode gap: real GIF89a streams (variable-width
+  // LSB-first LZW codes, clear-code resets, extension blocks, global
+  // color table) decoded back to RGB samples, pure JVM.
+  // ---------------------------------------------------------------
+
+  /** Encode an 8-bit-palette image as a COMPLETE valid GIF89a:
+    * logical screen descriptor, 256-entry grayscale global color
+    * table (index i → (i,i,i)), a comment extension (so decoders must
+    * walk extension blocks), image descriptor, REAL variable-width
+    * LZW image data in ≤255-byte sub-blocks, trailer. The LZW
+    * dictionary is capped at 3000 entries with an explicit clear-code
+    * reset, so every stream long enough exercises code-width growth
+    * (9→12 bits) AND the reset path while staying clear of the
+    * 12-bit-full boundary. Encoder/decoder code-width timing is the
+    * mirrored pair (enc bumps at next == 2^w + 1, dec at next == 2^w);
+    * MediaGifSpec referees both directions against the JDK's own GIF
+    * codec so they cannot be co-wrong.
+    */
+  private[graft] def encodeGif(w: Int, h: Int,
+                               sample: (Int, Int) => Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def le16w(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    le16w(w); le16w(h)
+    out.write(0xF7); out.write(0); out.write(0) // GCT, 256 entries
+    var c = 0
+    while (c < 256) { out.write(c); out.write(c); out.write(c); c += 1 }
+    out.write(0x21); out.write(0xFE) // comment extension
+    out.write(5); out.write("graft".getBytes("US-ASCII")); out.write(0)
+    out.write(0x2C); le16w(0); le16w(0); le16w(w); le16w(h); out.write(0)
+    val minCode = 8
+    val Clear = 1 << minCode
+    val Eoi = Clear + 1
+    out.write(minCode)
+    val data = new java.io.ByteArrayOutputStream()
+    var bits = 0L
+    var nbits = 0
+    var width = minCode + 1
+    def put(code: Int): Unit = {
+      bits |= code.toLong << nbits
+      nbits += width
+      while (nbits >= 8) { data.write((bits & 0xff).toInt); bits >>>= 8; nbits -= 8 }
+    }
+    val dict = new java.util.HashMap[Integer, Integer]()
+    var next = Eoi + 1
+    put(Clear)
+    var prefix = -1
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val px = sample(x, y) & 0xff
+        if (prefix < 0) prefix = px
+        else {
+          val hit = dict.get(prefix * 256 + px)
+          if (hit != null) prefix = hit
+          else {
+            put(prefix)
+            if (next >= 3000) {
+              put(Clear); dict.clear(); next = Eoi + 1; width = minCode + 1
+            } else {
+              dict.put(prefix * 256 + px, next)
+              next += 1
+              if (next == (1 << width) + 1 && width < 12) width += 1
+            }
+            prefix = px
+          }
+        }
+        x += 1
+      }
+      y += 1
+    }
+    if (prefix >= 0) put(prefix)
+    put(Eoi)
+    if (nbits > 0) data.write((bits & 0xff).toInt)
+    val z = data.toByteArray
+    var o = 0
+    while (o < z.length) {
+      val n = math.min(255, z.length - o)
+      out.write(n); out.write(z, o, n)
+      o += n
+    }
+    out.write(0); out.write(0x3B)
+    out.toByteArray
+  }
+
+  /** Synthesize fully-decodable GIFs from documents: pixel index at
+    * (x, y) is `(doc_id mod 64) + x + y` — always < 256 by
+    * construction (w, h ≤ 63), so the external oracle recomputes
+    * mean/min/max in closed form (mean = base + (w−1)/2 + (h−1)/2)
+    * while the engine must actually unpack the variable-width LZW
+    * codes to reproduce it. The diagonal gradient compresses
+    * non-trivially (runs along anti-diagonals), growing the
+    * dictionary through several code widths on every image.
+    */
+  def packMediaGif(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (d, text) =>
+        val len = text.codePointCount(0, text.length).toLong
+        val w = (16 + ((d * 6007 + len) % 48)).toInt
+        val h = (16 + ((d * 9973 + len) % 48)).toInt
+        val base = (d % 64).toInt
+        MediaBlob(d, encodeGif(w, h, (x, y) => base + x + y))
+      }
+      .toDF()
+  }
+
+  /** Full GIF decode: signature + logical screen descriptor + global
+    * color table, extension-block walk, image descriptor (local
+    * palette honored when present), variable-width LSB-first LZW with
+    * clear-code resets and the KwKwK case, 4-pass interlace row
+    * mapping, palette lookup to packed RGB samples. Returns (width,
+    * height, rgb samples of length w·h·3) or None for anything not a
+    * full-screen single-image GIF — truncated streams, out-of-range
+    * codes and short pixel data all reject rather than guessing.
+    */
+  private[graft] def decodeGif(p: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (p.length < 14) return None
+    val sig = new String(p, 0, 6, "US-ASCII")
+    if (sig != "GIF87a" && sig != "GIF89a") return None
+    val w = le16(p, 6)
+    val h = le16(p, 8)
+    if (w <= 0 || h <= 0) return None
+    val packed = p(10) & 0xff
+    var i = 13
+    var gct: Array[Byte] = null
+    if ((packed & 0x80) != 0) {
+      val n = 1 << ((packed & 7) + 1)
+      if (i + 3 * n > p.length) return None
+      gct = java.util.Arrays.copyOfRange(p, i, i + 3 * n)
+      i += 3 * n
+    }
+    while (i < p.length) {
+      (p(i) & 0xff) match {
+        case 0x21 => // extension: introducer, label, sub-blocks, 0
+          i += 2
+          while (i < p.length && p(i) != 0) i += 1 + (p(i) & 0xff)
+          if (i >= p.length) return None
+          i += 1
+        case 0x2C =>
+          if (i + 10 > p.length) return None
+          val left = le16(p, i + 1); val top = le16(p, i + 3)
+          val iw = le16(p, i + 5); val ih = le16(p, i + 7)
+          val ip = p(i + 9) & 0xff
+          val interlaced = (ip & 0x40) != 0
+          if (left != 0 || top != 0 || iw != w || ih != h) return None
+          i += 10
+          var pal = gct
+          if ((ip & 0x80) != 0) {
+            val n = 1 << ((ip & 7) + 1)
+            if (i + 3 * n > p.length) return None
+            pal = java.util.Arrays.copyOfRange(p, i, i + 3 * n)
+            i += 3 * n
+          }
+          if (pal == null || i >= p.length) return None
+          val minCode = p(i) & 0xff
+          if (minCode < 2 || minCode > 8) return None
+          i += 1
+          // gather the LZW sub-blocks
+          val z = new java.io.ByteArrayOutputStream()
+          while (i < p.length && p(i) != 0) {
+            val n = p(i) & 0xff
+            if (i + 1 + n > p.length) return None
+            z.write(p, i + 1, n)
+            i += 1 + n
+          }
+          if (i >= p.length) return None
+          val idx = lzwDecode(z.toByteArray, minCode, w * h)
+            .getOrElse(return None)
+          // interlaced streams carry rows in 4-pass order (8k, 8k+4,
+          // 4k+2, 2k+1 — GIF89a spec appendix E); map the j-th decoded
+          // row back to its screen row
+          val rowOf: Int => Int =
+            if (!interlaced) identity
+            else {
+              val order = new Array[Int](h)
+              var k = 0
+              Seq((0, 8), (4, 8), (2, 4), (1, 2)).foreach { case (s, step) =>
+                var r = s
+                while (r < h) { order(k) = r; k += 1; r += step }
+              }
+              order(_)
+            }
+          val out = new Array[Byte](w * h * 3)
+          var j = 0
+          while (j < idx.length) {
+            val pi = (idx(j) & 0xff) * 3
+            if (pi + 2 >= pal.length) return None
+            val o = (rowOf(j / w) * w + j % w) * 3
+            out(o) = pal(pi)
+            out(o + 1) = pal(pi + 1)
+            out(o + 2) = pal(pi + 2)
+            j += 1
+          }
+          return Some((w, h, out))
+        case 0x3B => return None // trailer before any image
+        case _ => return None
+      }
+    }
+    None
+  }
+
+  /** Variable-width LSB-first GIF LZW: returns exactly `nPixels`
+    * palette indices or None (bad code, truncated stream, output
+    * over/underflow). Handles clear-code resets mid-stream, the
+    * KwKwK (code == next slot) case, and a full table (stops adding,
+    * keeps reading — the deferred-clear behavior real encoders rely
+    * on).
+    */
+  private def lzwDecode(z: Array[Byte], minCode: Int,
+                        nPixels: Int): Option[Array[Byte]] = {
+    val Clear = 1 << minCode
+    val Eoi = Clear + 1
+    val prefixA = new Array[Int](4096)
+    val suffixA = new Array[Byte](4096)
+    val stack = new Array[Byte](4096)
+    val out = new Array[Byte](nPixels)
+    var got = 0
+    var width = minCode + 1
+    var next = Eoi + 1
+    var prev = -1
+    var bits = 0L
+    var nbits = 0
+    var zi = 0
+    def firstSym(code0: Int): Byte = {
+      var cd = code0
+      while (cd >= Clear + 2) cd = prefixA(cd)
+      cd.toByte
+    }
+    def emit(code0: Int): Boolean = { // expand code to out; false on overflow
+      var cd = code0
+      var sp = 0
+      while (cd >= Clear + 2) { stack(sp) = suffixA(cd); sp += 1; cd = prefixA(cd) }
+      if (got + sp + 1 > nPixels) return false
+      out(got) = cd.toByte; got += 1
+      while (sp > 0) { sp -= 1; out(got) = stack(sp); got += 1 }
+      true
+    }
+    while (true) {
+      while (nbits < width) {
+        if (zi >= z.length) return None // truncated before EOI
+        bits |= (z(zi) & 0xffL) << nbits
+        nbits += 8
+        zi += 1
+      }
+      val code = (bits & ((1L << width) - 1)).toInt
+      bits >>>= width
+      nbits -= width
+      if (code == Clear) {
+        next = Eoi + 1; width = minCode + 1; prev = -1
+      } else if (code == Eoi) {
+        return if (got == nPixels) Some(out) else None
+      } else if (prev < 0) {
+        if (code >= Clear) return None
+        if (!emit(code)) return None
+        prev = code
+      } else {
+        if (code > next || code == Clear + 1) return None
+        val k = if (code == next) firstSym(prev) else firstSym(code)
+        if (code == next) { // KwKwK: string(prev) + first(prev)
+          var cd = prev
+          var sp = 0
+          while (cd >= Clear + 2) { stack(sp) = suffixA(cd); sp += 1; cd = prefixA(cd) }
+          if (got + sp + 2 > nPixels) return None
+          out(got) = cd.toByte; got += 1
+          while (sp > 0) { sp -= 1; out(got) = stack(sp); got += 1 }
+          out(got) = k; got += 1
+        } else if (!emit(code)) return None
+        if (next < 4096) {
+          prefixA(next) = prev
+          suffixA(next) = k
+          next += 1
+          if (next == (1 << width) && width < 12) width += 1
+        }
+        prev = code
+      }
+    }
+    None // unreachable
+  }
+
+  /** Batched GIF pixel decode: LZW-unpack + palette-resolve in the
+    * scan stage, reduced to RGB sample statistics — payload bytes
+    * never shuffle. Non-GIF payloads degrade to
+    * application/octet-stream with zeroed stats (the never-fail
+    * ingest contract of [[decodeFeatures]]).
+    */
+  def decodeGifPixels(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[MediaBlob]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.map { r =>
+            decodeGif(r.payload) match {
+              case Some((w, h, samples)) =>
+                var sum = 0L; var mn = 255; var mx = 0
+                var i = 0
+                while (i < samples.length) {
+                  val v = samples(i) & 0xff
+                  sum += v
+                  if (v < mn) mn = v
+                  if (v > mx) mx = v
+                  i += 1
+                }
+                MediaPixels(r.doc_id, "image/gif", w, h, w * h,
+                  sum.toDouble / samples.length, mn, mx)
+              case None =>
+                MediaPixels(r.doc_id, "application/octet-stream", 0, 0,
+                  0, 0.0, 0, 0)
+            }
+          }
+        }
+      }
+      .toDF()
+  }
+
+  // ---------------------------------------------------------------
   // Sample-level PCM audio decode — the WAV analog of the pixel path:
   // real 16-bit little-endian signed PCM in a canonical RIFF layout,
   // decoded back to waveform statistics (DC offset, RMS, peak).
