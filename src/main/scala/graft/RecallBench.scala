@@ -200,8 +200,15 @@ object RecallBench {
     // full survivor set — its bucket sizes are what scale changes —
     // and its output, hamming-verified, restricted to cohort pairs
     // is ⊆ the cohort exact pairs.
+    // pre-round-12 the sweep went down to maxBucket=1 — meaningful
+    // when tiny caps DROPPED buckets (recall knob), degenerate now
+    // that recursion converts them into bounded-but-pointless split
+    // work (the WorkFactor guard stops them). 16 exercises that
+    // guard observably; 2000-8000 is the production recall/memory
+    // region (8000 OOM'd the pre-chunked emission — the round-12
+    // memory fix's measured point)
     val bucketSweep = knobList("SPARK_GRAFT_RECALL_BUCKETS",
-      Seq(1L, 2L, 4L, 16L, 2000L)).map(_.toInt)
+      Seq(16L, 2000L, 4000L, 8000L)).map(_.toInt)
     // recursion-depth sweep at the default cap: depth 1 = the
     // round-7 one-level guard, depth 2 = the round-10/11 complement
     // split (whose DEFAULT measured 0.578 recall at 500k Zipf docs —

@@ -1074,9 +1074,12 @@ object LshDedup {
     val persisted = scala.collection.mutable.Buffer[DataFrame]()
     var depth = 1
     var done = false
+    var level0Rows = 0L
     while (!done) {
       members.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       persisted += members
+      val levelRows = members.count()
+      if (depth == 1) level0Rows = levelRows
       val sizes = members.groupBy("path").agg(count(lit(1)).as("n2"))
       val tagged = members.join(sizes, Seq("path"))
       keptParts += tagged.filter(col("n2").between(2, maxBucket))
@@ -1085,7 +1088,20 @@ object LshDedup {
       // a group split needs a fresh bit per pigeonhole group; below
       // that the bucket is terminal (see scaladoc)
       val freeBits = lit(64) - bit_count(col("fixed_mask"))
-      if (depth >= maxDepth) {
+      // WORK-BUDGET backstop: recursion row volume is bounded at
+      // WorkFactor × the level-1 member count. A cap far below the
+      // corpus's natural bucket sizes (maxBucket=1 on 50k docs) makes
+      // near-agreeing signature groups co-travel into most of their
+      // sub-groups level after level — multiplicative row growth that
+      // dropping (the pre-round-12 behavior) hid and recursion would
+      // otherwise pay in full. When the NEXT level would exceed the
+      // budget, the remaining oversized buckets drop and REPORT, same
+      // contract as the depth backstop. Production caps sit far from
+      // natural bucket sizes only in the other (harmless) direction,
+      // so at sane knobs the budget never binds — it exists so no
+      // knob setting can turn the miner quadratic-or-worse silently.
+      if (depth >= maxDepth ||
+          levelRows * chunks > LshDedup.WorkFactor * level0Rows) {
         droppedParts += over.select(col("path"), col("n2")).distinct()
         done = true
       } else {
@@ -1102,6 +1118,11 @@ object LshDedup {
     (keptParts.reduce(_.unionByName(_)),
       droppedParts.reduce(_.unionByName(_)), persisted.toSeq)
   }
+
+  /** Recursion row-volume budget of [[cappedSigBuckets]], as a
+    * multiple of the level-1 member count (docs × (h+1) chunk rows).
+    */
+  private val WorkFactor = 32L
 
   /** The skew-capped sibling of [[simhashCandidates]], round 12:
     * clique-collapse + deep pigeonhole recursion.
