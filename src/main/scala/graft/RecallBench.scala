@@ -209,15 +209,17 @@ object RecallBench {
     // memory fix's measured point)
     val bucketSweep = knobList("SPARK_GRAFT_RECALL_BUCKETS",
       Seq(16L, 2000L, 4000L, 8000L)).map(_.toInt)
-    // recursion-depth sweep at the default cap: depth 1 = the
-    // round-7 one-level guard, depth 2 = the round-10/11 complement
-    // split (whose DEFAULT measured 0.578 recall at 500k Zipf docs —
-    // RECALL_COHORT_r11), depth 24 = the round-12 default (clique
-    // collapse + recursion to the natural exit). The depth points
-    // are what gates verdict-r11 #1: the DEFAULT path's recall at
-    // 500k docs
+    // recursion-depth sweep at the default cap, WITHOUT the dense-
+    // core enumerator (maxEnum=0): depth 1 = the round-7 one-level
+    // guard, depth 2 = the round-10/11 complement split (whose
+    // DEFAULT measured 0.578 recall at 500k Zipf docs —
+    // RECALL_COHORT_r11), deeper = the refuted pure-recursion path
+    // (measured: depth 24 == depth 2 at 500k — dense cores multiply
+    // instead of fragmenting). The DEFAULT point (depth 6 + the
+    // 20k-signature exact enumerator) is what gates verdict-r11 #1:
+    // the DEFAULT path's recall at 500k docs
     val depthSweep = knobList("SPARK_GRAFT_RECALL_DEPTHS",
-      Seq(1L, 2L, 24L)).map(_.toInt)
+      Seq(1L, 2L, 6L)).map(_.toInt)
     if (bucketSweep.isEmpty && depthSweep.isEmpty) { spark.stop(); return }
     val surv = graft.operators.Dedup.dropExactDuplicates(docs)
       .select(col("doc_id"), col("text"))
@@ -227,26 +229,29 @@ object RecallBench {
     lazy val exactSimhash = LshDedup.simhashCandidates(inCohort(surv, "doc_id"),
       maxHamming = 6, bitOrder).count()
     def simhashPoint(knob: String, value: Long, maxBucket: Int,
-                     maxDepth: Int): Unit = {
+                     maxDepth: Int, maxEnum: Int): Unit = {
       val t0 = System.nanoTime()
       val capped = restrictToCohort(LshDedup.simhashCandidatesCapped(surv,
         maxHamming = 6, maxBucket = maxBucket, bitOrder,
-        maxDepth = maxDepth)).count()
+        maxDepth = maxDepth, maxEnum = maxEnum)).count()
       emit("simhash", knob, value,
         Seq("n_docs" -> nDocs,
           "cohort_mod" -> cohortMod.getOrElse(1L),
           "n_survivors" -> nSurv,
           "max_bucket" -> maxBucket.toLong,
           "max_depth" -> maxDepth.toLong,
+          "max_enum" -> maxEnum.toLong,
           "n_pairs_exact" -> exactSimhash,
           "n_pairs_capped" -> capped,
           "recall_micro" -> recallMicro(capped, exactSimhash)),
         (System.nanoTime() - t0) / 1e9)
     }
     for (maxBucket <- bucketSweep)
-      simhashPoint("max_bucket", maxBucket.toLong, maxBucket, 24)
+      simhashPoint("max_bucket", maxBucket.toLong, maxBucket, 6, 20000)
     for (maxDepth <- depthSweep)
-      simhashPoint("depth", maxDepth.toLong, 2000, maxDepth)
+      simhashPoint("depth", maxDepth.toLong, 2000, maxDepth, 0)
+    // the DEFAULT path — every knob at its default
+    simhashPoint("default", 0L, 2000, 6, 20000)
     surv.unpersist()
     spark.stop()
   }

@@ -1026,22 +1026,30 @@ object LshDedup {
     * (RECALL_COHORT_r11), because hot buckets of distinct signatures
     * still exceeded the cap after one split.
     *
-    * Termination and progress (why recursion cannot multiply
-    * unboundedly): members here are DISTINCT signatures — the
+    * Termination: members here are DISTINCT signatures — the
     * identical-signature cliques that defeat any split are collapsed
-    * BEFORE bucketing (see [[simhashCandidatesCapped]]) — so a bucket
-    * of n distinct signatures with f free bits needs 2^f ≥ n; an
-    * over-cap bucket therefore always has f > log₂(cap) free bits,
-    * every level keys ~f/(h+1) of them, and bucket sizes are forced
-    * under the cap within O(log₆/₇(64)) levels. A bucket whose free
-    * bits fall below h+1 cannot give every pigeonhole group a fresh
-    * bit — its empty groups would re-emit the bucket verbatim forever
-    * — so such buckets are terminal: dropped and REPORTED. They are
-    * unreachable at production caps (oversized ⇒ f > log₂(cap), so
-    * any cap ≥ 2^(h+1) keeps f ≥ h+1); only guard-sized unit caps can
-    * hit them. `maxDepth` is a second backstop of the same kind;
-    * with every split group taking ≥ 1 fresh bit, masks strictly grow
-    * and the natural exit lands well before it.
+    * BEFORE bucketing (see [[simhashCandidatesCapped]]). A bucket
+    * stops splitting at the `maxDepth` level, at the work budget, or
+    * when its free bits fall below h+1 (empty pigeonhole groups
+    * would re-emit it verbatim; unreachable at caps ≥ 2^(h+1) since
+    * n distinct signatures force 2^free ≥ n). Terminal buckets are
+    * NOT simply dropped: up to `maxEnum` members they are handed to
+    * the exact in-bucket enumerator (recall stays exact at
+    * n²-bounded cost); only above that do they drop, reported.
+    *
+    * Why terminate-and-enumerate rather than recurse deeper (the
+    * round-11 verdict's option (a), REFUTED by measurement): each
+    * member of an oversized bucket re-enters up to h+1 sub-buckets
+    * per level, and a dense hamming-ball core — signatures pairwise
+    * within ~2h bits, the shape a Zipf-head vocabulary mass-produces
+    * — lands together in MOST of them: the core does not fragment,
+    * it multiplies ~4-5× per level (RECALL_COHORT_r12 ground work:
+    * at 500k docs, depth 24 under a 32× row budget emitted exactly
+    * the depth-2 pair set — every extra level fed the budget,
+    * recovered nothing). Dense cores are also precisely where
+    * enumeration is cheap relative to output: most in-core candidate
+    * pairs ARE true pairs, so the n² enumeration is output-dominated
+    * where it runs.
     *
     * Memory discipline: bucket sizes come from a constant-memory
     * count aggregate joined back to member rows; collect_list runs
@@ -1053,7 +1061,8 @@ object LshDedup {
     * one empty-check job and builds no extra plan.
     */
   private def cappedSigBuckets(sigs: DataFrame, maxHamming: Int,
-                               maxBucket: Int, order: Seq[Int], maxDepth: Int)
+                               maxBucket: Int, order: Seq[Int], maxDepth: Int,
+                               maxEnum: Int)
       : (DataFrame, DataFrame, Seq[DataFrame]) = {
     import graft.functions.pigeonhole_split
     val chunks = maxHamming + 1
@@ -1088,25 +1097,33 @@ object LshDedup {
       // a group split needs a fresh bit per pigeonhole group; below
       // that the bucket is terminal (see scaladoc)
       val freeBits = lit(64) - bit_count(col("fixed_mask"))
+      // TERMINAL handling — a bucket that will not be split further
+      // (depth/work-budget backstop, or no fresh bits) is EXACTLY
+      // ENUMERATED when its size is ≤ maxEnum (its member rows join
+      // the emission set; every in-bucket pair gets hamming-verified,
+      // so recall through termination is exact at n²/2-bounded,
+      // output-dominated cost — dense cores are where the true pairs
+      // concentrate) and dropped+REPORTED only above maxEnum.
+      //
       // WORK-BUDGET backstop: recursion row volume is bounded at
-      // WorkFactor × the level-1 member count. A cap far below the
-      // corpus's natural bucket sizes (maxBucket=1 on 50k docs) makes
-      // near-agreeing signature groups co-travel into most of their
-      // sub-groups level after level — multiplicative row growth that
-      // dropping (the pre-round-12 behavior) hid and recursion would
-      // otherwise pay in full. When the NEXT level would exceed the
-      // budget, the remaining oversized buckets drop and REPORT, same
-      // contract as the depth backstop. Production caps sit far from
-      // natural bucket sizes only in the other (harmless) direction,
-      // so at sane knobs the budget never binds — it exists so no
-      // knob setting can turn the miner quadratic-or-worse silently.
+      // WorkFactor × the level-1 member count. OR-amplified
+      // pigeonhole replicates a dense hamming-ball core into most of
+      // its h+1 sub-groups EVERY level (measured at 500k zipf docs:
+      // depth 24 with a 32× budget equals depth 2 — the core never
+      // fragments, it multiplies), so deep recursion must hand dense
+      // cores to the enumerator rather than chase them.
+      def terminal(df: DataFrame): Unit = {
+        keptParts += df.filter(col("n2") <= maxEnum)
+          .select(col("path"), col("simhash"))
+        droppedParts += df.filter(col("n2") > maxEnum)
+          .select(col("path"), col("n2")).distinct()
+      }
       if (depth >= maxDepth ||
           levelRows * chunks > LshDedup.WorkFactor * level0Rows) {
-        droppedParts += over.select(col("path"), col("n2")).distinct()
+        terminal(over)
         done = true
       } else {
-        droppedParts += over.filter(freeBits < lit(chunks))
-          .select(col("path"), col("n2")).distinct()
+        terminal(over.filter(freeBits < lit(chunks)))
         val splittable = over.filter(freeBits >= lit(chunks))
         if (splittable.isEmpty) done = true
         else {
@@ -1122,14 +1139,15 @@ object LshDedup {
   /** Recursion row-volume budget of [[cappedSigBuckets]], as a
     * multiple of the level-1 member count (docs × (h+1) chunk rows).
     */
-  private val WorkFactor = 32L
+  private val WorkFactor = 64L
 
-  /** The skew-capped sibling of [[simhashCandidates]], round 12:
-    * clique-collapse + deep pigeonhole recursion.
+  /** The skew-capped sibling of [[simhashCandidates]], round 12: a
+    * three-tier miner — clique collapse, pigeonhole recursion for
+    * the sparse mass, exact enumeration for dense cores.
     *
     * 1. Docs are grouped by signature FIRST (one linear shuffle).
     *    Identical-signature cliques — the buckets no bit split can
-    *    separate, and the round-11 measured source of the capped
+    *    separate, one of the two measured sources of the round-11
     *    default's 42% recall loss at 500k Zipf docs — never enter
     *    bucketing at all: their hamming-0 pairs are emitted directly
     *    from each clique's sorted id array, output-sized work with
@@ -1137,30 +1155,41 @@ object LshDedup {
     * 2. Candidate mining runs over the DISTINCT-signature universe
     *    (strictly smaller, and head-heavy corpora shrink most), with
     *    the pigeonhole recursion of [[cappedSigBuckets]]: oversized
-    *    buckets split level after level over their still-free bits —
-    *    exact recall through every split — and `maxBucket` now caps
-    *    distinct SIGNATURES per bucket, so mining work is bounded by
-    *    buckets × cap² signature pairs regardless of how many docs
-    *    share a signature.
-    * 3. Verified signature pairs (hamming 1..maxHamming, distinct)
-    *    expand back to doc pairs through the per-signature id arrays
-    *    — output-sized, every emitted row a true result.
+    *    buckets split over their still-free bits — exact recall
+    *    through every split — and `maxBucket` caps distinct
+    *    SIGNATURES per bucket, so bucket-pair work is bounded by
+    *    buckets × cap² regardless of how many docs share a
+    *    signature.
+    * 3. DENSE CORES — signature groups pairwise within the hamming
+    *    ball, the other measured loss source, which OR-amplified
+    *    recursion multiplies instead of fragmenting (see
+    *    [[cappedSigBuckets]]) — terminate and are ENUMERATED exactly
+    *    up to `maxEnum` signatures per bucket: n²-bounded candidate
+    *    work that is output-dominated precisely there, because
+    *    in-core candidates are mostly true pairs. Only terminal
+    *    buckets past `maxEnum` drop, reported by
+    *    [[simhashDropStats]].
     *
-    * Answer EQUALS [[simhashCandidates]] whenever no terminal bucket
-    * exceeds the cap — [[simhashDropStats]] is the observability gate
-    * that says whether that held. Work: one signature groupBy + per
-    * level one count aggregate and a (h+1)-way explode of oversized
-    * members only + buckets × cap² candidate signature pairs +
-    * output-sized expansion. The round-11 envelope (default cap
-    * lossless at 50k docs, 0.578 recall at 500k, quadratic buy-back,
-    * 8000 OOM) was measured on the two-level doc-grain form this
-    * replaces; RecallBench's depth sweep re-measures this form at
-    * both scales (RECALL_COHORT_r12).
+    * Verified signature pairs (hamming ≤ maxHamming, distinct)
+    * expand back to doc pairs through the per-signature id arrays —
+    * output-sized, every emitted row a true result. Answer EQUALS
+    * [[simhashCandidates]] whenever nothing dropped —
+    * [[simhashDropStats]] says whether that held. Work: one
+    * signature groupBy + per level one count aggregate and a
+    * (h+1)-way explode of oversized members only (row volume
+    * budgeted at WorkFactor × level-1 rows) + buckets × cap² +
+    * Σ n_i² over terminal cores (n_i ≤ maxEnum) + output-sized
+    * expansion. The round-11 envelope (default lossless at 50k,
+    * 0.578 at 500k, quadratic buy-back, 8000-cap OOM) was measured
+    * on the two-level doc-grain form this replaces; RecallBench's
+    * depth sweep re-measures this form at both scales
+    * (RECALL_COHORT_r12).
     */
   def simhashCandidatesCapped(docs: DataFrame, maxHamming: Int = 3,
                               maxBucket: Int = 2000,
                               bitOrder: Option[Seq[Int]] = None,
-                              maxDepth: Int = 24): DataFrame = {
+                              maxDepth: Int = 6,
+                              maxEnum: Int = 20000): DataFrame = {
     val order = bitOrder.getOrElse(simhashBitOrder(docs))
     val bySig = simhashes(docs).groupBy(col("simhash"))
       .agg(array_distinct(sort_array(collect_list(col("doc_id")))).as("ids"))
@@ -1169,7 +1198,7 @@ object LshDedup {
       .select(col("a").as("doc_a"), col("b").as("doc_b"),
         lit(0).as("hamming"))
     val (kept, _, persisted) = cappedSigBuckets(bySig.select(col("simhash")),
-      maxHamming, maxBucket, order, maxDepth)
+      maxHamming, maxBucket, order, maxDepth, maxEnum)
     val sigPairs = kept
       .groupBy(col("path"))
       .agg(sort_array(collect_list(col("simhash"))).as("sigs"))
@@ -1190,24 +1219,26 @@ object LshDedup {
     unpersistAfterFirstUse(clique.unionByName(cross), (bySig +: persisted): _*)
   }
 
-  /** One-row summary of what [[simhashCandidatesCapped]]'s skew cap
-    * drops at the recursion's depth backstop: (n_buckets_dropped,
-    * n_sig_slots_dropped) over the terminally-oversized buckets — the
-    * simhash analogue of [[dropStats]]. Slots count SIGNATURE·bucket
-    * memberships (the mining grain since the clique collapse; one
-    * signature in k dropped buckets contributes k). Non-zero means
-    * the capped answer may under-report CROSS-signature pairs —
-    * identical-signature cliques are emitted unconditionally and can
-    * no longer be dropped.
+  /** One-row summary of what [[simhashCandidatesCapped]] drops:
+    * (n_buckets_dropped, n_sig_slots_dropped) over terminal buckets
+    * LARGER than `maxEnum` — the only remaining loss source (cliques
+    * emit unconditionally; terminal cores ≤ maxEnum enumerate
+    * exactly) — the simhash analogue of [[dropStats]]. Slots count
+    * SIGNATURE·bucket memberships (the mining grain since the clique
+    * collapse). Non-zero means a dense region bigger than maxEnum
+    * met the depth/budget backstop: raise maxEnum (n² within that
+    * bucket), raise the budget, or accept and route the region to
+    * exact dedup.
     */
   def simhashDropStats(docs: DataFrame, maxHamming: Int = 3,
                        maxBucket: Int = 2000,
                        bitOrder: Option[Seq[Int]] = None,
-                       maxDepth: Int = 24): DataFrame = {
+                       maxDepth: Int = 6,
+                       maxEnum: Int = 20000): DataFrame = {
     val order = bitOrder.getOrElse(simhashBitOrder(docs))
     val sigs = simhashes(docs).select(col("simhash")).distinct()
     val (_, dropped, persisted) = cappedSigBuckets(sigs, maxHamming,
-      maxBucket, order, maxDepth)
+      maxBucket, order, maxDepth, maxEnum)
     unpersistAfterFirstUse(
       dropped.agg(count(lit(1)).as("n_buckets_dropped"),
         coalesce(sum(col("n2")), lit(0L)).as("n_sig_slots_dropped")),

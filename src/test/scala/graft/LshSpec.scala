@@ -221,28 +221,38 @@ class LshSpec extends SparkSpec {
     assert(rep.getAs[Long]("recall_micro") === 1000000L)
   }
 
-  test("maxDepth backstop: terminally-oversized buckets drop, are reported, and never emit false pairs") {
+  test("terminal handling: enumeration makes tiny caps exact; maxEnum=0 drops and reports") {
     val d = docs.limit(200)
     def key(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     val exact = key(LshDedup.simhashCandidates(d, maxHamming = 6))
-    // depth 1 = no recursion at all: level-1 buckets over the cap are
-    // dropped outright — the round-7 one-level guard, as a floor
-    val capped = key(LshDedup.simhashCandidatesCapped(d, maxHamming = 6,
-      maxBucket = 5, maxDepth = 1))
-    assert(capped.subsetOf(exact))
+    // depth 1, maxEnum 0 = the round-7 one-level DROP guard: buckets
+    // over the cap vanish, reported — the recall floor
+    val dropped = key(LshDedup.simhashCandidatesCapped(d, maxHamming = 6,
+      maxBucket = 5, maxDepth = 1, maxEnum = 0))
+    assert(dropped.subsetOf(exact))
     val st = LshDedup.simhashDropStats(d, maxHamming = 6, maxBucket = 5,
-      maxDepth = 1).head()
+      maxDepth = 1, maxEnum = 0).head()
     assert(st.getAs[Long]("n_buckets_dropped") > 0L,
       "a 5-cap one-level guard must drop buckets on 200 docs")
     assert(st.getAs[Long]("n_sig_slots_dropped") >
       st.getAs[Long]("n_buckets_dropped"))
-    // unbounded depth with the same tiny cap recovers strictly more
+    // depth 1 with the default enumerator: terminal buckets ≤ maxEnum
+    // are exactly enumerated instead — the answer is EXACT even at a
+    // pathological cap, and nothing is dropped
+    val enumerated = key(LshDedup.simhashCandidatesCapped(d, maxHamming = 6,
+      maxBucket = 5, maxDepth = 1))
+    assert(enumerated === exact,
+      s"enumeration must make depth-1 cap-5 exact: ${enumerated.size}/${exact.size}")
+    val st2 = LshDedup.simhashDropStats(d, maxHamming = 6, maxBucket = 5,
+      maxDepth = 1).head()
+    assert(st2.getAs[Long]("n_buckets_dropped") === 0L)
+    // recursion between the floor and the enumerator recovers pairs
     val deep = key(LshDedup.simhashCandidatesCapped(d, maxHamming = 6,
-      maxBucket = 5))
-    assert(capped.subsetOf(deep) && deep.subsetOf(exact))
-    assert(deep.size > capped.size,
-      s"recursion must recover pairs: depth1=${capped.size} deep=${deep.size}")
+      maxBucket = 5, maxEnum = 0))
+    assert(dropped.subsetOf(deep) && deep.subsetOf(exact))
+    assert(deep.size > dropped.size,
+      s"recursion must recover pairs: depth1=${dropped.size} deep=${deep.size}")
   }
 
   test("simhashBitOrder: one stats scan per input shared across simhash calls; explicit order is lazy") {
