@@ -100,17 +100,43 @@ object Chaos {
       val tc = TaskContext.get()
       if (tc != null && tc.attemptNumber() == 0 &&
           tc.stageAttemptNumber() == 0 &&
-          poisonedStages.add(tc.stageId())) {
+          !poisonedStages.contains(tc.stageId())) {
         val parents = org.apache.spark.scheduler.GraftChaosAccess
           .parentShuffleIds(tc.stageId())
-        val msg = s"graft chaos: injected fetch failure " +
-          s"(stage ${tc.stageId()}, partition ${tc.partitionId()}, " +
-          s"shuffles $parents)"
         if (parents.nonEmpty) {
+          // driver JVM (local master): the scheduler's own view
+          if (poisonedStages.add(tc.stageId())) {
+            val msg = s"graft chaos: injected fetch failure " +
+              s"(stage ${tc.stageId()}, partition ${tc.partitionId()}, " +
+              s"shuffles $parents)"
+            fetchFailuresThrown.incrementAndGet()
+            org.apache.spark.graft.ChaosShim
+              .throwFetchFailed(parents.max, tc.partitionId(), msg)
+          }
+        } else if (poisonedStages.add(tc.stageId())) {
+          // executor JVM (local-cluster / real cluster): no scheduler
+          // here, and no race-free executor-side source of a
+          // resolvable shuffle id exists (the worker tracker's status
+          // cache fills during reader CONSTRUCTION, before this code
+          // runs, and mixes ids whose scheduler registrations may be
+          // cleaned — naming one kills the event loop, round 11's
+          // crash). Inject the loss FOR REAL instead: delete this
+          // executor's shuffle data/index files and throw the marked
+          // task failure. Sibling tasks (and this task's retry) hit
+          // the genuinely missing blocks, the real read path raises
+          // FetchFailedException with the true coordinates, the
+          // DAGScheduler unregisters this executor's map outputs and
+          // RESUBMITS the map stage, which regenerates the files —
+          // the full production recovery cascade, no constructed
+          // exception. (Files of earlier shuffles die too; any later
+          // AQE reuse of them recovers through the same path.)
+          val n = org.apache.spark.graft.ChaosShim.deleteLocalShuffleData()
           fetchFailuresThrown.incrementAndGet()
-          org.apache.spark.graft.ChaosShim
-            .throwFetchFailed(parents.max, tc.partitionId(), msg)
-        } else throw new RuntimeException(msg)
+          throw new RuntimeException(
+            s"graft chaos: injected shuffle-data loss " +
+              s"(stage ${tc.stageId()}, partition ${tc.partitionId()}, " +
+              s"$n local shuffle files deleted)")
+        }
       }
       it
     }(Encoders.row(df.schema))

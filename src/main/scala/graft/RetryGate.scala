@@ -143,6 +143,7 @@ object RetryGate {
     val otherKills = new AtomicLong
     val resubmittedStages = new AtomicLong
     val speculatableMarked = new AtomicLong
+    val injectedFetchFails = new AtomicLong
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onSpeculativeTaskSubmitted(
           e: SparkListenerSpeculativeTaskSubmitted): Unit =
@@ -172,6 +173,20 @@ object RetryGate {
           if (k.reason.contains("another attempt succeeded"))
             speculationKills.incrementAndGet()
           else otherKills.incrementAndGet()
+        case f: org.apache.spark.FetchFailed =>
+          // the driver-visible proof a REAL FetchFailed reached the
+          // scheduler — the evidence that works when the injection
+          // happens in an executor JVM (Chaos.fetchFailuresThrown is
+          // a per-JVM counter the driver cannot read under
+          // local-cluster). Marked = the driver-path constructed
+          // exception; unmarked = the genuine read-path failures
+          // sibling tasks hit after injected shuffle-data loss — a
+          // downstream effect of injection, not an environmental
+          // error, so it never lands in other_task_failures (the
+          // misattribution guard).
+          injectedFetchFails.incrementAndGet()
+          if (f.toErrorString.contains("graft chaos"))
+            injectedFailures.incrementAndGet()
         case r: org.apache.spark.TaskFailedReason =>
           if (r.toErrorString.contains("graft chaos"))
             injectedFailures.incrementAndGet()
@@ -264,6 +279,7 @@ object RetryGate {
       s""""injected_task_failures":${injectedFailures.get()},""" +
       s""""other_task_failures":${otherFailures.get()},""" +
       s""""fetch_failures_thrown":${fetchThrownTotal.get()},""" +
+      s""""fetch_failed_task_ends":${injectedFetchFails.get()},""" +
       s""""resubmitted_stages":${resubmittedStages.get()},""" +
       s""""speculatable_marked":${speculatableMarked.get()},""" +
       s""""speculative_tasks":${speculativeTasks.get()},""" +

@@ -28,4 +28,27 @@ object ChaosShim {
     throw new FetchFailedException(
       SparkEnv.get.blockManager.blockManagerId,
       shuffleId, 0L, 0, reduceId, msg)
+
+  /** Delete every shuffle data/index file this JVM's disk block
+    * manager holds — the executor-JVM injection path: constructing a
+    * FetchFailedException needs a shuffle id the driver's scheduler
+    * can resolve, and no executor-side source of one is
+    * race-free (the worker tracker's status cache fills during
+    * reader CONSTRUCTION, before task code runs, and mixes ids from
+    * completed jobs whose scheduler registrations may be cleaned —
+    * naming one kills the DAGScheduler event loop). Deleting the
+    * files sidesteps id-picking entirely: sibling tasks hit the
+    * genuinely missing blocks and the REAL read path raises the
+    * FetchFailedException — local-block open failures are fetch
+    * failures — with the true (shuffle, map, reduce) coordinates,
+    * and the DAGScheduler unregisters the executor's outputs and
+    * resubmits the map stage, which regenerates the files. Returns
+    * the number of files deleted.
+    */
+  def deleteLocalShuffleData(): Int =
+    SparkEnv.get.blockManager.diskBlockManager.getAllFiles().count { f =>
+      val n = f.getName
+      n.startsWith("shuffle_") &&
+        (n.endsWith(".data") || n.endsWith(".index")) && f.delete()
+    }
 }
