@@ -2423,7 +2423,7 @@ object SparkEntry {
       // (source, lang) — one scan, one hash window, one rollup
       graft.operators.Curation.intakeReport(Tables.documents(s, dir))
         .orderBy(col("source"), col("lang"))),
-    "q_ingest_quarantine" -> ((s, dir) => {
+    "q_ingest_quarantine" -> ((s, dir) =>
       // third-party-format ingest with the PERMISSIVE quarantine
       // contract, end to end on REAL file drops built from the
       // documents table: a zstd-compressed jsonl drop (via the
@@ -2435,52 +2435,12 @@ object SparkEntry {
       // corruption rule is a pure function of doc_id, so DuckDB
       // reproduces every aggregate from the parquet table alone —
       // the oracle certifies the parse split, not just row counts.
-      import graft.sources.{Ingest, ZstdJniCodec}
-      import org.apache.spark.sql.types.{LongType, StringType, StructType}
-      ZstdJniCodec.register(s)
-      val docs = Tables.documents(s, dir)
-        .select(col("doc_id"), col("source"), col("text"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft_ingest").toString
-      docs.select(when(pmod(col("doc_id"), lit(50L)) === 0L,
-            concat(lit("{corrupt drop line for doc "),
-              col("doc_id").cast("string")))
-          .otherwise(to_json(struct(col("doc_id"), col("source"), col("text"))))
-          .as("value"))
-        .write.option("compression", classOf[ZstdJniCodec].getName)
-        .text(s"$tmp/jsonl")
-      docs.select(when(pmod(col("doc_id"), lit(71L)) === 0L,
-            concat(col("doc_id").cast("string"), lit(",notanumber")))
-          .otherwise(concat(col("doc_id").cast("string"), lit(","),
-            length(col("text")).cast("string")))
-          .as("value"))
-        .write.option("compression", "gzip")
-        .text(s"$tmp/csv")
-      val jsonSchema = new StructType()
-        .add("doc_id", LongType).add("source", StringType)
-        .add("text", StringType)
-      val jp = Ingest.jsonWithQuarantine(s, s"$tmp/jsonl", jsonSchema)
-      val csvSchema = new StructType()
-        .add("doc_id", LongType).add("n", LongType)
-      val cp = Ingest.csvWithQuarantine(s, s"$tmp/csv", csvSchema)
-      val res = Ingest.good(jp).agg(
-          count(lit(1)).as("n_json_good"),
-          sum(col("doc_id")).as("sum_json_good_ids"),
-          sum(length(col("text"))).as("sum_json_good_text_len"))
-        .crossJoin(Ingest.quarantined(jp).agg(
-          count(lit(1)).as("n_json_quarantined"),
-          sum(length(col("raw_record"))).as("sum_json_quarantined_len")))
-        .crossJoin(Ingest.good(cp).agg(
-          count(lit(1)).as("n_csv_good"),
-          sum(col("n")).as("sum_csv_good_n")))
-        .crossJoin(Ingest.quarantined(cp).agg(
-          count(lit(1)).as("n_csv_quarantined"),
-          sum(length(col("raw_record"))).as("sum_csv_quarantined_len")))
-      // jp/cp stay persisted until the session drops them: the
-      // quarantine split MUST read the materialized parse (Ingest
-      // scaladoc — a lazily re-parsed corrupt-column-only filter is
-      // rejected at analysis), and `res` here is still lazy
-      res
-    }),
+      // The whole roundtrip (drop build, parse, aggregates) lives in
+      // Ingest.quarantineRoundtrip, shared with IngestHostileSpec's
+      // closed-form gate over newline/quote/non-BMP/NULL text.
+      graft.sources.Ingest.quarantineRoundtrip(s,
+        Tables.documents(s, dir).select(col("doc_id"), col("source"), col("text")),
+        java.nio.file.Files.createTempDirectory("graft_ingest").toString)),
     "q_pipeline_curate" -> ((s, dir) =>
       // the composed end-to-end funnel: quality gate -> exact dedup
       // -> train/eval split -> eval decontamination, per-source stage
