@@ -94,6 +94,19 @@ object Chaos {
     * Falls back to a plain injected failure when the stage reads no
     * shuffle (scan-only or broadcast-fed plans) — still a retry,
     * just task-level.
+    *
+    * BLAST RADIUS — single query per session only. The executor-JVM
+    * branch deletes ALL shuffle_*.data/index files in that JVM's disk
+    * block manager, not just the poisoned stage's (no executor-side
+    * source of the current stage's shuffle ids is race-free, see the
+    * inline note): under `local[*]` the one JVM holds EVERY job's
+    * shuffle output, and on a shared executor any concurrent job's
+    * in-flight shuffle dies with it. Each such job recovers through
+    * the same FetchFailed → resubmit path, but the injection is no
+    * longer the documented one-stage loss. RetryGate runs queries
+    * strictly sequentially and asserts no other active jobs before
+    * each fetch-mode wrap; any new caller must hold the same
+    * discipline.
     */
   def fetchFailOnce(df: DataFrame): DataFrame =
     df.mapPartitions { it =>

@@ -144,6 +144,7 @@ object RetryGate {
     val resubmittedStages = new AtomicLong
     val speculatableMarked = new AtomicLong
     val injectedFetchFails = new AtomicLong
+    val unmarkedFetchFails = new AtomicLong
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onSpeculativeTaskSubmitted(
           e: SparkListenerSpeculativeTaskSubmitted): Unit =
@@ -181,12 +182,17 @@ object RetryGate {
           // local-cluster). Marked = the driver-path constructed
           // exception; unmarked = the genuine read-path failures
           // sibling tasks hit after injected shuffle-data loss — a
-          // downstream effect of injection, not an environmental
-          // error, so it never lands in other_task_failures (the
-          // misattribution guard).
+          // downstream effect of injection in FETCH mode only, so it
+          // doesn't land in other_task_failures there. Unmarked
+          // FetchFailed counts separately so scan/reduce/spec modes
+          // — where NO shuffle data is deleted — can assert it zero:
+          // a disk fault or real network loss during those runs must
+          // trip the misattribution guard, not hide as
+          // injection-downstream (r12 advisor).
           injectedFetchFails.incrementAndGet()
           if (f.toErrorString.contains("graft chaos"))
             injectedFailures.incrementAndGet()
+          else unmarkedFetchFails.incrementAndGet()
         case r: org.apache.spark.TaskFailedReason =>
           if (r.toErrorString.contains("graft chaos"))
             injectedFailures.incrementAndGet()
@@ -241,7 +247,15 @@ object RetryGate {
             spark.conf.set(Chaos.ConfKey, "true")
             canon(fn(spark, sfDir))
           case "reduce" => canon(Chaos.failOnce(fn(spark, sfDir)))
-          case "fetch"  => canon(Chaos.fetchFailOnce(fn(spark, sfDir)))
+          case "fetch" =>
+            // fetch injection deletes the executor JVM's WHOLE shuffle
+            // dir (Chaos.fetchFailOnce scaladoc): enforce the one-job-
+            // at-a-time precondition instead of assuming it
+            val active = spark.sparkContext.statusTracker.getActiveJobIds()
+            require(active.isEmpty,
+              s"fetch-mode chaos with concurrent active jobs ${active.toSeq}: " +
+                "the shuffle-data deletion would widen past one query")
+            canon(Chaos.fetchFailOnce(fn(spark, sfDir)))
           // repartition first: the straggler needs completed sibling
           // tasks in ITS OWN stage for the speculation median, and AQE
           // often coalesces a small query's final stage to one task
@@ -275,11 +289,16 @@ object RetryGate {
       .map { case (k, v) => s""""$k":"${v.replace("\"", "'")}"""" }
       .mkString(",")
     val allMatch = results.forall(_._2.startsWith("match:"))
+    // only fetch mode deletes shuffle data; any genuine FetchFailed in
+    // the other modes is environmental and fails the gate outright
+    val unmarkedFetchOk = mode == "fetch" || unmarkedFetchFails.get() == 0L
     println(s"""{"metric":"retry_gate","mode":"$mode","all_match":$allMatch,""" +
       s""""injected_task_failures":${injectedFailures.get()},""" +
       s""""other_task_failures":${otherFailures.get()},""" +
       s""""fetch_failures_thrown":${fetchThrownTotal.get()},""" +
       s""""fetch_failed_task_ends":${injectedFetchFails.get()},""" +
+      s""""fetch_failed_unmarked":${unmarkedFetchFails.get()},""" +
+      s""""unmarked_fetch_ok":$unmarkedFetchOk,""" +
       s""""resubmitted_stages":${resubmittedStages.get()},""" +
       s""""speculatable_marked":${speculatableMarked.get()},""" +
       s""""speculative_tasks":${speculativeTasks.get()},""" +
@@ -288,6 +307,6 @@ object RetryGate {
       s""""master":"${spark.sparkContext.master}","sf":"$sfDir",""" +
       s""""queries":{$qJson}}""")
     spark.stop()
-    if (!allMatch) sys.exit(1)
+    if (!allMatch || !unmarkedFetchOk) sys.exit(1)
   }
 }

@@ -1189,12 +1189,22 @@ object LshDedup {
                               maxBucket: Int = 2000,
                               bitOrder: Option[Seq[Int]] = None,
                               maxDepth: Int = 6,
-                              maxEnum: Int = 20000): DataFrame = {
+                              maxEnum: Int = 20000,
+                              maxClique: Int = Int.MaxValue): DataFrame = {
     val order = bitOrder.getOrElse(simhashBitOrder(docs))
     val bySig = simhashes(docs).groupBy(col("simhash"))
       .agg(array_distinct(sort_array(collect_list(col("doc_id")))).as("ids"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val clique = chunkedPairs(bySig.filter(size(col("ids")) >= 2), "ids")
+    // clique emission is k²/2 in the largest identical-signature
+    // cluster and UNCAPPED by default: the intended pipeline runs
+    // exact content dedup FIRST (simhashCappedRecallReport's order),
+    // which collapses verbatim spam to one survivor before this miner
+    // ever sees it. On a RAW corpus, `maxClique` bounds that path —
+    // oversized cliques drop their INTERNAL hamming-0 pairs (their
+    // signature still mines against near neighbors), reported via
+    // simhashDropStats' n_cliques_dropped/n_clique_pairs_dropped.
+    val clique = chunkedPairs(
+        bySig.filter(size(col("ids")).between(2, maxClique)), "ids")
       .select(col("a").as("doc_a"), col("b").as("doc_b"),
         lit(0).as("hamming"))
     val (kept, _, persisted) = cappedSigBuckets(bySig.select(col("simhash")),
@@ -1221,28 +1231,41 @@ object LshDedup {
 
   /** One-row summary of what [[simhashCandidatesCapped]] drops:
     * (n_buckets_dropped, n_sig_slots_dropped) over terminal buckets
-    * LARGER than `maxEnum` — the only remaining loss source (cliques
-    * emit unconditionally; terminal cores ≤ maxEnum enumerate
-    * exactly) — the simhash analogue of [[dropStats]]. Slots count
-    * SIGNATURE·bucket memberships (the mining grain since the clique
-    * collapse). Non-zero means a dense region bigger than maxEnum
-    * met the depth/budget backstop: raise maxEnum (n² within that
-    * bucket), raise the budget, or accept and route the region to
-    * exact dedup.
+    * LARGER than `maxEnum` (terminal cores ≤ maxEnum enumerate
+    * exactly) plus (n_cliques_dropped, n_clique_pairs_dropped) over
+    * identical-signature cliques LARGER than `maxClique` — the
+    * simhash analogue of [[dropStats]]. Slots count SIGNATURE·bucket
+    * memberships (the mining grain since the clique collapse);
+    * clique pairs count the internal hamming-0 pairs the cap
+    * withheld. Non-zero bucket drops mean a dense region bigger than
+    * maxEnum met the depth/budget backstop: raise maxEnum (n² within
+    * that bucket), raise the budget, or accept and route the region
+    * to exact dedup. Non-zero clique drops on a default run mean the
+    * corpus skipped exact dedup — run it first (the production
+    * order), which makes every clique a single survivor.
     */
   def simhashDropStats(docs: DataFrame, maxHamming: Int = 3,
                        maxBucket: Int = 2000,
                        bitOrder: Option[Seq[Int]] = None,
                        maxDepth: Int = 6,
-                       maxEnum: Int = 20000): DataFrame = {
+                       maxEnum: Int = 20000,
+                       maxClique: Int = Int.MaxValue): DataFrame = {
     val order = bitOrder.getOrElse(simhashBitOrder(docs))
-    val sigs = simhashes(docs).select(col("simhash")).distinct()
-    val (_, dropped, persisted) = cappedSigBuckets(sigs, maxHamming,
-      maxBucket, order, maxDepth, maxEnum)
+    val bySig = simhashes(docs).groupBy(col("simhash"))
+      .agg(count(lit(1)).as("k"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cliqueDrops = bySig.filter(col("k") > maxClique)
+      .agg(count(lit(1)).as("n_cliques_dropped"),
+        coalesce(sum(col("k") * (col("k") - 1) / 2), lit(0L))
+          .as("n_clique_pairs_dropped"))
+    val (_, dropped, persisted) = cappedSigBuckets(
+      bySig.select(col("simhash")), maxHamming, maxBucket, order,
+      maxDepth, maxEnum)
     unpersistAfterFirstUse(
       dropped.agg(count(lit(1)).as("n_buckets_dropped"),
-        coalesce(sum(col("n2")), lit(0L)).as("n_sig_slots_dropped")),
-      persisted: _*)
+        coalesce(sum(col("n2")), lit(0L)).as("n_sig_slots_dropped"))
+        .crossJoin(cliqueDrops),
+      (bySig +: persisted): _*)
   }
 
   /** The composed-pipeline recall gate for

@@ -23,11 +23,21 @@ private[graft] object StoreOps {
     * lineage back to the store scan — so the decoupling holds with no
     * driver-heap bill: through round 11 this was a `.collect()` +
     * re-parallelize, a known driver OOM at production micro-batches
-    * (10–100M keys). The set stays bounded by the batch's distinct
-    * keys — batch-scaled, never store-scaled — because the store scan
-    * is semi-join-pruned to batch keys first. Join strategies are
-    * left to AQE: both sides are batch-scaled, and AQE broadcasts
-    * from MEASURED sizes when they are small.
+    * (10–100M keys). Cost scoping, precisely: the probe's OUTPUT (the
+    * materialized present-set blocks) is bounded by the batch's
+    * distinct keys — batch-scaled, never store-scaled — because the
+    * store scan is semi-join-pruned to batch keys first. The probe's
+    * WORK is not: any presence check must consult the store, so the
+    * key-column scan is store-scaled, and when the batch is too big
+    * for AQE to broadcast (it broadcasts from MEASURED sizes when the
+    * id side is small) the sort-merge semi-join shuffles the store's
+    * key column once per append. Stores whose layout co-partitions
+    * keys with the batch (cell-assigned IvfStore appends probe only
+    * the batch's TOUCHED cells via partition pruning —
+    * IvfStore.scala) avoid the store-wide scan; the hash-keyed
+    * appenders have no such locality to exploit, and at 100 TB the
+    * right escape is a bucketed store layout whose storage-
+    * partitioned join removes the store-side shuffle.
     *
     * localCheckpoint durability caveat: the materialized blocks are
     * not fault-tolerant — losing an executor mid-append fails the

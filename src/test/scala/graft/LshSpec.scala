@@ -174,6 +174,30 @@ class LshSpec extends SparkSpec {
       .head()
     assert(st.getAs[Long]("n_buckets_dropped") === 0L)
     assert(st.getAs[Long]("n_sig_slots_dropped") === 0L)
+    assert(st.getAs[Long]("n_cliques_dropped") === 0L)
+    assert(st.getAs[Long]("n_clique_pairs_dropped") === 0L)
+  }
+
+  test("maxClique bounds the raw-corpus spam-clique emission, with drops reported") {
+    // a RAW corpus (no exact dedup first) with a 40-copy clique: the
+    // default emits all 780 internal pairs; maxClique=10 withholds
+    // them — bounded work on the uncappable path — and the drop stats
+    // name exactly what was withheld. Near-neighbor mining through
+    // the clique's signature is unaffected.
+    val spam = spark.createDataFrame(
+      (1L to 40L).map(i => (i, "the same spam text repeated verbatim")))
+      .toDF("doc_id", "text")
+    val capped = LshDedup.simhashCandidatesCapped(spam, maxHamming = 6,
+      maxBucket = 10, maxClique = 10).count()
+    assert(capped === 0L, "internal pairs of an oversized clique must drop")
+    val st = LshDedup.simhashDropStats(spam, maxHamming = 6, maxBucket = 10,
+      maxClique = 10).head()
+    assert(st.getAs[Long]("n_cliques_dropped") === 1L)
+    assert(st.getAs[Long]("n_clique_pairs_dropped") === (40L * 39L) / 2L)
+    // cap above the clique size: nothing drops
+    val st2 = LshDedup.simhashDropStats(spam, maxHamming = 6, maxBucket = 10,
+      maxClique = 40).head()
+    assert(st2.getAs[Long]("n_cliques_dropped") === 0L)
   }
 
   test("simhash two-level split: distinct-signature hot buckets are split, not dropped") {
