@@ -354,34 +354,36 @@ object ReplayGate {
     IngestReport(drain(batches), plan.fired.get(), restarts, 0L)
   }
 
+  /** Per-tier result of the composed-pipeline crash/resume sweep:
+    * crash injected right after `tier`'s write commits, restart over
+    * the same tierDir, then (match) the resumed report is
+    * bit-identical to an uninterrupted staged run, (untouched) every
+    * tier completed before the crash is byte-untouched by the resume
+    * (file lengths + mtimes compared; tier() skips a tier whose
+    * _SUCCESS exists, so any rewrite would show), (crashes) the hook
+    * fired exactly once.
+    */
+  final case class TierResume(tier: String, matches: Boolean,
+                              untouched: Boolean, crashes: Int)
+
   /** Composed-pipeline crash/resume (the batch sibling of the
-    * streaming scenarios): Curation.fullPipelineStaged killed at a
-    * tier boundary — the crash hook fires right after the
-    * containment-pair tier's write commits, so report_head/sv5/cp
-    * exist and sv6/sv7 do not — must, restarted over the SAME
-    * tierDir, (a) leave every completed tier byte-untouched (file
-    * lengths + mtimes compared before/after the resume; tier() skips
-    * a tier whose _SUCCESS exists, so any rewrite would show), and
-    * (b) produce a report bit-identical to an uninterrupted staged
-    * run in a fresh tierDir AND to the in-memory localCheckpoint
-    * variant. Returns (resumedMatchesClean, tiersUntouched,
-    * stagedMatchesInMemory, crashes).
+    * streaming scenarios): Curation.fullPipelineStaged killed at
+    * EVERY tier boundary in turn — report_head, sv5, cp, sv6, sv7
+    * (write order) — so the resume contract is pinned exhaustively,
+    * not just at the mid-funnel cp point round 12 exercised: the
+    * first boundary leaves four tiers to recompute, the last leaves
+    * only the report read. Also checks the staged report equals the
+    * in-memory localCheckpoint variant once. Returns
+    * (stagedMatchesInMemory, per-tier results).
     */
   def runPipelineResume(spark: SparkSession, sfDir: String,
-                        root: String): (Boolean, Boolean, Boolean, Int) = {
+                        root: String): (Boolean, Seq[TierResume]) = {
     import graft.operators.Curation
     val docs = Tables.documents(spark, sfDir)
     val clean = canon(Curation.fullPipelineStaged(docs, s"$root/tiers-clean"))
-    val crashedDir = s"$root/tiers-crashed"
-    var crashes = 0
-    try {
-      Curation.fullPipelineStaged(docs, crashedDir, onTierWritten = p =>
-        if (p.endsWith("/cp")) {
-          crashes += 1
-          throw new InjectedCrash(s"$Marker (tier boundary, after cp)")
-        })
-      throw new IllegalStateException("pipeline tier crash did not fire")
-    } catch { case e: Throwable if isInjected(e) => () }
+    val vsInMem = java.util.Arrays.equals(
+      canon(Curation.fullPipeline(docs)).asInstanceOf[Array[AnyRef]],
+      clean.asInstanceOf[Array[AnyRef]])
     def lsTiers(dir: String): Map[String, (Long, Long)] = {
       val p = new org.apache.hadoop.fs.Path(dir)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -393,15 +395,29 @@ object ReplayGate {
       }
       b.result()
     }
-    val before = lsTiers(crashedDir)
-    val resumed = canon(Curation.fullPipelineStaged(docs, crashedDir))
-    val after = lsTiers(crashedDir)
-    val untouched = before.forall { case (k, v) => after.get(k).contains(v) }
-    val vsInMem = java.util.Arrays.equals(
-      canon(Curation.fullPipeline(docs)).asInstanceOf[Array[AnyRef]],
-      clean.asInstanceOf[Array[AnyRef]])
-    (java.util.Arrays.equals(resumed.asInstanceOf[Array[AnyRef]],
-      clean.asInstanceOf[Array[AnyRef]]), untouched, vsInMem, crashes)
+    val tiers = Seq("report_head", "sv5", "cp", "sv6", "sv7")
+    val perTier = tiers.map { t =>
+      val dir = s"$root/tiers-crash-$t"
+      var crashes = 0
+      try {
+        Curation.fullPipelineStaged(docs, dir, onTierWritten = p =>
+          if (p.endsWith(s"/$t")) {
+            crashes += 1
+            throw new InjectedCrash(s"$Marker (tier boundary, after $t)")
+          })
+        throw new IllegalStateException(
+          s"pipeline tier crash after $t did not fire")
+      } catch { case e: Throwable if isInjected(e) => () }
+      val before = lsTiers(dir)
+      val resumed = canon(Curation.fullPipelineStaged(docs, dir))
+      val after = lsTiers(dir)
+      val untouched = before.forall { case (k, v) => after.get(k).contains(v) }
+      TierResume(t,
+        java.util.Arrays.equals(resumed.asInstanceOf[Array[AnyRef]],
+          clean.asInstanceOf[Array[AnyRef]]),
+        untouched, crashes)
+    }
+    (vsInMem, perTier)
   }
 
   def main(args: Array[String]): Unit = {
@@ -463,8 +479,10 @@ object ReplayGate {
     val crashedCandle = runCandleIngest(spark, sfDir, s"$work/txn-src",
       s"$work/crashed", s"$work/crashed-candle-chk",
       Map(1L -> "mid", 2L -> "pre"))
-    val (pipeMatch, pipeUntouched, pipeVsInMem, pipeCrashes) =
-      runPipelineResume(spark, sfDir, work)
+    val (pipeVsInMem, pipeTiers) = runPipelineResume(spark, sfDir, work)
+    val pipeMatch = pipeTiers.forall(_.matches)
+    val pipeUntouched = pipeTiers.forall(_.untouched)
+    val pipeCrashes = pipeTiers.map(_.crashes).sum
 
     def storesEqual(sub: String): Boolean =
       java.util.Arrays.equals(
@@ -536,7 +554,8 @@ object ReplayGate {
       crashedDoc.partiallyAppliedDocs > 0L &&
       cleanDoc.crashes == 0 && cleanIvf.crashes == 0 &&
       cleanCandle.crashes == 0 &&
-      pipeMatch && pipeUntouched && pipeVsInMem && pipeCrashes == 1
+      pipeMatch && pipeUntouched && pipeVsInMem &&
+      pipeTiers.forall(_.crashes == 1)
 
     println(s"""{"metric":"replay_gate","all_match":$allMatch,""" +
       s""""doc_crashes":${crashedDoc.crashes},"doc_restarts":${crashedDoc.restarts},""" +
@@ -555,6 +574,9 @@ object ReplayGate {
       s""""pipeline_tiers_untouched":$pipeUntouched,""" +
       s""""pipeline_vs_inmem":$pipeVsInMem,""" +
       s""""pipeline_crashes":$pipeCrashes,""" +
+      s""""pipeline_tier_sweep":{${pipeTiers.map(t =>
+        s""""${t.tier}":{"match":${t.matches},"untouched":${t.untouched},""" +
+          s""""crashes":${t.crashes}}""").mkString(",")}},""" +
       s""""state_provider":"$provider",""" +
       s""""sf":"$sfDir"}""")
     spark.stop()

@@ -2647,6 +2647,16 @@ object SparkEntry {
     "q_dedup_simhash" -> ((s, dir) =>
       LshDedup.simhashCandidates(Tables.documents(s, dir), maxHamming = 6)
         .orderBy(col("doc_a"), col("doc_b"))),
+    "q_dedup_neardup_auto" -> ((s, dir) =>
+      // the size-gated near-dup DEFAULT (round 13): the operational
+      // rule "simhash under the measured cost envelope, minhash band
+      // path above it" as code (LshDedup.nearDupCandidates). At gate
+      // SF the corpus sits under the envelope, so the oracle is the
+      // all-pairs hamming ground truth; the band branch is
+      // spec-certified (LshSpec) and its recall measured at 500k
+      // (RECALL_COHORT_r12)
+      LshDedup.nearDupCandidates(Tables.documents(s, dir), maxHamming = 6)
+        .orderBy(col("doc_a"), col("doc_b"))),
     "q_dedup_simhash_capped" -> ((s, dir) =>
       // the skew-capped sibling (maxBucket drop guard + columnar
       // in-bucket pair combos, no bucket self-join): work bounded by
@@ -5343,6 +5353,11 @@ object SparkEntry {
     // same all-pairs ground truth: the cap is not binding at verify
     // SFs, so the capped plan must reproduce the exact answer
     "q_dedup_simhash_capped" -> SketchOracles.simhashSql,
+    // same all-pairs hamming ground truth, candidate-pair projection:
+    // at sf0.01 the size gate selects the simhash family
+    "q_dedup_neardup_auto" ->
+      s"""SELECT doc_a, doc_b FROM (${SketchOracles.simhashSql}) t
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "q_ann_lsh" -> SketchOracles.annLshSql,
     "q_ann_ivf" -> SketchOracles.annIvfSql,
     // store-backed probe must be value-exact vs the inline build

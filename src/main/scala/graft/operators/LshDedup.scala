@@ -1229,6 +1229,46 @@ object LshDedup {
     unpersistAfterFirstUse(clique.unionByName(cross), (bySig +: persisted): _*)
   }
 
+  /** The measured cost envelope of [[simhashCandidatesCapped]]'s
+    * lossless DEFAULT, as a doc-count gate for [[nearDupCandidates]]:
+    * at 50k zipf docs the default costs 14.1 s vs 11.7 s for the
+    * minhash band path at equal (1.0) recall — comparable; at 500k it
+    * costs 940 s vs ~18-22 s — 40-50× (RECALL_COHORT_r12), because
+    * the exact enumeration of dense hamming-ball cores is quadratic
+    * within each ≤maxEnum-signature core and zipf-head cores grow
+    * with the corpus. The boundary sits between those endpoints;
+    * 100k is the documented operational rule made executable.
+    */
+  val SimhashEnvelopeMaxDocs: Long = 100000L
+
+  /** The near-dup candidate surface with the miner selection
+    * size-gated (the [[exactJaccardPairs]] counted-vs-prefix pattern,
+    * round 10): at or under `maxSimhashDocs` documents the capped
+    * SIMHASH miner runs — lossless by default (RECALL_COHORT_r12) and
+    * the finer similarity signal (bit-level hamming on the whole
+    * doc); above it the MINHASH band path runs — the measured
+    * equal-recall alternative whose cost stays near-linear at corpus
+    * scale (its skew cap was a no-op at 500k: 0 buckets dropped).
+    * The two families rank different notions of "near" (hamming on
+    * simhash bits vs banded Jaccard on shingles), so this is a
+    * POLICY default for pipelines that want "the certified-recall
+    * near-dup miner appropriate at my scale", not an equivalence;
+    * calibration jobs pin a family by calling it directly. Emits
+    * (doc_a, doc_b) candidate pairs either way. The count that gates
+    * the choice is one scan (parquet answers it from footers).
+    */
+  def nearDupCandidates(docs: DataFrame,
+                        maxSimhashDocs: Long = SimhashEnvelopeMaxDocs,
+                        maxHamming: Int = 3, maxBucket: Int = 2000,
+                        k: Int = 64, bands: Int = 16, n: Int = 3,
+                        minhashMaxBucket: Int = 1000): DataFrame =
+    if (docs.count() <= maxSimhashDocs)
+      simhashCandidatesCapped(docs, maxHamming, maxBucket)
+        .select(col("doc_a"), col("doc_b"))
+    else
+      minhashCandidates(docs, k, bands, n, minhashMaxBucket)
+        .select(col("doc_a"), col("doc_b"))
+
   /** One-row summary of what [[simhashCandidatesCapped]] drops:
     * (n_buckets_dropped, n_sig_slots_dropped) over terminal buckets
     * LARGER than `maxEnum` (terminal cores ≤ maxEnum enumerate

@@ -200,6 +200,24 @@ class LshSpec extends SparkSpec {
     assert(st2.getAs[Long]("n_cliques_dropped") === 0L)
   }
 
+  test("nearDupCandidates size gate: simhash family under the envelope, band path above") {
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val d = docs.limit(120)
+    // gate open: the simhash miner's pairs, exactly
+    val under = key(LshDedup.nearDupCandidates(d, maxSimhashDocs = 1000,
+      maxHamming = 6))
+    val simhash = key(LshDedup.simhashCandidatesCapped(d, maxHamming = 6)
+      .select($"doc_a", $"doc_b"))
+    assert(under === simhash)
+    // gate closed (envelope forced below the corpus): the minhash
+    // band path's candidates, exactly
+    val over = key(LshDedup.nearDupCandidates(d, maxSimhashDocs = 10,
+      maxHamming = 6))
+    val minhash = key(LshDedup.minhashCandidates(d))
+    assert(over === minhash)
+  }
+
   test("simhash two-level split: distinct-signature hot buckets are split, not dropped") {
     // a corpus whose signatures are DISTINCT but agree on the
     // low-entropy chunks (the measured sf1 failure shape): real docs

@@ -89,20 +89,25 @@ class ReplaySpec extends SparkSpec {
         graft.model.CandleTimeFrame.Hour)))
   }
 
-  test("staged pipeline crashed at a tier boundary resumes without recompute, bit-identical") {
+  test("staged pipeline crashed at EVERY tier boundary resumes without recompute, bit-identical") {
     val work = Files.createTempDirectory("replay-pipe").toString
-    val (resumedMatch, tiersUntouched, vsInMem, crashes) =
-      ReplayGate.runPipelineResume(spark, sf, work)
-    assert(crashes === 1)
-    assert(resumedMatch, "resumed staged report != uninterrupted staged report")
-    assert(tiersUntouched, "resume rewrote tiers that were already complete")
+    val (vsInMem, perTier) = ReplayGate.runPipelineResume(spark, sf, work)
     assert(vsInMem, "staged report != in-memory (localCheckpoint) report")
+    assert(perTier.map(_.tier) ===
+      Seq("report_head", "sv5", "cp", "sv6", "sv7"))
+    perTier.foreach { t =>
+      assert(t.crashes === 1, s"tier ${t.tier}: crash hook fired ${t.crashes}x")
+      assert(t.matches,
+        s"tier ${t.tier}: resumed staged report != uninterrupted staged report")
+      assert(t.untouched,
+        s"tier ${t.tier}: resume rewrote tiers that were already complete")
+    }
     // knob-fingerprint guard: resuming the same tierDir with
     // different knobs must fail loudly, not mix funnels
     val docs = Tables.documents(spark, sf)
     val e = intercept[IllegalArgumentException] {
       graft.operators.Curation.fullPipelineStaged(docs,
-        s"$work/tiers-crashed", minTokens = 41)
+        s"$work/tiers-crash-cp", minTokens = 41)
     }
     assert(e.getMessage.contains("different knobs"))
   }
