@@ -207,8 +207,14 @@ object RecallBench {
     // guard observably; 2000-8000 is the production recall/memory
     // region (8000 OOM'd the pre-chunked emission — the round-12
     // memory fix's measured point)
-    val bucketSweep = knobList("SPARK_GRAFT_RECALL_BUCKETS",
-      Seq(16L, 2000L, 4000L, 8000L)).map(_.toInt)
+    // SPARK_GRAFT_RECALL_DEFAULT_ONLY=1 empties both sweeps up front
+    // (see below) so only the DEFAULT point runs
+    val defaultOnly =
+      sys.env.get("SPARK_GRAFT_RECALL_DEFAULT_ONLY").contains("1")
+    val bucketSweep =
+      if (defaultOnly) Nil
+      else knobList("SPARK_GRAFT_RECALL_BUCKETS",
+        Seq(16L, 2000L, 4000L, 8000L)).map(_.toInt)
     // recursion-depth sweep at the default cap, WITHOUT the dense-
     // core enumerator (maxEnum=0): depth 1 = the round-7 one-level
     // guard, depth 2 = the round-10/11 complement split (whose
@@ -218,9 +224,17 @@ object RecallBench {
     // instead of fragmenting). The DEFAULT point (depth 6 + the
     // 20k-signature exact enumerator) is what gates verdict-r11 #1:
     // the DEFAULT path's recall at 500k docs
-    val depthSweep = knobList("SPARK_GRAFT_RECALL_DEPTHS",
-      Seq(1L, 2L, 6L)).map(_.toInt)
-    if (bucketSweep.isEmpty && depthSweep.isEmpty) { spark.stop(); return }
+    val depthSweep =
+      if (defaultOnly) Nil
+      else knobList("SPARK_GRAFT_RECALL_DEPTHS",
+        Seq(1L, 2L, 6L)).map(_.toInt)
+    // DEFAULT_ONLY runs the DEFAULT simhash point alone (no sweeps) —
+    // the 5M-decade shape, where a single default measurement is
+    // hours-scale and re-running it 4-8 times under sweep knobs would
+    // be waste, not signal
+    if (!defaultOnly && bucketSweep.isEmpty && depthSweep.isEmpty) {
+      spark.stop(); return
+    }
     val surv = graft.operators.Dedup.dropExactDuplicates(docs)
       .select(col("doc_id"), col("text"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -250,6 +264,23 @@ object RecallBench {
       simhashPoint("max_bucket", maxBucket.toLong, maxBucket, 6, 20000)
     for (maxDepth <- depthSweep)
       simhashPoint("depth", maxDepth.toLong, 2000, maxDepth, 0)
+    // SPARK_GRAFT_RECALL_DROPSTATS=1: emit the default knobs' drop
+    // stats FIRST (recursion-only cost, no pair mining) — at decade
+    // scales this answers "does any terminal core pass maxEnum?"
+    // even if the full default mining run must be cut off
+    if (sys.env.get("SPARK_GRAFT_RECALL_DROPSTATS").contains("1")) {
+      val t0 = System.nanoTime()
+      val ds = LshDedup.simhashDropStats(surv, maxHamming = 6,
+        maxBucket = 2000, bitOrder, maxDepth = 6, maxEnum = 20000).head()
+      emit("simhash", "default_dropstats", 0L,
+        Seq("n_docs" -> nDocs, "n_survivors" -> nSurv,
+          "n_buckets_dropped" -> ds.getAs[Long]("n_buckets_dropped"),
+          "n_sig_slots_dropped" -> ds.getAs[Long]("n_sig_slots_dropped"),
+          "n_cliques_dropped" -> ds.getAs[Long]("n_cliques_dropped"),
+          "n_clique_pairs_dropped" ->
+            ds.getAs[Long]("n_clique_pairs_dropped")),
+        (System.nanoTime() - t0) / 1e9)
+    }
     // the DEFAULT path — every knob at its default
     simhashPoint("default", 0L, 2000, 6, 20000)
     surv.unpersist()
