@@ -2828,6 +2828,26 @@ object SparkEntry {
         .select(col("query_id"), col("rank"), col("vec_id"), col("sim_micro"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    "q_ann_binary" -> ((s, dir) => {
+      // 1-bit quantized ANN: hamming coarse top-50 over packed sign
+      // bits (8 bytes/vector at dim 64 — the cheapest index tier,
+      // and the only quantizer with NO training artifact), exact
+      // float cosine re-rank to top-10
+      val emb = Tables.embeddings(s, dir)
+      Similarity.annBinary(emb, emb.filter(col("vec_id") < 3),
+        topK = 10, coarseK = 50)
+        .withColumn("sim_micro", floor(col("sim") * 1e6).cast("long"))
+        .select(col("query_id"), col("rank"), col("vec_id"), col("sim_micro"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    "q_embed_outlier" -> ((s, dir) =>
+      // embedding-space outlier screen: bottom-40 by cosine to the
+      // corpus centroid DIRECTION (exact long sums of micro-quantized
+      // components — order-independent, so engine-portable)
+      Similarity.embedOutliers(Tables.embeddings(s, dir), k = 40)
+        .withColumn("sim_micro", floor(col("sim") * 1e6).cast("long"))
+        .select(col("rank"), col("vec_id"), col("label"), col("sim_micro"))
+        .orderBy(col("rank"))),
     "q_ann_pq" -> ((s, dir) => {
       // product-quantization ANN: vectors compress to nSub small
       // codes (here 64 float dims -> 4 codes = 32x), coarse ranking
@@ -5440,6 +5460,71 @@ object SparkEntry {
         |SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id,
         |  CAST(floor(sim * 1000000) AS BIGINT) AS sim_micro
         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // binary ANN: the coarse stage's packed-sign-bit hamming equals
+    // the count of per-dimension sign disagreements, which is how the
+    // oracle states it (no packing needed on the SQL side)
+    "q_ann_binary" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+        |), q AS (
+        |  SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 3
+        |), co AS (
+        |  SELECT q.query_id, v.vec_id,
+        |    CAST(list_sum(list_transform(generate_series(1, len(v.emb)),
+        |      i -> CASE WHEN (v.emb[i] > 0) <> (q.qe[i] > 0)
+        |           THEN 1 ELSE 0 END)) AS BIGINT) AS hd
+        |  FROM e v, q
+        |), cr AS (
+        |  SELECT query_id, vec_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY hd ASC, vec_id) AS crk
+        |  FROM co
+        |), cand AS (
+        |  SELECT query_id, vec_id FROM cr WHERE crk <= 50
+        |), re AS (
+        |  SELECT c.query_id, c.vec_id,
+        |    list_cosine_similarity(ev.emb, eq.emb) AS sim
+        |  FROM cand c
+        |  JOIN e ev ON ev.vec_id = c.vec_id
+        |  JOIN e eq ON eq.vec_id = c.query_id
+        |), r AS (
+        |  SELECT query_id, vec_id, sim,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY sim DESC, vec_id) AS rank
+        |  FROM re
+        |)
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id,
+        |  CAST(floor(sim * 1000000) AS BIGINT) AS sim_micro
+        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // centroid direction = per-dimension exact BIGINT sums of
+    // floor(v*1e6), then the same double→float→double cast chain the
+    // engine's array<float> cosine kernel sees — integer summation
+    // keeps the centroid order-independent, so both engines score
+    // identically
+    "q_embed_outlier" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+        |), d AS (
+        |  SELECT i, sum(CAST(floor(emb[i] * 1000000) AS BIGINT)) AS s
+        |  FROM e, (SELECT unnest(generate_series(1,
+        |    (SELECT max(len(emb)) FROM e))) AS i) ix
+        |  GROUP BY i
+        |), ctr AS (
+        |  SELECT list(CAST(CAST(CAST(s AS DOUBLE) AS FLOAT) AS DOUBLE)
+        |              ORDER BY i) AS c
+        |  FROM d
+        |), sc AS (
+        |  SELECT e.vec_id, e.label,
+        |    list_cosine_similarity(e.emb, ctr.c) AS sim
+        |  FROM e, ctr
+        |), r AS (
+        |  SELECT vec_id, label, sim,
+        |    row_number() OVER (ORDER BY sim ASC, vec_id) AS rank
+        |  FROM sc
+        |)
+        |SELECT CAST(rank AS INTEGER) AS rank, vec_id, label,
+        |  CAST(floor(sim * 1000000) AS BIGINT) AS sim_micro
+        |FROM r WHERE rank <= 40 ORDER BY rank""".stripMargin,
     // 1:1 replica of the product-quantization chain: int8 quantize
     // (same sc/qv CTEs as q_ann_int8), md5-ordered 16-vector
     // codebook split into 8 subspaces of 8 dims, all-integer L2

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.{CosineSimF, GraftShim, HyperplaneSig, Int8Dot, L2SqLong, MinHashBandHashes, MinHashSignature, PigeonholeSplit, PolyFingerprint64, QuantizeI8, ShingleHashes, SimHash64, TextProfile, TokenFnvHashes}
+import org.apache.spark.sql.graft.{CosineSimF, GraftShim, HammingWords, HyperplaneSig, Int8Dot, L2SqLong, MinHashBandHashes, MinHashSignature, PigeonholeSplit, PolyFingerprint64, QuantizeI8, ShingleHashes, SignBits, SimHash64, TextProfile, TokenFnvHashes}
 
 /** User-facing Column wrappers for graft's native Catalyst
   * expressions (see org.apache.spark.sql.graft.GraftExpressions).
@@ -104,6 +104,21 @@ package object functions {
     */
   def l2sq_long(a: Column, b: Column): Column =
     GraftShim.toColumn(L2SqLong(GraftShim.toExpression(a),
+      GraftShim.toExpression(b)))
+
+  /** Sign-bit binarization of an array<float> embedding into packed
+    * array<long> words (bit d set iff v[d] > 0) — 1-bit quantization,
+    * 32× smaller than float in flight; the binary-ANN index column.
+    */
+  def sign_bits(vec: Column): Column =
+    GraftShim.toColumn(SignBits(GraftShim.toExpression(vec)))
+
+  /** Hamming distance between two packed sign-bit array<long>
+    * vectors — the integer-exact coarse scoring kernel of binary ANN
+    * (xor + popcount per word, codegen).
+    */
+  def hamming_words(a: Column, b: Column): Column =
+    GraftShim.toColumn(HammingWords(GraftShim.toExpression(a),
       GraftShim.toExpression(b)))
 
   /** Distributed bloom-filter build over an int64 key column — one

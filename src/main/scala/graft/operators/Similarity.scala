@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{cosine_sim, hyperplane_sig, int8_dot, quantize_i8}
+import graft.functions.{cosine_sim, hamming_words, hyperplane_sig, int8_dot, quantize_i8, sign_bits}
 
 /** Running (per-dimension sum, count) buffer for vector averaging. */
 case class VecAvgBuf(sums: Array[Double], n: Long)
@@ -617,5 +617,101 @@ object Similarity {
       .withColumn("sim", cosine_sim(col("emb_a"), col("emb_b")))
       .filter(col("sim") > threshold)
       .select(col("vec_a"), col("vec_b"), col("sim"))
+  }
+
+  /** Binary-quantized ANN: coarse top-`coarseK` by hamming distance
+    * over packed sign bits (1 bit/dimension — 32× smaller than float
+    * in flight, xor+popcount scoring), then exact float cosine
+    * re-rank of the candidates to top-`topK`. The most compressed
+    * member of the quantized family (float → int8 → PQ → 1-bit);
+    * the standard first stage of a binary-index + re-rank pipeline
+    * (e.g. faiss IndexBinaryFlat + refine).
+    *
+    * Scale shape: identical to [[annInt8]] — the coarse stage is a
+    * broadcast-queries scan with per-partition partial top-k over
+    * dims/64 longs per row (for 64-dim vectors, ONE long per row:
+    * the whole corpus index is 8 bytes/vector + id), and the re-rank
+    * joins the broadcast (queries × coarseK) candidate list back to
+    * the float table, so full-precision vectors are scanned once and
+    * never shuffled. At 100 TB the sign-bit column is a precomputed
+    * index artifact; no training pass is needed at all (unlike
+    * int8 scales / PQ codebooks), which is the operational argument
+    * for binary as the first quantization tier.
+    *
+    * Determinism: hamming is integer (exact ties broken by vec_id);
+    * the sign test (v > 0) is engine-portable, so a DuckDB oracle
+    * counting per-dimension sign mismatches reproduces the coarse
+    * stage bit-for-bit.
+    */
+  def annBinary(vectors: DataFrame, queries: DataFrame, topK: Int,
+                coarseK: Int): DataFrame = {
+    require(topK > 0 && coarseK >= topK)
+    val sv = vectors.select(col("vec_id"), sign_bits(col("embedding")).as("sig"))
+    val sq = queries
+      .select(col("vec_id").as("query_id"), sign_bits(col("embedding")).as("query_sig"))
+    val wCoarse = Window.partitionBy(col("query_id"))
+      .orderBy(col("hd").asc, col("vec_id"))
+    val cand = sv.crossJoin(broadcast(sq))
+      .select(col("query_id"), col("vec_id"),
+        hamming_words(col("sig"), col("query_sig")).as("hd"))
+      .withColumn("crk", row_number().over(wCoarse))
+      .filter(col("crk") <= coarseK)
+      .select(col("query_id"), col("vec_id"))
+    val wExact = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    vectors.join(broadcast(cand), "vec_id")
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("query_emb"))), "query_id")
+      .withColumn("sim", cosine_sim(col("embedding"), col("query_emb")))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("sim"))
+  }
+
+  /** Corpus centroid DIRECTION as a 1-row array<double> frame —
+    * per-dimension exact long sums of micro-quantized components
+    * (floor(v·1e6)), not float averages. Cosine is scale-invariant,
+    * so the un-normalized sum vector scores identically to the mean
+    * vector — and integer summation is order-independent, which
+    * makes the centroid (hence every downstream micro-floored score)
+    * deterministic across partitionings AND engines; a double-sum
+    * mean is neither. Cost: one posexplode + map-side-combined sum
+    * per dimension — dims-many groups, nothing corpus-sized
+    * shuffles (same shape as [[dimScales]]). An index artifact at
+    * 100 TB: compute at ingest, persist, reuse.
+    */
+  def centroidDirection(vectors: DataFrame): DataFrame =
+    vectors
+      .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("pos"))
+      .agg(sum(floor(col("v").cast("double") * lit(1e6)).cast("long")).as("s"))
+      .agg(sort_array(collect_list(struct(col("pos"),
+        col("s").cast("double").as("c")))).getField("c").as("centroid"))
+
+  /** Embedding-space outlier mining: the `k` vectors least aligned
+    * with the corpus centroid direction (ascending cosine, ties by
+    * vec_id) — the standard embedding-quality screen for mislabeled /
+    * off-distribution / garbage documents before training (low
+    * centroid cosine ⇒ far from the corpus mode). Emits
+    * (rank, vec_id, label, sim) with rank 1 = most anomalous.
+    *
+    * Scale shape: centroid is dims-scaled (see [[centroidDirection]]),
+    * broadcast as one row; scoring is a pure scan projection; the
+    * global bottom-k plans as TakeOrderedAndProject (per-partition
+    * partial top-k, k rows per partition shuffle — never a global
+    * sort). k is screen-sized (human review / drop list), so the
+    * final window over k rows is trivial.
+    */
+  def embedOutliers(vectors: DataFrame, k: Int): DataFrame = {
+    val scored = vectors.crossJoin(broadcast(centroidDirection(vectors)))
+      .withColumn("sim",
+        cosine_sim(col("embedding"),
+          col("centroid").cast("array<float>")))
+      .select(col("vec_id"), col("label"), col("sim"))
+      .orderBy(col("sim").asc, col("vec_id"))
+      .limit(k)
+    scored.withColumn("rank",
+      row_number().over(Window.orderBy(col("sim").asc, col("vec_id"))))
+      .select(col("rank"), col("vec_id"), col("label"), col("sim"))
   }
 }

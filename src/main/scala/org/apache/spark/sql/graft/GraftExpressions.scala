@@ -75,6 +75,10 @@ object GraftShim {
       es => { arity("int8_dot", 2, es); Int8Dot(es.head, es(1)) }, "scala_udf")
     reg.createOrReplaceTempFunction("l2sq_long",
       es => { arity("l2sq_long", 2, es); L2SqLong(es.head, es(1)) }, "scala_udf")
+    reg.createOrReplaceTempFunction("sign_bits",
+      es => SignBits(arity("sign_bits", 1, es).head), "scala_udf")
+    reg.createOrReplaceTempFunction("hamming_words",
+      es => { arity("hamming_words", 2, es); HammingWords(es.head, es(1)) }, "scala_udf")
   }
 }
 
@@ -920,6 +924,103 @@ case class L2SqLong(left: Expression, right: Expression)
         |      long $d = ${leftGen.value}.getLong($i)
         |              - ${rightGen.value}.getLong($i);
         |      $acc += $d * $d;
+        |    }
+        |    ${ev.isNull} = false;
+        |    ${ev.value} = $acc;
+        |  }
+        |}
+       """.stripMargin
+    ev.copy(code = code)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Sign-bit binarization of an array<float> embedding: bit d (of
+  * word d/64) is set iff v[d] > 0 — 1-bit scalar quantization, the
+  * most compressed member of the quantized-ANN family (32× smaller
+  * than float in flight; similarity becomes a popcount). The sign
+  * test is engine-portable: a DuckDB oracle's per-dimension `v > 0`
+  * reproduces the bits exactly, so the hamming coarse stage is
+  * integer-exact across engines. Shared pack routine between
+  * interpreted eval and generated code, like MinHashSignature above.
+  */
+case class SignBits(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(SignBits.pack(input.asInstanceOf[ArrayData]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val out = ctx.freshName("out")
+      s"""
+         |long[] $out = org.apache.spark.sql.graft.SignBits.pack($c);
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SignBits {
+  /** Shared by interpreted eval and generated code. */
+  def pack(arr: ArrayData): Array[Long] = {
+    val n = arr.numElements()
+    val words = new Array[Long]((n + 63) >>> 6)
+    var i = 0
+    while (i < n) {
+      if (arr.getFloat(i) > 0f) words(i >>> 6) |= 1L << (i & 63)
+      i += 1
+    }
+    words
+  }
+}
+
+/** Hamming distance between two packed sign-bit vectors
+  * (array<long> of words): Σ Long.bitCount(a[i] ^ b[i]) — the coarse
+  * scoring kernel of binary ANN. Integer-exact, whole-stage codegen
+  * (bitCount is an intrinsic popcount on every JVM that matters).
+  * NULL on length mismatch, same contract as Int8Dot/L2SqLong.
+  */
+case class HammingWords(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0
+    var i = 0
+    while (i < n) {
+      acc += java.lang.Long.bitCount(a.getLong(i) ^ b.getLong(i))
+      i += 1
+    }
+    java.lang.Integer.valueOf(acc)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val leftGen = left.genCode(ctx)
+    val rightGen = right.genCode(ctx)
+    val n = ctx.freshName("n")
+    val i = ctx.freshName("i")
+    val acc = ctx.freshName("acc")
+    val code =
+      code"""
+        |${leftGen.code}
+        |${rightGen.code}
+        |boolean ${ev.isNull} = true;
+        |int ${ev.value} = 0;
+        |if (!${leftGen.isNull} && !${rightGen.isNull}) {
+        |  int $n = ${leftGen.value}.numElements();
+        |  if ($n == ${rightGen.value}.numElements()) {
+        |    int $acc = 0;
+        |    for (int $i = 0; $i < $n; $i++) {
+        |      $acc += java.lang.Long.bitCount(
+        |        ${leftGen.value}.getLong($i) ^ ${rightGen.value}.getLong($i));
         |    }
         |    ${ev.isNull} = false;
         |    ${ev.value} = $acc;

@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{hamming_words, sign_bits}
+import graft.operators.Similarity
+import graft.sources.Tables
+
+/** Binary (sign-bit) quantization ANN and the centroid outlier
+  * screen: pack/popcount kernels against naive replays, the two-stage
+  * retrieval against brute force, and the determinism contract of the
+  * integer centroid direction.
+  */
+class BinaryAnnSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def cosine(a: Seq[Float], b: Seq[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      dot += a(i).toDouble * b(i).toDouble
+      na += a(i).toDouble * a(i).toDouble
+      nb += b(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  test("sign_bits packs bit d of word d/64 iff v[d] > 0, any dim") {
+    import spark.implicits._
+    // 3 words worth of dims with the tail word partial; zeros are NOT
+    // set (strict > 0, the engine-portable sign test)
+    val dims = 130
+    val vec = Array.tabulate(dims)(i =>
+      if (i % 3 == 0) 1.5f else if (i % 3 == 1) -0.25f else 0.0f)
+    val got = Seq(Tuple1(vec.toSeq)).toDF("embedding")
+      .select(sign_bits(col("embedding")).as("sig"))
+      .collect()(0).getSeq[Long](0)
+    assert(got.length == 3) // ceil(130/64)
+    val want = new Array[Long](3)
+    vec.zipWithIndex.foreach { case (v, i) =>
+      if (v > 0f) want(i >>> 6) |= 1L << (i & 63)
+    }
+    assert(got == want.toSeq)
+  }
+
+  test("hamming_words equals the per-dimension sign-disagreement count") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf).filter(col("vec_id") < 20)
+      .orderBy(col("vec_id")).collect().map(_.getSeq[Float](1))
+    val df = Tables.embeddings(spark, sf).filter(col("vec_id") < 20)
+      .select(col("vec_id"), sign_bits(col("embedding")).as("sig"))
+    val a = df.select(col("vec_id").as("ia"), col("sig").as("sa"))
+    val b = df.select(col("vec_id").as("ib"), col("sig").as("sb"))
+    val got = a.crossJoin(b)
+      .select(col("ia"), col("ib"), hamming_words(col("sa"), col("sb")).as("hd"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    for (i <- emb.indices; j <- emb.indices) {
+      val want = emb(i).zip(emb(j)).count { case (x, y) => (x > 0f) != (y > 0f) }
+      assert(got((i.toLong, j.toLong)) == want, s"pair ($i,$j)")
+    }
+  }
+
+  test("hamming_words is NULL on word-length mismatch") {
+    import spark.implicits._
+    val df = Seq((Seq(1L, 2L), Seq(1L))).toDF("a", "b")
+      .select(hamming_words(col("a"), col("b")).as("hd"))
+    assert(df.collect()(0).isNullAt(0))
+  }
+
+  test("annBinary at coarseK = corpus size IS brute force") {
+    val emb = Tables.embeddings(spark, sf)
+    val n = emb.count().toInt
+    val q = emb.filter(col("vec_id") < 3)
+    val got = Similarity.annBinary(emb, q, topK = 10, coarseK = n)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val want = Similarity.knnBrute(emb, q, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(got.sorted.toSeq == want.sorted.toSeq)
+  }
+
+  test("annBinary coarse stage keeps hamming-nearest candidates exactly") {
+    // replay the coarse stage driver-side: top-coarseK by (sign
+    // disagreements asc, vec_id) must be the candidate set the
+    // re-rank sees — pin via a coarseK small enough to bite
+    val emb = Tables.embeddings(spark, sf)
+    val rows = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).sortBy(_._1)
+    val qv = rows.take(1)
+    val coarseK = 25
+    val out = Similarity.annBinary(emb, emb.filter(col("vec_id") === 0L),
+      topK = coarseK, coarseK = coarseK)
+      .collect().map(_.getLong(2)).toSet
+    val wantCand = rows.map { case (id, e) =>
+      (rows.head._2.zip(e).count { case (x, y) => (x > 0f) != (y > 0f) }, id)
+    }.sorted.take(coarseK).map(_._2).toSet
+    assert(qv.head._1 == 0L)
+    assert(out == wantCand)
+  }
+
+  test("centroidDirection is exact long-sum arithmetic (order-independent)") {
+    val emb = Tables.embeddings(spark, sf)
+    val got = Similarity.centroidDirection(emb)
+      .collect()(0).getSeq[Double](0)
+    val rows = emb.collect().map(_.getSeq[Float](1))
+    val dims = rows.head.length
+    val sums = new Array[Long](dims)
+    rows.foreach { e =>
+      var i = 0
+      while (i < dims) {
+        sums(i) += math.floor(e(i).toDouble * 1e6).toLong; i += 1
+      }
+    }
+    assert(got == sums.map(_.toDouble).toSeq)
+    // and a repartitioned replay lands on the SAME bits
+    val got2 = Similarity.centroidDirection(emb.repartition(7))
+      .collect()(0).getSeq[Double](0)
+    assert(got2 == got)
+  }
+
+  test("embedOutliers ranks ascending centroid cosine with vec_id ties") {
+    val emb = Tables.embeddings(spark, sf)
+    val got = Similarity.embedOutliers(emb, k = 15)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val centroid = Similarity.centroidDirection(emb)
+      .collect()(0).getSeq[Double](0).map(_.toFloat).toSeq
+    val want = emb.collect()
+      .map(r => (cosine(r.getSeq[Float](1), centroid), r.getLong(0)))
+      .sortBy(identity).take(15).zipWithIndex
+      .map { case ((_, id), i) => (i + 1, id) }
+    assert(got.toSeq == want.toSeq)
+  }
+}

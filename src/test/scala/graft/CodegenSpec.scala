@@ -37,7 +37,9 @@ class CodegenSpec extends SparkSpec {
     "TokenFnvHashes" -> TokenFnvHashes(str),
     "QuantizeI8" -> QuantizeI8(floatArr, doubleArr),
     "Int8Dot" -> Int8Dot(byteArr, byteArr),
-    "L2SqLong" -> L2SqLong(longArr, longArr)
+    "L2SqLong" -> L2SqLong(longArr, longArr),
+    "SignBits" -> SignBits(floatArr),
+    "HammingWords" -> HammingWords(longArr, longArr)
   )
 
   test("no graft expression is a CodegenFallback") {
