@@ -5,15 +5,20 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.Similarity
 
-/** Decade measurement for the quantized-ANN family: per corpus size,
-  * wall seconds and recall@k vs exact brute force for the binary
-  * (sign-bit hamming), int8 and LSH coarse stages at a fixed re-rank
-  * budget. The numbers behind the "which quantization tier when"
-  * guidance at Similarity.annBinary — measured, not asserted.
+/** Decade measurement for the quantized-ANN family with the
+  * operationally honest split: INDEX BUILD (one-time, amortized over
+  * every query batch — sign bits / int8 scales+encode) timed apart
+  * from QUERY SERVING against the prebuilt index, plus the coarseK
+  * recall knob swept for the binary tier. The numbers behind the
+  * "which quantization tier when" guidance at Similarity.annBinary —
+  * measured, not asserted. (The first cut of this bench timed index
+  * build INSIDE the query and concluded int8 at 512k costs 17× brute
+  * on a 3-query batch — true but useless: training is per-corpus,
+  * not per-query. This version answers the real question.)
   *
   * Usage: runMain graft.AnnBench label=path [label=path ...]
   * (paths are GenData/driver dirs holding embeddings.parquet).
-  * Emits one JSON line per (corpus, method).
+  * Emits one JSON line per (corpus, method, phase).
   */
 object AnnBench {
 
@@ -28,8 +33,15 @@ object AnnBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val topK = sys.env.getOrElse("SPARK_GRAFT_ANN_TOPK", "10").toInt
-    val coarseK = sys.env.getOrElse("SPARK_GRAFT_ANN_COARSEK", "100").toInt
-    val nQueries = sys.env.getOrElse("SPARK_GRAFT_ANN_QUERIES", "20").toInt
+    val nQueries = sys.env.getOrElse("SPARK_GRAFT_ANN_QUERIES", "64").toInt
+    val coarseKs = sys.env.getOrElse("SPARK_GRAFT_ANN_COARSEKS", "100,1000,5000")
+      .split(",").map(_.trim.toInt).toSeq
+
+    def timed[T](f: => T): (Double, T) = {
+      val t0 = System.nanoTime()
+      val r = f
+      ((System.nanoTime() - t0) / 1e9, r)
+    }
 
     try {
       args.foreach { spec =>
@@ -37,19 +49,16 @@ object AnnBench {
         val emb = spark.read.parquet(s"$path/embeddings.parquet")
           .select(col("vec_id"), col("embedding")).cache()
         val n = emb.count()
-        val queries = emb.filter(col("vec_id") < nQueries)
+        val queries = emb.filter(col("vec_id") < nQueries).cache()
+        queries.count()
 
-        def timeRun(df: DataFrame): (Double, Array[(Long, Long)]) = {
-          val t0 = System.nanoTime()
-          val rows = df.select(col("query_id"), col("vec_id"))
+        def collectPairs(df: DataFrame): Array[(Long, Long)] =
+          df.select(col("query_id"), col("vec_id"))
             .collect().map(r => (r.getLong(0), r.getLong(1)))
-          ((System.nanoTime() - t0) / 1e9, rows)
-        }
 
-        // ground truth once (also warms the cache so method timings
-        // measure scoring, not the first parquet read)
-        val (bruteS, bruteRows) = timeRun(
-          Similarity.knnBrute(emb, queries, topK))
+        // exact ground truth (timed as the no-index baseline)
+        val (bruteS, bruteRows) = timed(collectPairs(
+          Similarity.knnBrute(emb, queries, topK)))
         val truth = bruteRows.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
 
         def recallOf(rows: Array[(Long, Long)]): Double = {
@@ -60,22 +69,57 @@ object AnnBench {
           per.sum / per.size
         }
 
-        def emit(method: String, sec: Double, recall: Double): Unit =
+        def emit(method: String, phase: String, coarseK: Int,
+                 sec: Double, recall: Double): Unit =
           println(f"""{"bench":"ann","corpus":"$label","n_vectors":$n,""" +
-            f""""method":"$method","top_k":$topK,"coarse_k":$coarseK,""" +
+            f""""method":"$method","phase":"$phase","top_k":$topK,""" +
+            f""""n_queries":$nQueries,"coarse_k":$coarseK,""" +
             f""""sec":$sec%.3f,"recall":$recall%.6f}""")
 
-        emit("brute", bruteS, 1.0)
-        val (binS, binRows) = timeRun(
-          Similarity.annBinary(emb, queries, topK, coarseK))
-        emit("binary", binS, recallOf(binRows))
-        val (i8S, i8Rows) = timeRun(
-          Similarity.annInt8(emb, queries, topK, coarseK))
-        emit("int8", i8S, recallOf(i8Rows))
-        val (lshS, lshRows) = timeRun(
-          Similarity.annLsh(emb, queries, topK, nBits = 8, probes = 1))
-        emit("lsh_probe1", lshS, recallOf(lshRows))
-        emb.unpersist()
+        emit("brute", "query", 0, bruteS, 1.0)
+
+        // binary: index build once, then the coarseK recall knob
+        val (binBuildS, binIdx) = timed {
+          val idx = Similarity.signIndex(emb).cache()
+          idx.count(); idx
+        }
+        emit("binary", "index_build", 0, binBuildS, -1.0)
+        coarseKs.foreach { ck =>
+          val (s, rows) = timed(collectPairs(
+            Similarity.annBinaryWith(binIdx, emb, queries, topK, ck)))
+          emit("binary", "query", ck, s, recallOf(rows))
+        }
+        // asymmetric scoring on the SAME index (no extra memory)
+        coarseKs.foreach { ck =>
+          val (s, rows) = timed(collectPairs(
+            Similarity.annBinaryAsymWith(binIdx, emb, queries, topK, ck)))
+          emit("binary_asym", "query", ck, s, recallOf(rows))
+        }
+        binIdx.unpersist()
+
+        // int8: scales + encoded table once, then query
+        val (i8BuildS, i8Idx) = timed {
+          val scales = Similarity.dimScales(emb).cache()
+          scales.count()
+          val qv = Similarity.quantizeInt8(emb, scales).cache()
+          qv.count()
+          (qv, scales)
+        }
+        emit("int8", "index_build", 0, i8BuildS, -1.0)
+        coarseKs.take(1).foreach { ck =>
+          val (s, rows) = timed(collectPairs(
+            Similarity.annInt8With(i8Idx._1, i8Idx._2, emb, queries, topK, ck)))
+          emit("int8", "query", ck, s, recallOf(rows))
+        }
+        i8Idx._1.unpersist(); i8Idx._2.unpersist()
+
+        // LSH (bucket column is the index; built inline — dominated
+        // by the bucketed join, reported as one query-phase number)
+        val (lshS, lshRows) = timed(collectPairs(
+          Similarity.annLsh(emb, queries, topK, nBits = 8, probes = 1)))
+        emit("lsh_probe1", "query", 0, lshS, recallOf(lshRows))
+
+        queries.unpersist(); emb.unpersist()
       }
     } finally spark.stop()
   }

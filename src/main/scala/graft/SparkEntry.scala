@@ -2840,6 +2840,19 @@ object SparkEntry {
         .select(col("query_id"), col("rank"), col("vec_id"), col("sim_micro"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    "q_ann_binary_asym" -> ((s, dir) => {
+      // asymmetric binary ANN: query magnitudes scored against the
+      // same 1-bit index (integer-exact dot(micro(q), sign(c)) —
+      // native SignDot); recall 0.60 vs 0.51 symmetric at
+      // 512k/coarseK=5000 (AnnBench — collision-bounded at dim 64,
+      // see Similarity.annBinaryAsym)
+      val emb = Tables.embeddings(s, dir)
+      Similarity.annBinaryAsym(emb, emb.filter(col("vec_id") < 3),
+        topK = 10, coarseK = 50)
+        .withColumn("sim_micro", floor(col("sim") * 1e6).cast("long"))
+        .select(col("query_id"), col("rank"), col("vec_id"), col("sim_micro"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "q_embed_outlier" -> ((s, dir) =>
       // embedding-space outlier screen: bottom-40 by cosine to the
       // corpus centroid DIRECTION (exact long sums of micro-quantized
@@ -5478,6 +5491,44 @@ object SparkEntry {
         |  SELECT query_id, vec_id,
         |    row_number() OVER (PARTITION BY query_id
         |                       ORDER BY hd ASC, vec_id) AS crk
+        |  FROM co
+        |), cand AS (
+        |  SELECT query_id, vec_id FROM cr WHERE crk <= 50
+        |), re AS (
+        |  SELECT c.query_id, c.vec_id,
+        |    list_cosine_similarity(ev.emb, eq.emb) AS sim
+        |  FROM cand c
+        |  JOIN e ev ON ev.vec_id = c.vec_id
+        |  JOIN e eq ON eq.vec_id = c.query_id
+        |), r AS (
+        |  SELECT query_id, vec_id, sim,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY sim DESC, vec_id) AS rank
+        |  FROM re
+        |)
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id,
+        |  CAST(floor(sim * 1000000) AS BIGINT) AS sim_micro
+        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // asymmetric binary ANN: coarse score = Σ (corpus sign ? +m : -m)
+    // with m = floor(query_d·1e6) — a BIGINT sum, so the replica is
+    // order-independent and exact
+    "q_ann_binary_asym" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+        |), q AS (
+        |  SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 3
+        |), co AS (
+        |  SELECT q.query_id, v.vec_id,
+        |    CAST(list_sum(list_transform(generate_series(1, len(v.emb)),
+        |      i -> CASE WHEN v.emb[i] > 0
+        |           THEN CAST(floor(q.qe[i] * 1000000) AS BIGINT)
+        |           ELSE -CAST(floor(q.qe[i] * 1000000) AS BIGINT) END))
+        |      AS BIGINT) AS sd
+        |  FROM e v, q
+        |), cr AS (
+        |  SELECT query_id, vec_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY sd DESC, vec_id) AS crk
         |  FROM co
         |), cand AS (
         |  SELECT query_id, vec_id FROM cr WHERE crk <= 50

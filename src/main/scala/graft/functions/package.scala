@@ -121,6 +121,15 @@ package object functions {
     GraftShim.toColumn(HammingWords(GraftShim.toExpression(a),
       GraftShim.toExpression(b)))
 
+  /** Asymmetric binary score — full-precision query (array<float>)
+    * against packed sign bits (array<long>): Σ (bit d ? +q_d : -q_d)
+    * = dot(q, sign(c)). The recall upgrade over symmetric hamming at
+    * zero extra index memory (codegen, double accum in index order).
+    */
+  def sign_dot(query: Column, signWords: Column): Column =
+    GraftShim.toColumn(org.apache.spark.sql.graft.SignDot(
+      GraftShim.toExpression(query), GraftShim.toExpression(signWords)))
+
   /** Distributed bloom-filter build over an int64 key column — one
     * aggregate; the result value is the serialized filter bits (the
     * driver never materializes the key set).

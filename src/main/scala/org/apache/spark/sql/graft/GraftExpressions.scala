@@ -79,6 +79,8 @@ object GraftShim {
       es => SignBits(arity("sign_bits", 1, es).head), "scala_udf")
     reg.createOrReplaceTempFunction("hamming_words",
       es => { arity("hamming_words", 2, es); HammingWords(es.head, es(1)) }, "scala_udf")
+    reg.createOrReplaceTempFunction("sign_dot",
+      es => { arity("sign_dot", 2, es); SignDot(es.head, es(1)) }, "scala_udf")
   }
 }
 
@@ -1021,6 +1023,75 @@ case class HammingWords(left: Expression, right: Expression)
         |    for (int $i = 0; $i < $n; $i++) {
         |      $acc += java.lang.Long.bitCount(
         |        ${leftGen.value}.getLong($i) ^ ${rightGen.value}.getLong($i));
+        |    }
+        |    ${ev.isNull} = false;
+        |    ${ev.value} = $acc;
+        |  }
+        |}
+       """.stripMargin
+    ev.copy(code = code)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Asymmetric binary score: the query (array<float>) scored against
+  * a packed sign-bit corpus vector (array<long> words) —
+  * Σ_d (bit d set ? +m_d : -m_d) with m_d = floor(q_d·1e6), i.e.
+  * dot(micro-quantized q, sign(c)). Every corpus sign vector has the
+  * same norm (√dims), so ranking by this raw dot equals ranking by
+  * cosine against the binarized corpus — no normalization term.
+  * Keeps (micro-precision of) the query's magnitudes at ZERO extra
+  * index memory, which is why asymmetric scoring is the standard
+  * recall upgrade over symmetric hamming in binary ANN (same trick
+  * as PQ's asymmetric distance computation). The micro quantization
+  * makes the score a LONG — exact, order-independent, engine-portable
+  * (the repo's integer-coarse-stage posture: Int8Dot/HammingWords/
+  * L2SqLong) — at a recall cost that is zero in practice (1e-6 of
+  * unit-scale components).
+  */
+case class SignDot(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val q = l.asInstanceOf[ArrayData]
+    val w = r.asInstanceOf[ArrayData]
+    val n = q.numElements()
+    if (w.numElements() != (n + 63) >>> 6) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val m = math.floor(q.getFloat(i).toDouble * 1e6).toLong
+      acc += (if (((w.getLong(i >>> 6) >>> (i & 63)) & 1L) != 0L) m else -m)
+      i += 1
+    }
+    java.lang.Long.valueOf(acc)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val leftGen = left.genCode(ctx)
+    val rightGen = right.genCode(ctx)
+    val n = ctx.freshName("n")
+    val i = ctx.freshName("i")
+    val acc = ctx.freshName("acc")
+    val m = ctx.freshName("m")
+    val code =
+      code"""
+        |${leftGen.code}
+        |${rightGen.code}
+        |boolean ${ev.isNull} = true;
+        |long ${ev.value} = 0L;
+        |if (!${leftGen.isNull} && !${rightGen.isNull}) {
+        |  int $n = ${leftGen.value}.numElements();
+        |  if (${rightGen.value}.numElements() == (($n + 63) >>> 6)) {
+        |    long $acc = 0L;
+        |    for (int $i = 0; $i < $n; $i++) {
+        |      long $m = (long) java.lang.Math.floor(
+        |        (double) ${leftGen.value}.getFloat($i) * 1.0E6);
+        |      $acc += ((${rightGen.value}.getLong($i >>> 6) >>> ($i & 63)) & 1L) != 0L
+        |              ? $m : -$m;
         |    }
         |    ${ev.isNull} = false;
         |    ${ev.value} = $acc;

@@ -39,7 +39,8 @@ class CodegenSpec extends SparkSpec {
     "Int8Dot" -> Int8Dot(byteArr, byteArr),
     "L2SqLong" -> L2SqLong(longArr, longArr),
     "SignBits" -> SignBits(floatArr),
-    "HammingWords" -> HammingWords(longArr, longArr)
+    "HammingWords" -> HammingWords(longArr, longArr),
+    "SignDot" -> SignDot(floatArr, longArr)
   )
 
   test("no graft expression is a CodegenFallback") {
