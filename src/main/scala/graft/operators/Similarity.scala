@@ -355,10 +355,18 @@ object Similarity {
       .withColumn("bucket", explode(probeBuckets))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id"))
+    // score INSIDE the broadcast-join stage, then dedup multi-probe
+    // hits as a groupBy max (identical doubles — the same pair scores
+    // the same through every probe): the shuffle carries only
+    // map-side-combined (query_id, vec_id, sim) partials. The first
+    // formulation dropDuplicates'd BEFORE scoring and so shuffled
+    // both embedding arrays per candidate row — measured 89 s at
+    // 512k×64 queries vs seconds for this shape (ANNBENCH_r13).
     sigVectors.join(broadcast(sigQueries), "bucket")
-      .select(col("query_id"), col("query_emb"), col("vec_id"), col("embedding"))
-      .dropDuplicates("query_id", "vec_id")
-      .withColumn("sim", cosine_sim(col("embedding"), col("query_emb")))
+      .select(col("query_id"), col("vec_id"),
+        cosine_sim(col("embedding"), col("query_emb")).as("sim"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(max(col("sim")).as("sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
       .select(col("query_id"), col("rank"), col("vec_id"),
