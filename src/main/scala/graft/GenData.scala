@@ -135,7 +135,12 @@ object GenData {
       writeSingle(documents(spark, n("documents"), skewed, zipfVocab),
         outDir, "documents")
     if (want("embeddings"))
-      writeSingle(embeddings(spark, n("embeddings")), outDir, "embeddings")
+      // SPARK_GRAFT_EMB_DIMS: dimensionality for the binary-ANN
+      // envelope corpora (never set by the driver; default 64 = the
+      // driver set's shape)
+      writeSingle(embeddings(spark, n("embeddings"),
+        sys.env.get("SPARK_GRAFT_EMB_DIMS").map(_.toInt).getOrElse(64)),
+        outDir, "embeddings")
   }
 
   def customer(spark: SparkSession, n: Long): DataFrame =
@@ -340,8 +345,14 @@ object GenData {
     * duplicate rows (same seed trick as documents, tiny jitter) so
     * the near-dup/ANN operators have true positives to find.
     */
-  def embeddings(spark: SparkSession, n: Long): DataFrame = {
-    val dims = 64
+  /** `dims` defaults to the driver set's 64 (values bit-identical to
+    * before the knob existed — GenDataSpec pins them); the high-dim
+    * variants exist for the binary-ANN dimensionality envelope
+    * (ANNBENCH: collisions vanish at dim 256 — 509k distinct
+    * patterns / 512k — which ELIMINATED collisions as the recall
+    * bottleneck and isolated the within-cluster resolution floor).
+    */
+  def embeddings(spark: SparkSession, n: Long, dims: Int = 64): DataFrame = {
     val seed = when(col("id") > 0 && ui("edup", 100, col("id")) < 1,
       pmod(xxhash64(lit("esrc"), col("id")), col("id"))).otherwise(col("id"))
     val raw = transform(sequence(lit(0), lit(dims - 1)), i =>

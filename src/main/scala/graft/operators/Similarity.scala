@@ -661,14 +661,23 @@ object Similarity {
     * counting per-dimension sign mismatches reproduces the coarse
     * stage bit-for-bit.
     *
-    * Measured envelope (AnnBench, GenData 64-dim clustered vectors):
-    * recall\@10 is collision-bounded at this dimensionality — 512k
-    * vectors share only 325k distinct sign patterns (hot cliques
-    * ~1000), and within an identical-signature clique hamming cannot
-    * rank, so recall tops out ~0.51 even at coarseK=5000. Use
-    * [[annInt8]] for low-dim embeddings (0.94 at coarseK=100, same
-    * bench); the 1-bit tier is for high-dim (768+) embeddings where
-    * sign patterns don't collide — or recall-tolerant prescreens.
+    * Measured envelope (AnnBench, GenData clustered vectors, 512k ×
+    * 64 queries): recall\@10 tops out ~0.51 at coarseK=5000 — and the
+    * obvious "too few dims" explanation was TESTED AND REFUTED: at
+    * dim 64 sign patterns do collide (325k distinct / 512k, hot
+    * cliques ~1000, unrankable within a clique), but a dim-256
+    * re-run with collisions eliminated (509k distinct / 512k, max
+    * clique 3) measured the SAME recall ceiling. The binding
+    * mechanism is a resolution floor: true top-10 neighbors sit in
+    * ~51k-member tight clusters whose within-cluster angular gaps
+    * are below what 1 bit/dim can rank at any dimensionality
+    * (hamming still carries ~5× chance signal — 0.51 vs the 0.098 a
+    * random 5000-of-51k draw would score — just not enough). Fine
+    * kNN over tightly-clustered corpora (the semantic-dedup regime)
+    * is an [[annInt8]]-or-better job (0.94-0.96 at coarseK=100,
+    * both dims, same bench); the 1-bit tier fits corpora whose true
+    * neighbors are well separated from the bulk, and recall-tolerant
+    * prescreens.
     */
   def annBinary(vectors: DataFrame, queries: DataFrame, topK: Int,
                 coarseK: Int): DataFrame =
@@ -804,8 +813,21 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("sim"))
       .orderBy(col("sim").asc, col("vec_id"))
       .limit(k)
-    scored.withColumn("rank",
-      row_number().over(Window.orderBy(col("sim").asc, col("vec_id"))))
+      // k rows materialized once (single corpus scan), so the rank
+      // self-join below reads them twice without re-scanning
+      .localCheckpoint(true)
+    // rank = 1 + rows sorting strictly before, via a broadcast
+    // self-join over the k-row screen — NOT an unpartitioned window
+    // (PlanSpec bans empty-partition Windows repo-wide; a k×k
+    // nested-loop over a broadcast 40-row frame is the window-free
+    // way to rank a global top-k selection)
+    val prior = scored.select(col("sim").as("p_sim"), col("vec_id").as("p_vid"))
+    scored.join(broadcast(prior),
+        col("p_sim") < col("sim") ||
+          (col("p_sim") === col("sim") && col("p_vid") < col("vec_id")),
+        "left")
+      .groupBy(col("vec_id"), col("label"), col("sim"))
+      .agg((count(col("p_vid")) + 1).cast("int").as("rank"))
       .select(col("rank"), col("vec_id"), col("label"), col("sim"))
   }
 }

@@ -171,7 +171,7 @@ class BinaryAnnSpec extends SparkSpec {
   test("embedOutliers ranks ascending centroid cosine with vec_id ties") {
     val emb = Tables.embeddings(spark, sf)
     val got = Similarity.embedOutliers(emb, k = 15)
-      .collect().map(r => (r.getInt(0), r.getLong(1)))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val centroid = Similarity.centroidDirection(emb)
       .collect()(0).getSeq[Double](0).map(_.toFloat).toSeq
     val want = emb.collect()
