@@ -2853,6 +2853,13 @@ object SparkEntry {
         .select(col("query_id"), col("rank"), col("vec_id"), col("sim_micro"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    "q_embed_drift" -> ((s, dir) =>
+      // distribution-shift screen between two corpus cohorts (here
+      // vec_id parity as the stand-in for old/new snapshot): centroid
+      // cosine + the exact cross-multiplied max per-dimension mean
+      // gap — integer arithmetic end to end except the final cosine
+      Similarity.embedDrift(Tables.embeddings(s, dir),
+        pmod(col("vec_id"), lit(2)))),
     "q_embed_outlier" -> ((s, dir) =>
       // embedding-space outlier screen: bottom-40 by cosine to the
       // corpus centroid DIRECTION (exact long sums of micro-quantized
@@ -5547,6 +5554,44 @@ object SparkEntry {
         |SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id,
         |  CAST(floor(sim * 1000000) AS BIGINT) AS sim_micro
         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // drift replica: per-(cohort, dim) BIGINT micro-sums; the max
+    // per-dimension gap is cross-multiplied (s_a*n_b - s_b*n_a) so
+    // both engines compare exact integers; the centroid cosine runs
+    // the same double→float→double chain as q_embed_outlier
+    "q_embed_drift" ->
+      """WITH e AS (
+        |  SELECT CAST(vec_id % 2 AS INTEGER) AS cohort,
+        |         embedding::DOUBLE[] AS emb
+        |  FROM embeddings
+        |), d AS (
+        |  SELECT cohort, i,
+        |    sum(CAST(floor(emb[i] * 1000000) AS BIGINT)) AS s
+        |  FROM e, (SELECT unnest(generate_series(1,
+        |    (SELECT max(len(emb)) FROM e))) AS i) ix
+        |  GROUP BY cohort, i
+        |), n AS (
+        |  SELECT cohort, count(*) AS n FROM e GROUP BY cohort
+        |), j AS (
+        |  SELECT a.i, a.s AS s_a, b.s AS s_b,
+        |    (SELECT n FROM n WHERE cohort = 0) AS n_a,
+        |    (SELECT n FROM n WHERE cohort = 1) AS n_b
+        |  FROM (SELECT i, s FROM d WHERE cohort = 0) a
+        |  JOIN (SELECT i, s FROM d WHERE cohort = 1) b USING (i)
+        |), ctr AS (
+        |  SELECT
+        |    list(CAST(CAST(CAST(s_a AS DOUBLE) AS FLOAT) AS DOUBLE)
+        |         ORDER BY i) AS ca,
+        |    list(CAST(CAST(CAST(s_b AS DOUBLE) AS FLOAT) AS DOUBLE)
+        |         ORDER BY i) AS cb,
+        |    max(abs(s_a * n_b - s_b * n_a)) AS max_cross_diff,
+        |    max(n_a) AS n_a, max(n_b) AS n_b
+        |  FROM j
+        |)
+        |SELECT n_a, n_b,
+        |  CAST(floor(list_cosine_similarity(ca, cb) * 1000000) AS BIGINT)
+        |    AS centroid_cos_micro,
+        |  max_cross_diff
+        |FROM ctr""".stripMargin,
     // centroid direction = per-dimension exact BIGINT sums of
     // floor(v*1e6), then the same double→float→double cast chain the
     // engine's array<float> cosine kernel sees — integer summation

@@ -771,6 +771,58 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id"), col("sim"))
   }
 
+  /** Embedding distribution drift between two corpus cohorts — the
+    * data-validation screen a training pipeline runs between corpus
+    * snapshots / sources / time windows before mixing them: did the
+    * embedding distribution move? Emits ONE row:
+    * (n_a, n_b, centroid_cos_micro, max_cross_diff) where
+    * centroid_cos_micro is the cosine between the two cohorts'
+    * centroid directions (micro-floored) and max_cross_diff is the
+    * largest per-dimension mean difference stated integer-exactly as
+    * max_d |s_a[d]·n_b − s_b[d]·n_a| over micro-quantized sums
+    * (cross-multiplied so no division ever happens — the comparison
+    * is exact rational arithmetic in longs).
+    *
+    * Scale shape: one posexplode + map-side-combined (cohort, dim)
+    * sums — 2·dims groups, nothing corpus-sized shuffles; the
+    * per-dimension compare joins two dims-row frames; output is one
+    * row. Same engine-portability argument as [[centroidDirection]]:
+    * integer sums are order-independent, so a DuckDB replica lands on
+    * the same bits.
+    *
+    * `cohort` must evaluate to 0 or 1 (e.g. pmod(vec_id, 2), a
+    * source flag, an old/new snapshot marker).
+    */
+  def embedDrift(vectors: DataFrame,
+                 cohort: org.apache.spark.sql.Column): DataFrame = {
+    val base = vectors.select(cohort.cast("int").as("cohort"), col("embedding"))
+    val sums = base
+      .select(col("cohort"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("cohort"), col("pos"))
+      .agg(sum(floor(col("v").cast("double") * lit(1e6)).cast("long")).as("s"))
+    val counts = base.groupBy(col("cohort")).agg(count(lit(1)).as("n"))
+    val a = sums.filter(col("cohort") === 0).select(col("pos"), col("s").as("s_a"))
+    val b = sums.filter(col("cohort") === 1).select(col("pos"), col("s").as("s_b"))
+    val na = counts.filter(col("cohort") === 0).select(col("n").as("n_a"))
+    val nb = counts.filter(col("cohort") === 1).select(col("n").as("n_b"))
+    a.join(b, "pos")
+      .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+      .agg(
+        first(col("n_a")).as("n_a"),
+        first(col("n_b")).as("n_b"),
+        max(abs(col("s_a") * col("n_b") - col("s_b") * col("n_a")))
+          .as("max_cross_diff"),
+        sort_array(collect_list(struct(col("pos"),
+          col("s_a").cast("double").as("ca")))).getField("ca").as("cent_a"),
+        sort_array(collect_list(struct(col("pos"),
+          col("s_b").cast("double").as("cb")))).getField("cb").as("cent_b"))
+      .select(col("n_a"), col("n_b"),
+        floor(cosine_sim(col("cent_a").cast("array<float>"),
+          col("cent_b").cast("array<float>")) * lit(1e6)).cast("long")
+          .as("centroid_cos_micro"),
+        col("max_cross_diff"))
+  }
+
   /** Corpus centroid DIRECTION as a 1-row array<double> frame —
     * per-dimension exact long sums of micro-quantized components
     * (floor(v·1e6)), not float averages. Cosine is scale-invariant,

@@ -168,6 +168,42 @@ class BinaryAnnSpec extends SparkSpec {
     assert(got2 == got)
   }
 
+  test("embedDrift replays closed-form: exact cross-multiplied gap + cohort counts") {
+    val emb = Tables.embeddings(spark, sf)
+    val row = Similarity.embedDrift(emb, pmod(col("vec_id"), lit(2)))
+      .collect()(0)
+    val rows = emb.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val dims = rows.head._2.length
+    val sums = Array.ofDim[Long](2, dims)
+    val ns = Array(0L, 0L)
+    rows.foreach { case (id, e) =>
+      val c = (id % 2).toInt
+      ns(c) += 1
+      var i = 0
+      while (i < dims) {
+        sums(c)(i) += math.floor(e(i).toDouble * 1e6).toLong; i += 1
+      }
+    }
+    assert(row.getLong(0) == ns(0) && row.getLong(1) == ns(1))
+    val wantMax = (0 until dims)
+      .map(i => math.abs(sums(0)(i) * ns(1) - sums(1)(i) * ns(0))).max
+    assert(row.getLong(3) == wantMax)
+    val ca = sums(0).map(s => s.toDouble.toFloat)
+    val cb = sums(1).map(s => s.toDouble.toFloat)
+    val wantCos = math.floor(cosine(ca, cb) * 1e6).toLong
+    assert(row.getLong(2) == wantCos)
+    // identical cohorts drift nothing: cosine micro == 999999/1000000
+    // band and zero gap
+    val same = Similarity.embedDrift(
+      emb.withColumn("vec_id", col("vec_id") * 2)
+        .union(emb.withColumn("vec_id", col("vec_id") * 2 + 1)),
+      pmod(col("vec_id"), lit(2)))
+      .collect()(0)
+    assert(same.getLong(3) == 0L)
+    assert(same.getLong(2) >= 999999L)
+  }
+
   test("embedOutliers ranks ascending centroid cosine with vec_id ties") {
     val emb = Tables.embeddings(spark, sf)
     val got = Similarity.embedOutliers(emb, k = 15)
