@@ -113,6 +113,23 @@ class BinaryAnnSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("sign_dot crosses word boundaries correctly (multi-word, partial tail)") {
+    import spark.implicits._
+    // 130 dims = 2 full words + a 2-bit tail; deterministic pattern
+    val dims = 130
+    val q = Array.tabulate(dims)(i => (i % 7).toFloat / 4f - 0.5f)
+    val c = Array.tabulate(dims)(i => if (i % 3 == 0) 1f else -1f)
+    val got = Seq((q.toSeq, c.toSeq)).toDF("q", "c")
+      .select(graft.functions.sign_dot(col("q"),
+        graft.functions.sign_bits(col("c"))).as("sd"))
+      .collect()(0).getLong(0)
+    val want = q.zip(c).map { case (x, v) =>
+      val m = math.floor(x.toDouble * 1e6).toLong
+      if (v > 0f) m else -m
+    }.sum
+    assert(got == want)
+  }
+
   test("sign_dot is NULL when word count mismatches the query dims") {
     import spark.implicits._
     val df = Seq((Seq(1.0f, 2.0f), Seq(1L, 2L))).toDF("q", "w")
