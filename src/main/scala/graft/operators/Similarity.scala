@@ -795,22 +795,30 @@ object Similarity {
     */
   def embedDrift(vectors: DataFrame,
                  cohort: org.apache.spark.sql.Column): DataFrame = {
-    val base = vectors.select(cohort.cast("int").as("cohort"), col("embedding"))
-    val sums = base
-      .select(col("cohort"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .groupBy(col("cohort"), col("pos"))
-      .agg(sum(floor(col("v").cast("double") * lit(1e6)).cast("long")).as("s"))
-    val counts = base.groupBy(col("cohort")).agg(count(lit(1)).as("n"))
-    val a = sums.filter(col("cohort") === 0).select(col("pos"), col("s").as("s_a"))
-    val b = sums.filter(col("cohort") === 1).select(col("pos"), col("s").as("s_b"))
-    val na = counts.filter(col("cohort") === 0).select(col("n").as("n_a"))
-    val nb = counts.filter(col("cohort") === 1).select(col("n").as("n_b"))
-    a.join(b, "pos")
-      .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+    // ONE corpus scan: both cohorts' per-dimension sums and row
+    // counts come from a single conditional aggregate over the
+    // exploded frame (a per-cohort filter formulation plans FOUR
+    // cohort-filtered scans of the table — the cohort predicate
+    // pushes below each groupBy, so nothing is reused). Every vector
+    // contributes exactly one row per dimension, so the per-pos
+    // conditional row count IS the cohort's vector count.
+    val micro = floor(col("v").cast("double") * lit(1e6)).cast("long")
+    val g = vectors
+      .select(cohort.cast("int").as("cohort"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("pos"))
       .agg(
-        first(col("n_a")).as("n_a"),
-        first(col("n_b")).as("n_b"),
-        max(abs(col("s_a") * col("n_b") - col("s_b") * col("n_a")))
+        sum(when(col("cohort") === 0, micro).otherwise(lit(0L))).as("s_a"),
+        sum(when(col("cohort") === 1, micro).otherwise(lit(0L))).as("s_b"),
+        sum(when(col("cohort") === 0, 1L).otherwise(0L)).as("na_pos"),
+        sum(when(col("cohort") === 1, 1L).otherwise(0L)).as("nb_pos"))
+    // na_pos/nb_pos equal the cohort vector counts at EVERY pos, so
+    // the cross-multiplied gap can use the per-pos counts directly
+    // and the whole readout is one more (single-row) aggregate
+    g.agg(
+        max(col("na_pos")).as("n_a"),
+        max(col("nb_pos")).as("n_b"),
+        max(abs(col("s_a") * col("nb_pos") - col("s_b") * col("na_pos")))
           .as("max_cross_diff"),
         sort_array(collect_list(struct(col("pos"),
           col("s_a").cast("double").as("ca")))).getField("ca").as("cent_a"),
