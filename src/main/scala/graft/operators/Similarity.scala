@@ -109,6 +109,13 @@ object Similarity {
     * are scanned once and never shuffled. At 100 TB the scales and
     * the quantized table are precomputed artifacts; wiring them
     * inline here keeps the operator self-contained at test SF.
+    *
+    * Measured (ANNBENCH_r13, 512k×64-dim GenData vectors, 64
+    * queries, prebuilt index): recall\@10 0.94 at coarseK=100 in
+    * 4.9 s and **1.00 at coarseK=1000 in 5.9 s** vs 8.6-36.7 s
+    * brute — the recall-safe quantized tier for low-dim /
+    * tightly-clustered corpora where the 1-bit tier's resolution
+    * floor binds (see [[annBinary]]).
     */
   def annInt8(vectors: DataFrame, queries: DataFrame, topK: Int,
               coarseK: Int): DataFrame = {
