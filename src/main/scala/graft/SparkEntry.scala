@@ -2855,9 +2855,10 @@ object SparkEntry {
     }),
     "q_embed_drift" -> ((s, dir) =>
       // distribution-shift screen between two corpus cohorts (here
-      // vec_id parity as the stand-in for old/new snapshot): centroid
-      // cosine + the exact cross-multiplied max per-dimension mean
-      // gap — integer arithmetic end to end except the final cosine
+      // vec_id parity as the stand-in for old/new snapshot): fixed-
+      // point centroid cos² + the exact cross-multiplied max per-
+      // dimension mean gap — integer arithmetic END TO END, so the
+      // oracle lands on identical bits on any DuckDB version
       Similarity.embedDrift(Tables.embeddings(s, dir),
         pmod(col("vec_id"), lit(2)))),
     "q_embed_outlier" -> ((s, dir) =>
@@ -4745,7 +4746,11 @@ object SparkEntry {
     // doc_id (json: % 50, csv: % 71) and both bad-line shapes are
     // deterministic strings, so the oracle reproduces every aggregate
     // of the PERMISSIVE parse split from the parquet table alone —
-    // good-side ids/lengths AND quarantined raw-record lengths
+    // good-side ids/lengths, quarantined raw-record lengths, AND the
+    // content-addressable quarantine fingerprints (Σ 60-bit md5
+    // prefixes mod 2^61, exact in HUGEINT — see
+    // Ingest.recordFingerprint): a future driver red discriminates
+    // "roundtrip content differs" from "parse split differs" in one bit
     "q_ingest_quarantine" ->
       """SELECT * FROM
         | (SELECT count(*) AS n_json_good,
@@ -4755,7 +4760,11 @@ object SparkEntry {
         |CROSS JOIN
         | (SELECT count(*) AS n_json_quarantined,
         |         sum(length('{corrupt drop line for doc '
-        |                    || CAST(doc_id AS VARCHAR))) AS sum_json_quarantined_len
+        |                    || CAST(doc_id AS VARCHAR))) AS sum_json_quarantined_len,
+        |         coalesce(CAST(sum(CAST(CAST(('0x' || substr(md5(
+        |             '{corrupt drop line for doc ' || CAST(doc_id AS VARCHAR)
+        |           ), 1, 15)) AS BIGINT) AS HUGEINT))
+        |           % 2305843009213693952 AS BIGINT), 0) AS json_quarantine_fp
         |  FROM documents WHERE doc_id % 50 = 0)
         |CROSS JOIN
         | (SELECT count(*) AS n_csv_good,
@@ -4764,7 +4773,11 @@ object SparkEntry {
         |CROSS JOIN
         | (SELECT count(*) AS n_csv_quarantined,
         |         sum(length(CAST(doc_id AS VARCHAR)
-        |                    || ',notanumber')) AS sum_csv_quarantined_len
+        |                    || ',notanumber')) AS sum_csv_quarantined_len,
+        |         coalesce(CAST(sum(CAST(CAST(('0x' || substr(md5(
+        |             CAST(doc_id AS VARCHAR) || ',notanumber'
+        |           ), 1, 15)) AS BIGINT) AS HUGEINT))
+        |           % 2305843009213693952 AS BIGINT), 0) AS csv_quarantine_fp
         |  FROM documents WHERE doc_id % 71 = 0)
         |""".stripMargin,
     "q_corpus_intake" ->
@@ -5555,43 +5568,64 @@ object SparkEntry {
         |  CAST(floor(sim * 1000000) AS BIGINT) AS sim_micro
         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     // drift replica: per-(cohort, dim) BIGINT micro-sums; the max
-    // per-dimension gap is cross-multiplied (s_a*n_b - s_b*n_a) so
-    // both engines compare exact integers; the centroid cosine runs
-    // the same double→float→double chain as q_embed_outlier
+    // per-dimension gap is cross-multiplied in HUGEINT (DECIMAL(38,0)
+    // engine-side) and the centroid cosine is restated as the
+    // integer-exact sign(dot)*floor(dot^2*1e12/(naq*nbq)) over
+    // 13-bit-rescaled sums — NO floating point survives the initial
+    // floor(v*1e6), so no list_cosine_similarity / cast-chain /
+    // DuckDB-version sensitivity anywhere in the readout. pmod-style
+    // ((x%2)+2)%2 keeps negative vec_ids in-domain like the engine's
+    // pmod; the non-negative-remainder floor-div trick makes // and
+    // DIV agree on negative sums.
     "q_embed_drift" ->
       """WITH e AS (
-        |  SELECT CAST(vec_id % 2 AS INTEGER) AS cohort,
+        |  SELECT CAST(((vec_id % 2) + 2) % 2 AS INTEGER) AS cohort,
         |         embedding::DOUBLE[] AS emb
         |  FROM embeddings
+        |), n AS (
+        |  SELECT
+        |    coalesce(sum(CASE WHEN cohort = 0 THEN 1 ELSE 0 END), 0) AS n_a,
+        |    coalesce(sum(CASE WHEN cohort = 1 THEN 1 ELSE 0 END), 0) AS n_b
+        |  FROM e
         |), d AS (
-        |  SELECT cohort, i,
-        |    sum(CAST(floor(emb[i] * 1000000) AS BIGINT)) AS s
+        |  SELECT i,
+        |    sum(CASE WHEN cohort = 0 THEN
+        |      CASE WHEN emb[i] IS NULL OR isnan(emb[i]) THEN 0
+        |           ELSE CAST(floor(emb[i] * 1000000) AS BIGINT) END
+        |      ELSE 0 END) AS s_a,
+        |    sum(CASE WHEN cohort = 1 THEN
+        |      CASE WHEN emb[i] IS NULL OR isnan(emb[i]) THEN 0
+        |           ELSE CAST(floor(emb[i] * 1000000) AS BIGINT) END
+        |      ELSE 0 END) AS s_b
         |  FROM e, (SELECT unnest(generate_series(1,
         |    (SELECT max(len(emb)) FROM e))) AS i) ix
-        |  GROUP BY cohort, i
-        |), n AS (
-        |  SELECT cohort, count(*) AS n FROM e GROUP BY cohort
-        |), j AS (
-        |  SELECT a.i, a.s AS s_a, b.s AS s_b,
-        |    (SELECT n FROM n WHERE cohort = 0) AS n_a,
-        |    (SELECT n FROM n WHERE cohort = 1) AS n_b
-        |  FROM (SELECT i, s FROM d WHERE cohort = 0) a
-        |  JOIN (SELECT i, s FROM d WHERE cohort = 1) b USING (i)
-        |), ctr AS (
+        |  WHERE i <= len(emb)
+        |  GROUP BY i
+        |), t AS (
+        |  SELECT i, s_a, s_b,
+        |    (s_a - ((s_a % p) + p) % p) // p AS ta,
+        |    (s_b - ((s_b % p) + p) % p) // p AS tb
+        |  FROM d, (SELECT coalesce(max(greatest(abs(s_a), abs(s_b))), 0)
+        |             // 8192 + 1 AS p FROM d) pp
+        |), q AS (
         |  SELECT
-        |    list(CAST(CAST(CAST(s_a AS DOUBLE) AS FLOAT) AS DOUBLE)
-        |         ORDER BY i) AS ca,
-        |    list(CAST(CAST(CAST(s_b AS DOUBLE) AS FLOAT) AS DOUBLE)
-        |         ORDER BY i) AS cb,
-        |    max(abs(s_a * n_b - s_b * n_a)) AS max_cross_diff,
-        |    max(n_a) AS n_a, max(n_b) AS n_b
-        |  FROM j
+        |    coalesce(sum(ta * tb), 0) AS dot,
+        |    coalesce(sum(ta * ta), 0) AS naq,
+        |    coalesce(sum(tb * tb), 0) AS nbq,
+        |    coalesce(max(abs(CAST(s_a AS HUGEINT) * (SELECT n_b FROM n)
+        |      - CAST(s_b AS HUGEINT) * (SELECT n_a FROM n))), 0) AS mcd
+        |  FROM t
         |)
         |SELECT n_a, n_b,
-        |  CAST(floor(list_cosine_similarity(ca, cb) * 1000000) AS BIGINT)
-        |    AS centroid_cos_micro,
-        |  max_cross_diff
-        |FROM ctr""".stripMargin,
+        |  CASE WHEN naq = 0 OR nbq = 0 THEN NULL
+        |       ELSE (CASE WHEN dot < 0 THEN -1 ELSE 1 END) *
+        |         CAST((CAST(dot AS HUGEINT) * CAST(dot AS HUGEINT)
+        |               * CAST(1000000000000 AS HUGEINT))
+        |              // (CAST(naq AS HUGEINT) * CAST(nbq AS HUGEINT))
+        |              AS BIGINT)
+        |  END AS centroid_cos2_e12,
+        |  CAST(mcd AS BIGINT) AS max_cross_diff
+        |FROM q, n""".stripMargin,
     // centroid direction = per-dimension exact BIGINT sums of
     // floor(v*1e6), then the same double→float→double cast chain the
     // engine's array<float> cosine kernel sees — integer summation

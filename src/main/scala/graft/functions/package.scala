@@ -124,7 +124,8 @@ package object functions {
   /** Asymmetric binary score — full-precision query (array<float>)
     * against packed sign bits (array<long>): Σ (bit d ? +q_d : -q_d)
     * = dot(q, sign(c)). The recall upgrade over symmetric hamming at
-    * zero extra index memory (codegen, double accum in index order).
+    * zero extra index memory (codegen; long accum of floor(q_d*1e6)
+    * micro-quantized terms in index order — exact, engine-portable).
     */
   def sign_dot(query: Column, signWords: Column): Column =
     GraftShim.toColumn(org.apache.spark.sql.graft.SignDot(

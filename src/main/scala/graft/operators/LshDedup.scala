@@ -1254,15 +1254,24 @@ object LshDedup {
     * POLICY default for pipelines that want "the certified-recall
     * near-dup miner appropriate at my scale", not an equivalence;
     * calibration jobs pin a family by calling it directly. Emits
-    * (doc_a, doc_b) candidate pairs either way. The count that gates
-    * the choice is one scan (parquet answers it from footers).
+    * (doc_a, doc_b) candidate pairs either way.
+    *
+    * The gate needs a document count, which is an EAGER action on
+    * every call: cheap when `docs` is a bare parquet scan (footer
+    * row counts — no data read) but a full recomputation of the
+    * upstream plan when `docs` is a derived frame mid-pipeline.
+    * Composed pipelines that already know the size (a prior stage's
+    * row count, a funnel report) should pass it as `docCount` to
+    * skip the action entirely; `docCount = Some(n)` is trusted
+    * as-is.
     */
   def nearDupCandidates(docs: DataFrame,
                         maxSimhashDocs: Long = SimhashEnvelopeMaxDocs,
                         maxHamming: Int = 3, maxBucket: Int = 2000,
                         k: Int = 64, bands: Int = 16, n: Int = 3,
-                        minhashMaxBucket: Int = 1000): DataFrame =
-    if (docs.count() <= maxSimhashDocs)
+                        minhashMaxBucket: Int = 1000,
+                        docCount: Option[Long] = None): DataFrame =
+    if (docCount.getOrElse(docs.count()) <= maxSimhashDocs)
       simhashCandidatesCapped(docs, maxHamming, maxBucket)
         .select(col("doc_a"), col("doc_b"))
     else

@@ -782,60 +782,122 @@ object Similarity {
     * data-validation screen a training pipeline runs between corpus
     * snapshots / sources / time windows before mixing them: did the
     * embedding distribution move? Emits ONE row:
-    * (n_a, n_b, centroid_cos_micro, max_cross_diff) where
-    * centroid_cos_micro is the cosine between the two cohorts'
-    * centroid directions (micro-floored) and max_cross_diff is the
-    * largest per-dimension mean difference stated integer-exactly as
+    * (n_a, n_b, centroid_cos2_e12, max_cross_diff) where
+    * centroid_cos2_e12 is a signed fixed-point cos² between the two
+    * cohorts' centroid directions and max_cross_diff is the largest
+    * per-dimension mean difference stated integer-exactly as
     * max_d |s_a[d]·n_b − s_b[d]·n_a| over micro-quantized sums
-    * (cross-multiplied so no division ever happens — the comparison
-    * is exact rational arithmetic in longs).
+    * (cross-multiplied so no division ever happens).
     *
-    * Scale shape: one posexplode + map-side-combined (cohort, dim)
-    * sums — 2·dims groups, nothing corpus-sized shuffles; the
-    * per-dimension compare joins two dims-row frames; output is one
-    * row. Same engine-portability argument as [[centroidDirection]]:
-    * integer sums are order-independent, so a DuckDB replica lands on
-    * the same bits.
+    * EVERY output column is exact integer arithmetic — no floating
+    * point survives past the initial floor(v·1e6) quantization, so a
+    * replica engine (the DuckDB oracle, a different Spark version, a
+    * different SIMD cosine kernel) lands on identical bits by
+    * construction:
+    *  - the cross products s·n run in DECIMAL(38,0) (HUGEINT in the
+    *    oracle), so they stay exact past the ~3M-vectors-per-cohort
+    *    point where a Long product would wrap; the final BIGINT cast
+    *    overflows loudly (Spark → null, DuckDB → error) rather than
+    *    silently at |s|·n > 2⁶³ (n per cohort ≳ 3·10⁹ unit-norm
+    *    vectors);
+    *  - the centroid cosine is restated as sign(dot)·⌊dot²·10¹²/
+    *    (‖a‖²·‖b‖²)⌋ over sums rescaled to 13 bits (p = m div 2¹³ + 1,
+    *    t = ⌊s/p⌋ via the non-negative-remainder trick so truncating
+    *    and flooring integer division agree), keeping dot²·10¹² inside
+    *    DECIMAL(38,0)/HUGEINT for any dims ≤ 4096. The rescale costs
+    *    ~2⁻¹³ relative resolution on the cosine VALUE (a drift screen
+    *    does not need micro-precision) but the resulting integer is
+    *    identical on every engine — unlike a float cosine kernel,
+    *    whose accumulation order is engine-private.
     *
-    * `cohort` must evaluate to 0 or 1 (e.g. pmod(vec_id, 2), a
-    * source flag, an old/new snapshot marker).
+    * Semantics on irregular input (pinned by BinaryAnnSpec):
+    *  - cohort counts are GLOBAL (all vectors in the cohort, including
+    *    empty/NULL embeddings) — so on ragged corpora the gap is the
+    *    "mean over the whole cohort" with absent positions
+    *    contributing 0, not a per-position mean;
+    *  - NaN / NULL components quantize to 0;
+    *  - an empty cohort (or all-zero sums) yields centroid_cos2_e12 =
+    *    NULL, max_cross_diff still exact.
+    *
+    * Scale shape: one posexplode_outer + map-side-combined per-dim
+    * sums — dims+1 groups, nothing corpus-sized shuffles; the readout
+    * is one more single-row aggregate over dims-length arrays.
+    *
+    * `cohort` must evaluate to 0 or 1 (e.g. pmod(vec_id, 2) — use
+    * pmod, not %, so negative ids stay in-domain; a source flag; an
+    * old/new snapshot marker). Rows whose cohort is neither 0 nor 1
+    * (including null) are ignored.
     */
   def embedDrift(vectors: DataFrame,
                  cohort: org.apache.spark.sql.Column): DataFrame = {
-    // ONE corpus scan: both cohorts' per-dimension sums and row
+    // ONE corpus scan: both cohorts' per-dimension sums and vector
     // counts come from a single conditional aggregate over the
     // exploded frame (a per-cohort filter formulation plans FOUR
     // cohort-filtered scans of the table — the cohort predicate
-    // pushes below each groupBy, so nothing is reused). Every vector
-    // contributes exactly one row per dimension, so the per-pos
-    // conditional row count IS the cohort's vector count.
-    val micro = floor(col("v").cast("double") * lit(1e6)).cast("long")
+    // pushes below each groupBy, so nothing is reused).
+    // posexplode_outer so empty/NULL embeddings still emit one
+    // (null-pos) row: GLOBAL cohort counts fall out of the same scan
+    // by counting each vector's first row (pos 0, or the null-pos row
+    // of an empty array).
+    val micro = when(col("v").isNull || isnan(col("v").cast("double")), 0L)
+      .otherwise(floor(col("v").cast("double") * lit(1e6)).cast("long"))
     val g = vectors
       .select(cohort.cast("int").as("cohort"),
-        posexplode(col("embedding")).as(Seq("pos", "v")))
+        posexplode_outer(col("embedding")).as(Seq("pos", "v")))
       .groupBy(col("pos"))
       .agg(
         sum(when(col("cohort") === 0, micro).otherwise(lit(0L))).as("s_a"),
         sum(when(col("cohort") === 1, micro).otherwise(lit(0L))).as("s_b"),
-        sum(when(col("cohort") === 0, 1L).otherwise(0L)).as("na_pos"),
-        sum(when(col("cohort") === 1, 1L).otherwise(0L)).as("nb_pos"))
-    // na_pos/nb_pos equal the cohort vector counts at EVERY pos, so
-    // the cross-multiplied gap can use the per-pos counts directly
-    // and the whole readout is one more (single-row) aggregate
+        sum(when(col("cohort") === 0 &&
+          (col("pos").isNull || col("pos") === 0), 1L).otherwise(0L))
+          .as("h_a"),
+        sum(when(col("cohort") === 1 &&
+          (col("pos").isNull || col("pos") === 0), 1L).otherwise(0L))
+          .as("h_b"))
+    // Single-row readout: global counts = Σ first-row markers across
+    // the dims+1 groups; the per-dimension sums ride along as
+    // pos-sorted arrays so the integer-exact readout below never
+    // needs a second pass (the null-pos group is excluded — its sums
+    // are 0 by the micro null-map anyway).
     g.agg(
-        max(col("na_pos")).as("n_a"),
-        max(col("nb_pos")).as("n_b"),
-        max(abs(col("s_a") * col("nb_pos") - col("s_b") * col("na_pos")))
-          .as("max_cross_diff"),
-        sort_array(collect_list(struct(col("pos"),
-          col("s_a").cast("double").as("ca")))).getField("ca").as("cent_a"),
-        sort_array(collect_list(struct(col("pos"),
-          col("s_b").cast("double").as("cb")))).getField("cb").as("cent_b"))
-      .select(col("n_a"), col("n_b"),
-        floor(cosine_sim(col("cent_a").cast("array<float>"),
-          col("cent_b").cast("array<float>")) * lit(1e6)).cast("long")
-          .as("centroid_cos_micro"),
-        col("max_cross_diff"))
+        sum(col("h_a")).as("n_a"),
+        sum(col("h_b")).as("n_b"),
+        sort_array(collect_list(when(col("pos").isNotNull,
+          struct(col("pos"), col("s_a").as("sa"), col("s_b").as("sb")))))
+          .as("d"))
+      .selectExpr("n_a", "n_b", "d.sa AS sa", "d.sb AS sb")
+      // p rescales both sum vectors to 13 bits; integer div only (a
+      // double /8192 would lose bits past 2⁵³)
+      .selectExpr("n_a", "n_b", "sa", "sb",
+        "greatest(coalesce(array_max(transform(sa, x -> abs(x))), 0L)," +
+          " coalesce(array_max(transform(sb, x -> abs(x))), 0L))" +
+          " DIV 8192L + 1L AS p")
+      .selectExpr("n_a", "n_b", "sa", "sb",
+        "transform(sa, x -> (x - pmod(x, p)) DIV p) AS ta",
+        "transform(sb, x -> (x - pmod(x, p)) DIV p) AS tb")
+      .selectExpr("n_a", "n_b", "sa", "sb",
+        "aggregate(zip_with(ta, tb, (a, b) -> a * b), 0L," +
+          " (acc, x) -> acc + x) AS dot",
+        "aggregate(ta, 0L, (acc, x) -> acc + x * x) AS naq",
+        "aggregate(tb, 0L, (acc, x) -> acc + x * x) AS nbq")
+      // dot² · 10¹² ≤ (dims·2²⁶)²·10¹² — inside DECIMAL(38,0) for
+      // dims ≤ 4096; the floor-division runs the same non-negative-
+      // remainder trick (num and den are non-negative here) so the
+      // decimal divide is exact-integer and immune to Spark's
+      // scale-6 rounding
+      .selectExpr("n_a", "n_b", "sa", "sb", "dot", "naq", "nbq",
+        "CAST(dot AS DECIMAL(38,0)) * CAST(dot AS DECIMAL(38,0))" +
+          " * CAST(1000000000000 AS DECIMAL(38,0)) AS num",
+        "CAST(naq AS DECIMAL(38,0)) * CAST(nbq AS DECIMAL(38,0)) AS den")
+      .selectExpr("n_a", "n_b",
+        "CASE WHEN naq = 0L OR nbq = 0L THEN CAST(NULL AS BIGINT)" +
+          " ELSE (CASE WHEN dot < 0L THEN -1L ELSE 1L END)" +
+          " * CAST((num - num % den) / den AS BIGINT)" +
+          " END AS centroid_cos2_e12",
+        "CAST(coalesce(array_max(zip_with(sa, sb, (a, b) ->" +
+          " abs(CAST(a AS DECIMAL(38,0)) * n_b" +
+          " - CAST(b AS DECIMAL(38,0)) * n_a))), 0) AS BIGINT)" +
+          " AS max_cross_diff")
   }
 
   /** Corpus centroid DIRECTION as a 1-row array<double> frame —

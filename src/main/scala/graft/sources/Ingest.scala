@@ -90,6 +90,18 @@ object Ingest {
     *
     * Precondition: `doc_id` is non-NULL (it keys the corruption rule;
     * a NULL id cannot be classified by either side).
+    *
+    * Content-addressable diagnostics: `json_quarantine_fp` /
+    * `csv_quarantine_fp` are order-independent fingerprints over the
+    * EXACT BYTES of the quarantined raw records — Σ over records of
+    * the first 15 hex chars of md5(raw) as a 60-bit integer (sum of
+    * per-record hashes, so no sort/collect is needed and the value is
+    * partition-order-free). The quarantined records are pure
+    * functions of doc_id, so the oracle recomputes the same
+    * fingerprint from the parquet table alone. If a driver-side
+    * divergence ever reappears, the fingerprint discriminates in one
+    * bit: fp equal but counts/lengths differ ⇒ the PARSE SPLIT
+    * differs; fp differs ⇒ the file ROUNDTRIP content differs.
     */
   def quarantineRoundtrip(spark: SparkSession, docs: DataFrame,
                           tmpDir: String): DataFrame = {
@@ -125,12 +137,31 @@ object Ingest {
         sum(length(col("text"))).as("sum_json_good_text_len"))
       .crossJoin(quarantined(jp).agg(
         count(lit(1)).as("n_json_quarantined"),
-        sum(length(col("raw_record"))).as("sum_json_quarantined_len")))
+        sum(length(col("raw_record"))).as("sum_json_quarantined_len"),
+        recordFingerprint(col("raw_record")).as("json_quarantine_fp")))
       .crossJoin(good(cp).agg(
         count(lit(1)).as("n_csv_good"),
         sum(col("n")).as("sum_csv_good_n")))
       .crossJoin(quarantined(cp).agg(
         count(lit(1)).as("n_csv_quarantined"),
-        sum(length(col("raw_record"))).as("sum_csv_quarantined_len")))
+        sum(length(col("raw_record"))).as("sum_csv_quarantined_len"),
+        recordFingerprint(col("raw_record")).as("csv_quarantine_fp")))
+  }
+
+  /** Order-independent content fingerprint:
+    * (Σ h(rec)) mod 2⁶¹ where h = the first 15 hex chars of md5(rec)
+    * as a 60-bit integer. md5 and the hex prefix are engine-portable
+    * (DuckDB: `('0x'||h)::BIGINT`); summing per-record hashes needs
+    * no global sort or collect. The sum runs EXACT in DECIMAL(38,0)
+    * (HUGEINT on the oracle — a plain Long sum would WRAP on Spark
+    * but RAISE on DuckDB past ~8 records, the precise
+    * silent-divergence class this fingerprint exists to catch), then
+    * reduces mod 2⁶¹ so the emitted column is a plain BIGINT on both
+    * engines. Exact to ~10²⁰ records.
+    */
+  private def recordFingerprint(rec: org.apache.spark.sql.Column) = {
+    val h = conv(substring(md5(rec), 1, 15), 16, 10)
+      .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    coalesce(pmod(sum(h), lit(1L << 61)).cast("long"), lit(0L))
   }
 }

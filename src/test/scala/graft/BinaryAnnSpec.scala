@@ -185,6 +185,34 @@ class BinaryAnnSpec extends SparkSpec {
     assert(got2 == got)
   }
 
+  /** BigInt replay of the integer-exact drift readout: 13-bit
+    * rescale by p = m div 2¹³ + 1 with floor division, then
+    * sign(dot)·⌊dot²·10¹²/(naq·nbq)⌋ and the HUGEINT-exact
+    * cross-multiplied gap — the same arithmetic the engine and the
+    * DuckDB oracle both run.
+    */
+  private def driftClosedForm(sums: Array[Array[Long]],
+                              ns: Array[Long]): (Long, BigInt) = {
+    val dims = sums(0).length
+    def floorDiv(x: Long, p: Long): Long = Math.floorDiv(x, p)
+    val m = (sums(0) ++ sums(1)).foldLeft(0L)((a, s) => math.max(a, math.abs(s)))
+    val p = m / 8192L + 1L
+    val ta = sums(0).map(floorDiv(_, p))
+    val tb = sums(1).map(floorDiv(_, p))
+    val dot = (0 until dims).map(i => ta(i) * tb(i)).sum
+    val naq = ta.map(t => t * t).sum
+    val nbq = tb.map(t => t * t).sum
+    val cos2 =
+      if (naq == 0L || nbq == 0L) Long.MinValue // sentinel: expect null
+      else (if (dot < 0) -1L else 1L) *
+        (BigInt(dot) * BigInt(dot) * BigInt(1000000000000L) /
+          (BigInt(naq) * BigInt(nbq))).toLong
+    val mcd = (0 until dims)
+      .map(i => (BigInt(sums(0)(i)) * ns(1) - BigInt(sums(1)(i)) * ns(0)).abs)
+      .foldLeft(BigInt(0))(_ max _)
+    (cos2, mcd)
+  }
+
   test("embedDrift replays closed-form: exact cross-multiplied gap + cohort counts") {
     val emb = Tables.embeddings(spark, sf)
     val row = Similarity.embedDrift(emb, pmod(col("vec_id"), lit(2)))
@@ -203,22 +231,57 @@ class BinaryAnnSpec extends SparkSpec {
       }
     }
     assert(row.getLong(0) == ns(0) && row.getLong(1) == ns(1))
-    val wantMax = (0 until dims)
-      .map(i => math.abs(sums(0)(i) * ns(1) - sums(1)(i) * ns(0))).max
-    assert(row.getLong(3) == wantMax)
+    val (wantCos2, wantMax) = driftClosedForm(sums, ns)
+    assert(BigInt(row.getLong(3)) == wantMax)
+    assert(row.getLong(2) == wantCos2)
+    // the fixed-point SIGNED cos² tracks sign(cos)·cos² of the float
+    // cosine to the rescale resolution (~2⁻¹³ relative)
     val ca = sums(0).map(s => s.toDouble.toFloat)
     val cb = sums(1).map(s => s.toDouble.toFloat)
-    val wantCos = math.floor(cosine(ca, cb) * 1e6).toLong
-    assert(row.getLong(2) == wantCos)
-    // identical cohorts drift nothing: cosine micro == 999999/1000000
-    // band and zero gap
+    val c = cosine(ca, cb)
+    assert(math.abs(row.getLong(2).toDouble / 1e12 - math.signum(c) * c * c) < 1e-3)
+    // identical cohorts drift nothing: cos² at the 1e12 ceiling band
+    // and zero gap
     val same = Similarity.embedDrift(
       emb.withColumn("vec_id", col("vec_id") * 2)
         .union(emb.withColumn("vec_id", col("vec_id") * 2 + 1)),
       pmod(col("vec_id"), lit(2)))
       .collect()(0)
     assert(same.getLong(3) == 0L)
-    assert(same.getLong(2) >= 999999L)
+    assert(same.getLong(2) >= 999999000000L && same.getLong(2) <= 1000000000000L)
+  }
+
+  test("embedDrift pins ragged/negative-id/NaN/empty-cohort semantics") {
+    import spark.implicits._
+    // ragged arrays (dims 3, 2, 0), a negative odd id (pmod keeps it
+    // in cohort 1; the oracle's ((x%2)+2)%2 matches), a NaN component
+    // (quantizes to 0), and an empty embedding (still COUNTED in its
+    // cohort — global counts, not per-position)
+    val df = Seq(
+      (0L, Seq(1.0f, 2.0f, 3.0f)),
+      (2L, Seq(0.5f, Float.NaN)),
+      (-1L, Seq(2.0f, -4.0f)),
+      (3L, Seq.empty[Float])
+    ).toDF("vec_id", "embedding")
+    val row = Similarity.embedDrift(df, pmod(col("vec_id"), lit(2)))
+      .collect()(0)
+    // cohort 0 = ids 0, 2 (n=2); cohort 1 = ids -1, 3 (n=2, the empty
+    // array counts)
+    assert(row.getLong(0) == 2L && row.getLong(1) == 2L)
+    // micro sums with absent positions = 0 and NaN = 0:
+    //   s_a = [1.5e6, 2e6, 3e6], s_b = [2e6, -4e6, 0]
+    val sums = Array(Array(1500000L, 2000000L, 3000000L),
+      Array(2000000L, -4000000L, 0L))
+    val (wantCos2, wantMax) = driftClosedForm(sums, Array(2L, 2L))
+    assert(row.getLong(2) == wantCos2)
+    assert(BigInt(row.getLong(3)) == wantMax)
+    // an empty cohort: cos² is NULL, the gap stays exact
+    val lone = Similarity.embedDrift(
+      Seq((0L, Seq(1.0f, -1.0f))).toDF("vec_id", "embedding"),
+      pmod(col("vec_id"), lit(2))).collect()(0)
+    assert(lone.getLong(0) == 1L && lone.getLong(1) == 0L)
+    assert(lone.isNullAt(2))
+    assert(lone.getLong(3) == 0L)
   }
 
   test("embedOutliers ranks ascending centroid cosine with vec_id ties") {

@@ -56,6 +56,17 @@ class IngestHostileSpec extends SparkSpec {
   /** Spark/DuckDB `length` semantics: CODE POINTS. */
   private def cps(s: String): Long = s.codePointCount(0, s.length).toLong
 
+  /** Closed-form replica of Ingest.recordFingerprint: Σ (first 15 hex
+    * chars of md5(utf8 bytes) as a 60-bit int) mod 2⁶¹.
+    */
+  private def fp(recs: Seq[String]): Long =
+    recs.map { r =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(r.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 15)
+      BigInt(java.lang.Long.parseLong(hex, 16))
+    }.sum.mod(BigInt(1L << 61)).toLong
+
   test("quarantine roundtrip matches closed-form aggregates on hostile text") {
     import spark.implicits._
     val docs = corpus.toDF("doc_id", "source", "text")
@@ -84,6 +95,29 @@ class IngestHostileSpec extends SparkSpec {
     assert(f("n_csv_quarantined") === csvBad.size.toLong)
     assert(f("sum_csv_quarantined_len") ===
       csvBad.map(r => cps(r._1.toString + ",notanumber")).sum)
+    // content-addressable diagnostics: the quarantine fingerprints
+    // match the md5-sum closed form over the exact raw-record bytes
+    assert(f("json_quarantine_fp") ===
+      fp(jsonBad.map(r => "{corrupt drop line for doc " + r._1)))
+    assert(f("csv_quarantine_fp") ===
+      fp(csvBad.map(r => r._1.toString + ",notanumber")))
+  }
+
+  test("quarantine aggregates are invariant to input partitioning (1 and 13 parts)") {
+    import spark.implicits._
+    // single-partition and many-partition drops write one vs many
+    // files per format; the aggregates (and fingerprints — Σ of
+    // per-record hashes, so file/partition order cannot matter) must
+    // land on the same bits. Kills the "parse split depends on file
+    // layout" environment hypothesis for the driver divergence.
+    val docs = corpus.toDF("doc_id", "source", "text")
+    val rows = Seq(1, 13).map { p =>
+      Ingest.quarantineRoundtrip(spark, docs.repartition(p),
+        Files.createTempDirectory(s"graft-hostile-p$p").toString).head()
+    }
+    assert(rows(0) === rows(1))
+    assert(rows(0).getLong(rows(0).fieldIndex("n_json_good")) ===
+      corpus.count(_._1 % 50 != 0).toLong)
   }
 
   test("jsonl zstd roundtrip is VALUE-exact on hostile text, not just length-exact") {

@@ -216,6 +216,12 @@ class LshSpec extends SparkSpec {
       maxHamming = 6))
     val minhash = key(LshDedup.minhashCandidates(d))
     assert(over === minhash)
+    // a caller-supplied count is trusted as-is (no recount action):
+    // the same 120-doc frame routes by the CLAIMED size
+    assert(key(LshDedup.nearDupCandidates(d, maxSimhashDocs = 1000,
+      maxHamming = 6, docCount = Some(5000L))) === minhash)
+    assert(key(LshDedup.nearDupCandidates(d, maxSimhashDocs = 10,
+      maxHamming = 6, docCount = Some(7L))) === simhash)
   }
 
   test("simhash two-level split: distinct-signature hot buckets are split, not dropped") {
