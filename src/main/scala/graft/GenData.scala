@@ -81,13 +81,14 @@ object GenData {
     val skewed = if (args.length > 3 && args(3) == "skew") 1
       else if (args.length > 3 && args(3) == "skew2") 2 else 0
     val zipfVocab = args.length > 3 && args(3) == "zipfvocab"
+    val hostile = args.length > 3 && args(3) == "hostile"
     val spark = SparkSession.builder()
       .appName("graft-gendata")
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
-    try generate(spark, outDir, sf, srcDir, skewed, zipfVocab)
+    try generate(spark, outDir, sf, srcDir, skewed, zipfVocab, hostile)
     finally spark.stop()
   }
 
@@ -102,7 +103,8 @@ object GenData {
     */
   def generate(spark: SparkSession, outDir: String, sf: Double,
                srcDir: String, skewed: Int = 0,
-               zipfVocab: Boolean = false): Unit = {
+               zipfVocab: Boolean = false,
+               hostile: Boolean = false): Unit = {
     def n(t: String): Long = math.max(1L, (base(t) * sf).toLong)
     // SPARK_GRAFT_GEN_TABLES restricts generation to the named tables
     // (e.g. "documents" for a corpus-only variant set) — each table's
@@ -132,7 +134,7 @@ object GenData {
     if (want("events"))
       writeSingle(events(spark, n("events"), skewed), outDir, "events")
     if (want("documents"))
-      writeSingle(documents(spark, n("documents"), skewed, zipfVocab),
+      writeSingle(documents(spark, n("documents"), skewed, zipfVocab, hostile),
         outDir, "documents")
     if (want("embeddings"))
       // SPARK_GRAFT_EMB_DIMS: dimensionality for the binary-ANN
@@ -300,7 +302,8 @@ object GenData {
     * produce a curve instead of a constant (graft.RecallBench).
     */
   def documents(spark: SparkSession, n: Long,
-                skewed: Int = 0, zipfVocab: Boolean = false): DataFrame = {
+                skewed: Int = 0, zipfVocab: Boolean = false,
+                hostile: Boolean = false): DataFrame = {
     val dupKind = ui("ddup", 1000, col("id"))
     val seed = when(col("id") > 0 && dupKind < 12,
       pmod(xxhash64(lit("dsrc"), col("id")), col("id"))).otherwise(col("id"))
@@ -323,12 +326,35 @@ object GenData {
         when(i === pmod(xxhash64(lit("dmp"), col("id")), col("n_words"))
             .cast("int"), subWord).otherwise(w)))
       .otherwise(col("words"))
+    // `hostile` garnishes ~40% of docs with the text shapes the stock
+    // corpus never contains — embedded newlines/CRLF/tabs, double and
+    // single quotes, commas, backslashes, precomposed accents, CJK,
+    // non-BMP emoji, U+2028/U+2029 line separators, leading/trailing
+    // spaces — as a pure function of doc_id (same rule both engines'
+    // views of the parquet see). Deliberately NO combining marks or
+    // NULs: code point == grapheme keeps Spark/DuckDB length and
+    // substring semantics aligned (the oracles' contract), and the
+    // point of the axis is hostile CONTENT, not divergent Unicode
+    // segmentation models. Everything else (sizes, dup structure,
+    // sources, schema) is identical to the stock corpus.
+    val plainText = array_join(mutated, " ")
+    val hostileText = {
+      val h = pmod(xxhash64(lit("dhost"), col("id")), lit(10L))
+      when(h === 0L, concat(plainText,
+          lit("\nnew\"line, back\\slash é 😀 end")))
+        .when(h === 1L, concat(lit("\t\"lead 中文漢字,\\ quote'\r\n"),
+          plainText))
+        .when(h === 2L, concat(lit("  "), plainText, lit("  ")))
+        .when(h === 3L, concat(plainText,
+          lit("\u2028ls\u2029ps 'mixé' ,,\\\\ 😀🤖")))
+        .otherwise(plainText)
+    }
     spark.range(n)
       .withColumn("kind", dupKind)
       .withColumn("seed", seed)
       .withColumn("n_words", nWords)
       .withColumn("words", words)
-      .withColumn("text", array_join(mutated, " "))
+      .withColumn("text", if (hostile) hostileText else plainText)
       .select(
         col("id").as("doc_id"),
         col("text"),
