@@ -30,6 +30,23 @@ object Prof {
           graft.sources.Tables.documents(spark, sf), threshold = 0.8)
           .select(col("doc_a"), col("doc_b")).localCheckpoint()
         (_, _) => graft.operators.Dedup.connectedComponents(p)
+      case "_pipeline_tiers" => (s, d) => {
+        // per-tier wall for the staged funnel: onTierWritten fires at
+        // each tier's commit, so consecutive deltas attribute the
+        // run's cost to stages (the q_pipeline_full creep forensics)
+        val t0 = System.nanoTime()
+        val lastRef = new java.util.concurrent.atomic.AtomicLong(t0)
+        graft.operators.Curation.fullPipelineStaged(
+          graft.sources.Tables.documents(s, d),
+          java.nio.file.Files.createTempDirectory("graft_prof_tiers")
+            .toString,
+          onTierWritten = name => {
+            val now = System.nanoTime()
+            val last = lastRef.getAndSet(now)
+            println(f"  tier $name%-16s +${(now - last) / 1e9}%6.2f s" +
+              f"  (cum ${(now - t0) / 1e9}%6.2f)")
+          })
+      }
       case n => SparkEntry.queries(n)
     }
     for (round <- 1 to 3) {
