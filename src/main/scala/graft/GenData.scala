@@ -418,9 +418,22 @@ object GenData {
     import org.apache.hadoop.fs.Path
     val spark = df.sparkSession
     val tmp = s"$dir/.gen_tmp_$name"
-    df.coalesce(1).write.mode("overwrite")
+    // Materialize the generated frame in PARALLEL first, then make
+    // the single file from an IO-only read-back: coalesce(1) directly
+    // on the generator frame collapses the expression evaluation
+    // itself into ONE task (measured: the 512k dim-768 embeddings —
+    // ~1.2e9 hash draws — crawled at ~6 MB/min single-threaded; the
+    // two-pass form generates in minutes and the coalesce pass just
+    // copies bytes). Read-back preserves values AND order: the file
+    // index lists part files lexicographically = partition order,
+    // rows stay in file order, so sorted frames (events) stay sorted.
+    val wide = s"$dir/.gen_wide_$name"
+    df.write.mode("overwrite").parquet(wide)
+    spark.read.parquet(wide).coalesce(1).write.mode("overwrite")
       .option("parquet.block.size", (8 * 1024 * 1024).toString)
       .parquet(tmp)
+    val fsw = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    fsw.delete(new Path(wide), true)
     val conf = spark.sessionState.newHadoopConf()
     val fs = new Path(dir).getFileSystem(conf)
     val part = fs.listStatus(new Path(tmp)).map(_.getPath)
