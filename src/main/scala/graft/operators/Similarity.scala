@@ -679,12 +679,16 @@ object Similarity {
     * ~51k-member tight clusters whose within-cluster angular gaps
     * are below what 1 bit/dim can rank at any dimensionality
     * (hamming still carries ~5× chance signal — 0.51 vs the 0.098 a
-    * random 5000-of-51k draw would score — just not enough). Fine
+    * random 5000-of-51k draw would score — just not enough). The
+    * dimensionality-independence is now MEASURED, not predicted: a
+    * dim-768 512k re-run (ANNBENCH_r14) lands on the same ceiling
+    * again — sym 0.52 / asym 0.60 at coarseK=5000 with collisions
+    * long gone (511,263 distinct patterns, max clique 3). Fine
     * kNN over tightly-clustered corpora (the semantic-dedup regime)
     * is an [[annInt8]]-or-better job (0.94-0.96 at coarseK=100,
-    * both dims, same bench); the 1-bit tier fits corpora whose true
-    * neighbors are well separated from the bulk, and recall-tolerant
-    * prescreens.
+    * dims 64/256/768, same bench); the 1-bit tier fits corpora whose
+    * true neighbors are well separated from the bulk, and
+    * recall-tolerant prescreens — at ANY dimensionality.
     */
   def annBinary(vectors: DataFrame, queries: DataFrame, topK: Int,
                 coarseK: Int): DataFrame =
@@ -742,12 +746,17 @@ object Similarity {
     * corpus collapses to 325k distinct sign patterns with hot
     * cliques of ~1000 identical-signature vectors, and within a
     * clique NO sign-only score (symmetric or asymmetric) can
-    * discriminate, so ties fall to vec_id. 1-bit/dim at dim 64 over
-    * clustered data is recall-capped by construction; int8 (recall
-    * 0.94 at coarseK=100, same bench) is the quantized tier for
-    * low-dim embeddings, and the binary tier earns its 32×
-    * compression at the high dimensionalities (768+) where distinct
-    * sign patterns vastly outnumber vectors.
+    * discriminate, so ties fall to vec_id. The asym margin SURVIVES
+    * high dimensionality but the ceiling does too: at dim 256 AND
+    * dim 768 (collisions eliminated — 509k/511k distinct patterns,
+    * max clique 3) the measured envelope is still 0.52 sym / 0.60
+    * asym at coarseK=5000 (ANNBENCH_r14), because the binding limit
+    * is the within-cluster resolution floor documented at
+    * [[annBinary]], which no dimensionality fixes on clustered
+    * corpora. int8 (recall 0.94-0.96 at coarseK=100, dims
+    * 64/256/768) is the quantized tier wherever true neighbors share
+    * a tight cluster; the 1-bit tiers (sym and asym) are
+    * separated-neighbor / prescreen tools at any dim.
     */
   def annBinaryAsym(vectors: DataFrame, queries: DataFrame, topK: Int,
                     coarseK: Int): DataFrame =
