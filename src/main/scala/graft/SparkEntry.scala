@@ -2861,6 +2861,26 @@ object SparkEntry {
       // oracle lands on identical bits on any DuckDB version
       Similarity.embedDrift(Tables.embeddings(s, dir),
         pmod(col("vec_id"), lit(2)))),
+    "q_stream_drift" -> ((s, dir) => {
+      // the SAME drift-screen semantics through Structured Streaming:
+      // Similarity.driftSums runs unchanged on the embeddings file
+      // stream (stateless posexplode_outer + ONE standard streaming
+      // aggregation, dims+1 state rows), the complete-mode memory
+      // sink holds the per-dimension state, and the integer-exact
+      // readout folds it to the one-row screen — bit-identical to
+      // batch because the sums are additive integers, so it shares
+      // q_embed_drift's DuckDB oracle verbatim. This is the standing
+      // monitor shape: at 100 TB the state is dims+1 rows regardless
+      // of corpus size, and each micro-batch shuffles only its
+      // map-side-combined partials.
+      import graft.streaming.CandleStream
+      s.catalog.dropTempView("q_stream_drift_sink")
+      Similarity.driftReadout(
+        CandleStream.runBoundedToMemory(s,
+          Similarity.driftSums(Tables.embeddingsStream(s, dir),
+            pmod(col("vec_id"), lit(2))),
+          "q_stream_drift_sink"))
+    }),
     "q_embed_outlier" -> ((s, dir) =>
       // embedding-space outlier screen: bottom-40 by cosine to the
       // corpus centroid DIRECTION (exact long sums of micro-quantized
@@ -3234,6 +3254,60 @@ object SparkEntry {
       |          i -> (q.qv[i]-c.cent[i])*(q.qv[i]-c.cent[i]))), c.cluster) AS rn
       |    FROM q, c2 c) WHERE rn = 1
       |)""".stripMargin
+
+  /** q_embed_drift's integer-exact replica — shared verbatim by
+    * q_stream_drift (the streamed state is additive integer sums,
+    * so the completed monitor equals the batch screen bit-for-bit).
+    */
+  private val driftSql: String =
+    """WITH e AS (
+        |  SELECT CAST(((vec_id % 2) + 2) % 2 AS INTEGER) AS cohort,
+        |         embedding::DOUBLE[] AS emb
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT
+        |    coalesce(sum(CASE WHEN cohort = 0 THEN 1 ELSE 0 END), 0) AS n_a,
+        |    coalesce(sum(CASE WHEN cohort = 1 THEN 1 ELSE 0 END), 0) AS n_b
+        |  FROM e
+        |), d AS (
+        |  SELECT i,
+        |    sum(CASE WHEN cohort = 0 THEN
+        |      CASE WHEN emb[i] IS NULL OR isnan(emb[i]) THEN 0
+        |           ELSE CAST(floor(emb[i] * 1000000) AS BIGINT) END
+        |      ELSE 0 END) AS s_a,
+        |    sum(CASE WHEN cohort = 1 THEN
+        |      CASE WHEN emb[i] IS NULL OR isnan(emb[i]) THEN 0
+        |           ELSE CAST(floor(emb[i] * 1000000) AS BIGINT) END
+        |      ELSE 0 END) AS s_b
+        |  FROM e, (SELECT unnest(generate_series(1,
+        |    (SELECT max(len(emb)) FROM e))) AS i) ix
+        |  WHERE i <= len(emb)
+        |  GROUP BY i
+        |), t AS (
+        |  SELECT i, s_a, s_b,
+        |    (s_a - ((s_a % p) + p) % p) // p AS ta,
+        |    (s_b - ((s_b % p) + p) % p) // p AS tb
+        |  FROM d, (SELECT coalesce(max(greatest(abs(s_a), abs(s_b))), 0)
+        |             // 8192 + 1 AS p FROM d) pp
+        |), q AS (
+        |  SELECT
+        |    coalesce(sum(ta * tb), 0) AS dot,
+        |    coalesce(sum(ta * ta), 0) AS naq,
+        |    coalesce(sum(tb * tb), 0) AS nbq,
+        |    coalesce(max(abs(CAST(s_a AS HUGEINT) * (SELECT n_b FROM n)
+        |      - CAST(s_b AS HUGEINT) * (SELECT n_a FROM n))), 0) AS mcd
+        |  FROM t
+        |)
+        |SELECT n_a, n_b,
+        |  CASE WHEN naq = 0 OR nbq = 0 THEN NULL
+        |       ELSE (CASE WHEN dot < 0 THEN -1 ELSE 1 END) *
+        |         CAST((CAST(dot AS HUGEINT) * CAST(dot AS HUGEINT)
+        |               * CAST(1000000000000 AS HUGEINT))
+        |              // (CAST(naq AS HUGEINT) * CAST(nbq AS HUGEINT))
+        |              AS BIGINT)
+        |  END AS centroid_cos2_e12,
+        |  CAST(mcd AS BIGINT) AS max_cross_diff
+        |FROM q, n""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_bpe_train" -> bpeOracleSql(3),
@@ -5577,55 +5651,8 @@ object SparkEntry {
     // ((x%2)+2)%2 keeps negative vec_ids in-domain like the engine's
     // pmod; the non-negative-remainder floor-div trick makes // and
     // DIV agree on negative sums.
-    "q_embed_drift" ->
-      """WITH e AS (
-        |  SELECT CAST(((vec_id % 2) + 2) % 2 AS INTEGER) AS cohort,
-        |         embedding::DOUBLE[] AS emb
-        |  FROM embeddings
-        |), n AS (
-        |  SELECT
-        |    coalesce(sum(CASE WHEN cohort = 0 THEN 1 ELSE 0 END), 0) AS n_a,
-        |    coalesce(sum(CASE WHEN cohort = 1 THEN 1 ELSE 0 END), 0) AS n_b
-        |  FROM e
-        |), d AS (
-        |  SELECT i,
-        |    sum(CASE WHEN cohort = 0 THEN
-        |      CASE WHEN emb[i] IS NULL OR isnan(emb[i]) THEN 0
-        |           ELSE CAST(floor(emb[i] * 1000000) AS BIGINT) END
-        |      ELSE 0 END) AS s_a,
-        |    sum(CASE WHEN cohort = 1 THEN
-        |      CASE WHEN emb[i] IS NULL OR isnan(emb[i]) THEN 0
-        |           ELSE CAST(floor(emb[i] * 1000000) AS BIGINT) END
-        |      ELSE 0 END) AS s_b
-        |  FROM e, (SELECT unnest(generate_series(1,
-        |    (SELECT max(len(emb)) FROM e))) AS i) ix
-        |  WHERE i <= len(emb)
-        |  GROUP BY i
-        |), t AS (
-        |  SELECT i, s_a, s_b,
-        |    (s_a - ((s_a % p) + p) % p) // p AS ta,
-        |    (s_b - ((s_b % p) + p) % p) // p AS tb
-        |  FROM d, (SELECT coalesce(max(greatest(abs(s_a), abs(s_b))), 0)
-        |             // 8192 + 1 AS p FROM d) pp
-        |), q AS (
-        |  SELECT
-        |    coalesce(sum(ta * tb), 0) AS dot,
-        |    coalesce(sum(ta * ta), 0) AS naq,
-        |    coalesce(sum(tb * tb), 0) AS nbq,
-        |    coalesce(max(abs(CAST(s_a AS HUGEINT) * (SELECT n_b FROM n)
-        |      - CAST(s_b AS HUGEINT) * (SELECT n_a FROM n))), 0) AS mcd
-        |  FROM t
-        |)
-        |SELECT n_a, n_b,
-        |  CASE WHEN naq = 0 OR nbq = 0 THEN NULL
-        |       ELSE (CASE WHEN dot < 0 THEN -1 ELSE 1 END) *
-        |         CAST((CAST(dot AS HUGEINT) * CAST(dot AS HUGEINT)
-        |               * CAST(1000000000000 AS HUGEINT))
-        |              // (CAST(naq AS HUGEINT) * CAST(nbq AS HUGEINT))
-        |              AS BIGINT)
-        |  END AS centroid_cos2_e12,
-        |  CAST(mcd AS BIGINT) AS max_cross_diff
-        |FROM q, n""".stripMargin,
+    "q_embed_drift" -> driftSql,
+    "q_stream_drift" -> driftSql,
     // centroid direction = per-dimension exact BIGINT sums of
     // floor(v*1e6), then the same double→float→double cast chain the
     // engine's array<float> cosine kernel sees — integer summation

@@ -838,7 +838,22 @@ object Similarity {
     * (including null) are ignored.
     */
   def embedDrift(vectors: DataFrame,
-                 cohort: org.apache.spark.sql.Column): DataFrame = {
+                 cohort: org.apache.spark.sql.Column): DataFrame =
+    driftReadout(driftSums(vectors, cohort))
+
+  /** The drift STATE frame behind [[embedDrift]]: per-dimension
+    * (pos, s_a, s_b, h_a, h_b) — exact micro-quantized component sums
+    * and first-row vector-count markers per cohort. This is the
+    * persistable / incrementally-maintainable artifact (integer sums
+    * are additive across corpus deltas and micro-batches); the
+    * one-row screen is [[driftReadout]] over it. Also valid on a
+    * STREAMING frame: posexplode_outer is stateless, the groupBy is
+    * one standard streaming aggregation (dims+1 state rows), so the
+    * same code runs as the q_stream_drift monitor under complete
+    * mode.
+    */
+  def driftSums(vectors: DataFrame,
+                cohort: org.apache.spark.sql.Column): DataFrame = {
     // ONE corpus scan: both cohorts' per-dimension sums and vector
     // counts come from a single conditional aggregate over the
     // exploded frame (a per-cohort filter formulation plans FOUR
@@ -850,7 +865,7 @@ object Similarity {
     // of an empty array).
     val micro = when(col("v").isNull || isnan(col("v").cast("double")), 0L)
       .otherwise(floor(col("v").cast("double") * lit(1e6)).cast("long"))
-    val g = vectors
+    vectors
       .select(cohort.cast("int").as("cohort"),
         posexplode_outer(col("embedding")).as(Seq("pos", "v")))
       .groupBy(col("pos"))
@@ -863,6 +878,15 @@ object Similarity {
         sum(when(col("cohort") === 1 &&
           (col("pos").isNull || col("pos") === 0), 1L).otherwise(0L))
           .as("h_b"))
+  }
+
+  /** The one-row integer-exact drift screen over a [[driftSums]]
+    * frame (fresh, persisted, incrementally folded, or a streaming
+    * monitor's completed state — sums are additive, so any of those
+    * yields the same bits). See [[embedDrift]] for the readout
+    * contract.
+    */
+  def driftReadout(g: DataFrame): DataFrame = {
     // Single-row readout: global counts = Σ first-row markers across
     // the dims+1 groups; the per-dimension sums ride along as
     // pos-sorted arrays so the integer-exact readout below never

@@ -152,6 +152,17 @@ object Tables {
         .option("pathGlobFilter", "documents.parquet").parquet(dir),
       "doc_id"))
 
+  /** The embeddings table as a file-source stream (the
+    * vectors-arriving-with-the-corpus shape the streaming drift
+    * monitor consumes). Same schema-from-batch-footer and
+    * sample/chaos hooks as [[documentsStream]].
+    */
+  def embeddingsStream(spark: SparkSession, dir: String): DataFrame =
+    graft.Chaos.maybeInject(maybeSample(
+      spark.readStream.schema(embeddings(spark, dir).schema)
+        .option("pathGlobFilter", "embeddings.parquet").parquet(dir),
+      "vec_id"))
+
   /** Streaming read of the same events table (file source). Schema
     * must be supplied for streams — we derive it from the batch file's
     * footer so the two paths can never diverge. (An explicit `ts:
