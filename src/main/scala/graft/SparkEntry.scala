@@ -2861,6 +2861,26 @@ object SparkEntry {
       // oracle lands on identical bits on any DuckDB version
       Similarity.embedDrift(Tables.embeddings(s, dir),
         pmod(col("vec_id"), lit(2)))),
+    "q_embed_drift_incr" -> ((s, dir) => {
+      // incremental drift maintenance (DriftStore): the corpus arrives
+      // as three snapshot deltas; each is reduced ALONE to its dims+1
+      // sums rows and folded into the store (one append re-driven to
+      // exercise the batch-id idempotence probe), then the screen
+      // reads the store alone. Additive integer sums ⇒ must equal the
+      // full recompute bit-for-bit — same oracle as q_embed_drift,
+      // verbatim (the q_dsir_incr precedent).
+      val emb = Tables.embeddings(s, dir)
+      val cohort = pmod(col("vec_id"), lit(2))
+      val batchOf = pmod(col("vec_id"), lit(3L))
+      val store = scratchStorePath("graft-drift", dir)
+      graft.operators.DriftStore.write(emb.filter(batchOf === 0L), cohort, store, 0L)
+      graft.operators.DriftStore.append(emb.filter(batchOf === 1L), cohort, store, 1L)
+      // a foreachBatch RETRY re-delivers a batch: the batch-id probe
+      // must make the re-append a no-op, not a double count
+      graft.operators.DriftStore.append(emb.filter(batchOf === 1L), cohort, store, 1L)
+      graft.operators.DriftStore.append(emb.filter(batchOf === 2L), cohort, store, 2L)
+      graft.operators.DriftStore.screen(s, store)
+    }),
     "q_stream_drift" -> ((s, dir) => {
       // the SAME drift-screen semantics through Structured Streaming:
       // Similarity.driftSums runs unchanged on the embeddings file
@@ -5653,6 +5673,7 @@ object SparkEntry {
     // DIV agree on negative sums.
     "q_embed_drift" -> driftSql,
     "q_stream_drift" -> driftSql,
+    "q_embed_drift_incr" -> driftSql,
     // centroid direction = per-dimension exact BIGINT sums of
     // floor(v*1e6), then the same double→float→double cast chain the
     // engine's array<float> cosine kernel sees — integer summation
