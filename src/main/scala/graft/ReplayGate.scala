@@ -216,6 +216,7 @@ object ReplayGate {
                    root: String, chk: String,
                    crashAt: Map[Long, String]): IngestReport = {
     val ivfPath = s"$root/ivf"
+    val driftPath = s"$root/drift"
     val schema = Tables.embeddings(spark, sfDir).schema
     val batches = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
     val plan = new CrashPlan(crashAt)
@@ -232,6 +233,19 @@ object ReplayGate {
         try {
           if (plan.fire(id, "pre"))
             throw new InjectedCrash(s"$Marker (pre, batch $id)")
+          // drift fold rides the same batch, keyed by foreachBatch's
+          // OWN id — the real replay unit. Folding BEFORE the ivf
+          // block and the "mid" crash means a mid-crashed batch has
+          // drift sums landed but the epoch uncommitted: the replay
+          // re-delivers the batch and the batch-id probe must no-op
+          // (a doc-presence probe can't protect SUMS — this is the
+          // DriftStore idempotence contract under genuine replay)
+          if (!exists(spark, driftPath))
+            graft.operators.DriftStore.write(vecs,
+              pmod(col("vec_id"), lit(2)), driftPath, id)
+          else
+            graft.operators.DriftStore.append(vecs,
+              pmod(col("vec_id"), lit(2)), driftPath, id)
           if (!exists(spark, s"$ivfPath/index")) IvfStore.write(vecs, ivfPath, nCells = 8)
           else {
             IvfStore.append(vecs, ivfPath)
@@ -496,6 +510,15 @@ object ReplayGate {
     val postMatch = storesEqual("posting")
     val ivfMatch = storesEqual("ivf/index")
     val candleMatch = storesEqual("candles")
+    // drift folds are per-batch rows keyed by batch_id; clean and
+    // crashed runs must land identical stores AND the crashed fold's
+    // screen must equal the one-shot batch screen bit-for-bit
+    val driftMatch = storesEqual("drift")
+    val driftVsFull = java.util.Arrays.equals(
+      canon(graft.operators.DriftStore.screen(spark, s"$work/crashed/drift"))
+        .asInstanceOf[Array[AnyRef]],
+      canon(Similarity.embedDrift(emb, pmod(col("vec_id"), lit(2))))
+        .asInstanceOf[Array[AnyRef]])
     // the stateful path must also equal the batch aggregation — state
     // rollback + update-mode re-emission + merge idempotence end to end
     val candleVsFull = java.util.Arrays.equals(
@@ -546,9 +569,9 @@ object ReplayGate {
     val replayedDoc = crashedDoc.batches.groupBy(identity)
       .count { case (_, v) => v.size > 1 }
     val allMatch = dsirMatch && bandMatch && postMatch && ivfMatch &&
-      candleMatch &&
+      candleMatch && driftMatch &&
       dsirVsFull && bandVsFull && postVsFull && ivfVsFull &&
-      candleVsFull &&
+      candleVsFull && driftVsFull &&
       crashedDoc.crashes == 3 && crashedIvf.crashes == 1 &&
       crashedCandle.crashes == 2 &&
       crashedDoc.partiallyAppliedDocs > 0L &&
@@ -570,6 +593,7 @@ object ReplayGate {
       s""""dsir_vs_full":$dsirVsFull,"band_vs_full":$bandVsFull,""" +
       s""""posting_vs_full":$postVsFull,"ivf_vs_full":$ivfVsFull,""" +
       s""""candle_vs_full":$candleVsFull,""" +
+      s""""drift_match":$driftMatch,"drift_vs_full":$driftVsFull,""" +
       s""""pipeline_match":$pipeMatch,""" +
       s""""pipeline_tiers_untouched":$pipeUntouched,""" +
       s""""pipeline_vs_inmem":$pipeVsInMem,""" +

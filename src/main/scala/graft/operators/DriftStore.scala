@@ -71,4 +71,23 @@ object DriftStore {
   /** The one-row integer-exact drift screen over the folded store. */
   def screen(spark: SparkSession, path: String): DataFrame =
     Similarity.driftReadout(sums(spark, path))
+
+  /** Compact the accumulated per-batch rows into one folded baseline
+    * (batches × dims rows → dims+1 rows). The baseline KEEPS the max
+    * folded batch_id: foreachBatch replay only ever re-delivers the
+    * LAST uncommitted batch (earlier ids are checkpoint-committed),
+    * so preserving that id keeps the idempotence probe correct across
+    * a compaction that races a crash — a re-delivered last batch
+    * still probes present. Same swap discipline and single-writer /
+    * maintenance-window contract as [[BandStore.compact]].
+    */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val tmp = path.stripSuffix("/") + ".compact.tmp"
+    val maxId = spark.read.parquet(path)
+      .agg(max(col("batch_id"))).collect()(0).getLong(0)
+    sums(spark, path)
+      .withColumn("batch_id", lit(maxId))
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    StoreOps.swapInPlace(spark, path, tmp)
+  }
 }

@@ -39,5 +39,21 @@ class DriftStoreSpec extends SparkSpec {
     val freshSums = Similarity.driftSums(df(b0 ++ b1 ++ b2), cohort)
       .collect().map(_.toString).sorted.toSeq
     assert(foldedSums === freshSums)
+
+    // compaction: batches×dims rows collapse to dims+1, screen
+    // unchanged; the preserved max batch_id keeps the replay probe
+    // correct (a re-delivered LAST batch still no-ops) while a new
+    // batch folds on top
+    DriftStore.compact(spark, store)
+    assert(spark.read.parquet(store).count() === 3L) // 2 dims + null-pos
+    assert(DriftStore.screen(spark, store).collect()(0) === oneShot)
+    DriftStore.append(df(b2), cohort, store, 2L) // replayed last batch
+    assert(DriftStore.screen(spark, store).collect()(0) === oneShot)
+    val b3 = Seq((6L, Seq(1.0f, 1.0f)), (7L, Seq(-2.0f, 0.5f)))
+    DriftStore.append(df(b3), cohort, store, 3L)
+    val grown = DriftStore.screen(spark, store).collect()(0)
+    val oneShotGrown = Similarity.embedDrift(
+      df(b0 ++ b1 ++ b2 ++ b3), cohort).collect()(0)
+    assert(grown === oneShotGrown)
   }
 }
