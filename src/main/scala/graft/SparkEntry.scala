@@ -2861,6 +2861,13 @@ object SparkEntry {
       // oracle lands on identical bits on any DuckDB version
       Similarity.embedDrift(Tables.embeddings(s, dir),
         pmod(col("vec_id"), lit(2)))),
+    "q_embed_drift_dims" -> ((s, dir) =>
+      // the post-trip diagnosis: WHICH dimensions moved — top-10 by
+      // the exact cross-multiplied gap, integer arithmetic end to end
+      // like the screen itself
+      Similarity.embedDriftDims(Tables.embeddings(s, dir),
+        pmod(col("vec_id"), lit(2)), k = 10)
+        .orderBy(col("cross_diff").desc, col("pos"))),
     "q_embed_drift_incr" -> ((s, dir) => {
       // incremental drift maintenance (DriftStore): the corpus arrives
       // as three snapshot deltas; each is reduced ALONE to its dims+1
@@ -5674,6 +5681,40 @@ object SparkEntry {
     "q_embed_drift" -> driftSql,
     "q_stream_drift" -> driftSql,
     "q_embed_drift_incr" -> driftSql,
+    // per-dimension diagnosis replica: same micro-sum CTEs as the
+    // screen, HUGEINT cross products, top-k by exact gap. pos is
+    // 0-based engine-side; DuckDB's generate_series index i is
+    // 1-based, hence i-1.
+    "q_embed_drift_dims" ->
+      """WITH e AS (
+        |  SELECT CAST(((vec_id % 2) + 2) % 2 AS INTEGER) AS cohort,
+        |         embedding::DOUBLE[] AS emb
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT
+        |    coalesce(sum(CASE WHEN cohort = 0 THEN 1 ELSE 0 END), 0) AS n_a,
+        |    coalesce(sum(CASE WHEN cohort = 1 THEN 1 ELSE 0 END), 0) AS n_b
+        |  FROM e
+        |), d AS (
+        |  SELECT i,
+        |    sum(CASE WHEN cohort = 0 THEN
+        |      CASE WHEN emb[i] IS NULL OR isnan(emb[i]) THEN 0
+        |           ELSE CAST(floor(emb[i] * 1000000) AS BIGINT) END
+        |      ELSE 0 END) AS s_a,
+        |    sum(CASE WHEN cohort = 1 THEN
+        |      CASE WHEN emb[i] IS NULL OR isnan(emb[i]) THEN 0
+        |           ELSE CAST(floor(emb[i] * 1000000) AS BIGINT) END
+        |      ELSE 0 END) AS s_b
+        |  FROM e, (SELECT unnest(generate_series(1,
+        |    (SELECT max(len(emb)) FROM e))) AS i) ix
+        |  WHERE i <= len(emb)
+        |  GROUP BY i
+        |)
+        |SELECT CAST(i - 1 AS INTEGER) AS pos, s_a, s_b,
+        |  CAST(abs(CAST(s_a AS HUGEINT) * n_b
+        |         - CAST(s_b AS HUGEINT) * n_a) AS BIGINT) AS cross_diff
+        |FROM d, n
+        |ORDER BY cross_diff DESC, pos LIMIT 10""".stripMargin,
     // centroid direction = per-dimension exact BIGINT sums of
     // floor(v*1e6), then the same double→float→double cast chain the
     // engine's array<float> cosine kernel sees — integer summation

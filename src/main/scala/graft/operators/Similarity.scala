@@ -880,6 +880,38 @@ object Similarity {
           .as("h_b"))
   }
 
+  /** Per-dimension drift diagnosis: the `k` dimensions whose
+    * cross-multiplied mean gap |s_a·n_b − s_b·n_a| is largest —
+    * what a pipeline operator looks at AFTER [[embedDrift]] trips
+    * (WHICH directions of embedding space moved between cohorts,
+    * e.g. to map drifted dims back to feature groups / encoder
+    * versions). Emits (pos, s_a, s_b, cross_diff) ordered by gap
+    * desc with pos as the exact tie-break. Same integer-exactness
+    * contract as the screen: DECIMAL(38,0) cross products, global
+    * cohort counts, no floating point.
+    *
+    * Scale shape: one corpus scan into the dims+1-row [[driftSums]]
+    * frame (localCheckpoint'd so the counts fold and the per-dim
+    * compare reuse it without re-scanning), a 1-row counts broadcast,
+    * and a TakeOrderedAndProject top-k over dims rows — the readout
+    * work is dims-scaled regardless of corpus size.
+    */
+  def embedDriftDims(vectors: DataFrame,
+                     cohort: org.apache.spark.sql.Column,
+                     k: Int): DataFrame = {
+    val g = driftSums(vectors, cohort).localCheckpoint(true)
+    val n = g.agg(sum(col("h_a")).as("n_a"), sum(col("h_b")).as("n_b"))
+    g.filter(col("pos").isNotNull)
+      .crossJoin(broadcast(n))
+      .select(col("pos"), col("s_a"), col("s_b"),
+        abs(col("s_a").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+            * col("n_b")
+          - col("s_b").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+            * col("n_a")).cast("long").as("cross_diff"))
+      .orderBy(col("cross_diff").desc, col("pos"))
+      .limit(k)
+  }
+
   /** The one-row integer-exact drift screen over a [[driftSums]]
     * frame (fresh, persisted, incrementally folded, or a streaming
     * monitor's completed state — sums are additive, so any of those

@@ -282,6 +282,13 @@ class BinaryAnnSpec extends SparkSpec {
     assert(lone.getLong(0) == 1L && lone.getLong(1) == 0L)
     assert(lone.isNullAt(2))
     assert(lone.getLong(3) == 0L)
+    // the per-dimension diagnosis ranks the same frame's exact gaps:
+    // gaps per pos = |s_a·n_b − s_b·n_a| with n=(2,2) over the sums
+    // above = pos0 |1.5e6·2 − 2e6·2| = 1e6, pos1 |2e6·2 + 4e6·2| =
+    // 12e6, pos2 |3e6·2 − 0| = 6e6 → order (1, 2, 0)
+    val dims3 = Similarity.embedDriftDims(df, pmod(col("vec_id"), lit(2)),
+        k = 3).collect().map(r => (r.getInt(0), r.getLong(3)))
+    assert(dims3.toSeq == Seq((1, 12000000L), (2, 6000000L), (0, 1000000L)))
   }
 
   test("embedOutliers ranks ascending centroid cosine with vec_id ties") {
