@@ -2398,6 +2398,18 @@ object SparkEntry {
       // after the verify join; filter bits built distributed)
       graft.operators.Curation.contaminationReportBloom(Tables.documents(s, dir))
         .orderBy(col("doc_id"))),
+    "q_decontaminate_semantic" -> ((s, dir) => {
+      // embedding-space contamination: train vectors ≥ 0.35
+      // micro-cosine close to any eval vector (vec_id % 10 == 0 as
+      // the stand-in eval suite) — catches paraphrased leakage the
+      // n-gram screens miss; eval broadcasts, train scans once,
+      // integer-micro argmax tie-break
+      val emb = Tables.embeddings(s, dir)
+      val isEval = pmod(col("vec_id"), lit(10L)) === 0L
+      Similarity.semanticContamination(emb.filter(!isEval),
+          emb.filter(isEval), thresholdMicro = 350000L)
+        .orderBy(col("train_id"))
+    }),
     "q_pii_redact" -> ((s, dir) =>
       graft.operators.Curation.piiRedact(Tables.documents(s, dir))
         .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ids"),
@@ -4751,6 +4763,34 @@ object SparkEntry {
         |FROM grams JOIN ev USING (gram)
         |WHERE cohort = 'train'
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // semantic contamination replica: micro-floored cosine pairs over
+    // the train×eval cross join, argmax replayed as max(sim_micro)
+    // then min(eval_id) among the maxima — the integer tie-break the
+    // engine's max(struct(sim_micro, -eval_id)) computes
+    "q_decontaminate_semantic" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS emb,
+        |    ((vec_id % 10) + 10) % 10 = 0 AS is_eval
+        |  FROM embeddings
+        |), p AS (
+        |  SELECT t.vec_id AS train_id, v.vec_id AS eval_id,
+        |    CAST(floor(list_cosine_similarity(t.emb, v.emb) * 1000000)
+        |      AS BIGINT) AS sim_micro
+        |  FROM (SELECT * FROM e WHERE NOT is_eval) t,
+        |       (SELECT * FROM e WHERE is_eval) v
+        |), f AS (
+        |  SELECT * FROM p WHERE sim_micro >= 350000
+        |), g AS (
+        |  SELECT train_id, max(sim_micro) AS sim_micro,
+        |         count(*) AS n_hits
+        |  FROM f GROUP BY train_id
+        |)
+        |SELECT g.train_id AS train_id, min(f.eval_id) AS eval_id,
+        |       g.sim_micro AS sim_micro, g.n_hits AS n_hits
+        |FROM g JOIN f ON f.train_id = g.train_id
+        |  AND f.sim_micro = g.sim_micro
+        |GROUP BY g.train_id, g.sim_micro, g.n_hits
+        |ORDER BY g.train_id""".stripMargin,
     // same ground truth as q_decontaminate: the bloom prefilter is a
     // plan-level change only (false positives die in the verify join)
     "q_decontaminate_bloom" ->

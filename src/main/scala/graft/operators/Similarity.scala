@@ -880,6 +880,43 @@ object Similarity {
           .as("h_b"))
   }
 
+  /** Semantic decontamination screen: flag every train vector whose
+    * embedding is ≥ `thresholdMicro` (micro-floored cosine) close to
+    * ANY eval-set vector — the embedding-space analogue of the n-gram
+    * [[graft.operators.Curation]] decontaminate pass, catching
+    * paraphrased/reformatted benchmark leakage that exact n-grams
+    * miss (the SemDeDup-style contamination screen). Emits one row
+    * per flagged train vector: (train_id, eval_id, sim_micro,
+    * n_hits) where eval_id is the closest eval vector (micro-cosine
+    * desc, eval_id asc — the argmax compares INTEGER micro scores, so
+    * the tie-break is engine-exact) and n_hits counts eval vectors
+    * over the threshold.
+    *
+    * Scale shape: the eval frame broadcasts (benchmark suites are
+    * thousands of vectors — KB–MB); the train side scans ONCE with
+    * the cosine + threshold filter map-side, so the groupBy argmax
+    * shuffles only FLAGGED rows (contamination is rare by
+    * construction). For eval sets too big to broadcast, run the
+    * [[annInt8]]/[[annIvf]] index tiers instead — this is the exact
+    * screen, shaped like [[knnBrute]] with the roles reversed.
+    */
+  def semanticContamination(train: DataFrame, eval: DataFrame,
+                            thresholdMicro: Long): DataFrame =
+    train.select(col("vec_id").as("train_id"),
+        col("embedding").as("t_emb"))
+      .crossJoin(broadcast(eval.select(col("vec_id").as("eval_id"),
+        col("embedding").as("e_emb"))))
+      .select(col("train_id"), col("eval_id"),
+        floor(cosine_sim(col("t_emb"), col("e_emb")) * lit(1e6))
+          .cast("long").as("sim_micro"))
+      .filter(col("sim_micro") >= thresholdMicro)
+      .groupBy(col("train_id"))
+      .agg(max(struct(col("sim_micro"),
+          (-col("eval_id")).as("neg_eval"))).as("m"),
+        count(lit(1)).as("n_hits"))
+      .select(col("train_id"), (-col("m.neg_eval")).as("eval_id"),
+        col("m.sim_micro").as("sim_micro"), col("n_hits"))
+
   /** Per-dimension drift diagnosis: the `k` dimensions whose
     * cross-multiplied mean gap |s_a·n_b − s_b·n_a| is largest —
     * what a pipeline operator looks at AFTER [[embedDrift]] trips

@@ -291,6 +291,30 @@ class BinaryAnnSpec extends SparkSpec {
     assert(dims3.toSeq == Seq((1, 12000000L), (2, 6000000L), (0, 1000000L)))
   }
 
+  test("semanticContamination replays closed-form: micro-cosine flags + integer argmax tie-break") {
+    val emb = Tables.embeddings(spark, sf)
+    val rows = emb.collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val (ev, tr) = rows.partition(_._1 % 10 == 0)
+    val th = 350000L
+    val got = Similarity.semanticContamination(
+        emb.filter(pmod(col("vec_id"), lit(10L)) =!= 0L),
+        emb.filter(pmod(col("vec_id"), lit(10L)) === 0L), th)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val want = tr.flatMap { case (tid, te) =>
+      val hits = ev.map { case (eid, ee) =>
+        (eid, math.floor(cosine(te, ee) * 1e6).toLong)
+      }.filter(_._2 >= th)
+      if (hits.isEmpty) None
+      else {
+        val best = hits.maxBy { case (eid, s) => (s, -eid) }
+        Some((tid, best._1, best._2, hits.length.toLong))
+      }
+    }.sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+    assert(got.nonEmpty) // the threshold bites on this corpus
+  }
+
   test("embedOutliers ranks ascending centroid cosine with vec_id ties") {
     val emb = Tables.embeddings(spark, sf)
     val got = Similarity.embedOutliers(emb, k = 15)
