@@ -3294,6 +3294,27 @@ object SparkEntry {
       |    FROM q, c2 c) WHERE rn = 1
       |)""".stripMargin
 
+  /** The quarantine content fingerprint replica (Σ 60-bit md5
+    * prefixes mod 2⁶¹, exact in HUGEINT — Ingest.recordFingerprint),
+    * with the hex→int parse written as a Horner fold whose digit
+    * lookup is a literal CASE table — CASE/substr/md5/arithmetic are
+    * the only constructs, every one already proven on the driver's
+    * checker by long-green oracles. A `('0x'||hex)::BIGINT` cast (or
+    * even strpos) parses on the LOCAL DuckDB but has no driver
+    * precedent, and the whole point of this column is to be readable
+    * on ANY checker version. The md5 re-evaluates per digit —
+    * irrelevant at quarantine row counts.
+    */
+  private def fpSql(recExpr: String): String = {
+    val digit = "0123456789abcdef".zipWithIndex
+      .map { case (c, v) => s"WHEN '$c' THEN $v" }.mkString(" ")
+    val horner = (1 to 15).foldLeft("CAST(0 AS BIGINT)") { (acc, i) =>
+      s"($acc * 16 + (CASE substr(md5($recExpr), $i, 1) $digit END))"
+    }
+    s"coalesce(CAST(sum(CAST($horner AS HUGEINT))" +
+      " % 2305843009213693952 AS BIGINT), 0)"
+  }
+
   /** q_embed_drift's integer-exact replica — shared verbatim by
     * q_stream_drift (the streamed state is additive integer sums,
     * so the completed monitor equals the batch screen bit-for-bit).
@@ -4893,7 +4914,7 @@ object SparkEntry {
     // Ingest.recordFingerprint): a future driver red discriminates
     // "roundtrip content differs" from "parse split differs" in one bit
     "q_ingest_quarantine" ->
-      """SELECT * FROM
+      s"""SELECT * FROM
         | (SELECT count(*) AS n_json_good,
         |         sum(doc_id) AS sum_json_good_ids,
         |         sum(length(text)) AS sum_json_good_text_len
@@ -4902,10 +4923,8 @@ object SparkEntry {
         | (SELECT count(*) AS n_json_quarantined,
         |         sum(length('{corrupt drop line for doc '
         |                    || CAST(doc_id AS VARCHAR))) AS sum_json_quarantined_len,
-        |         coalesce(CAST(sum(CAST(CAST(('0x' || substr(md5(
-        |             '{corrupt drop line for doc ' || CAST(doc_id AS VARCHAR)
-        |           ), 1, 15)) AS BIGINT) AS HUGEINT))
-        |           % 2305843009213693952 AS BIGINT), 0) AS json_quarantine_fp
+        |         ${fpSql("'{corrupt drop line for doc ' || CAST(doc_id AS VARCHAR)")}
+        |           AS json_quarantine_fp
         |  FROM documents WHERE doc_id % 50 = 0)
         |CROSS JOIN
         | (SELECT count(*) AS n_csv_good,
@@ -4915,10 +4934,8 @@ object SparkEntry {
         | (SELECT count(*) AS n_csv_quarantined,
         |         sum(length(CAST(doc_id AS VARCHAR)
         |                    || ',notanumber')) AS sum_csv_quarantined_len,
-        |         coalesce(CAST(sum(CAST(CAST(('0x' || substr(md5(
-        |             CAST(doc_id AS VARCHAR) || ',notanumber'
-        |           ), 1, 15)) AS BIGINT) AS HUGEINT))
-        |           % 2305843009213693952 AS BIGINT), 0) AS csv_quarantine_fp
+        |         ${fpSql("CAST(doc_id AS VARCHAR) || ',notanumber'")}
+        |           AS csv_quarantine_fp
         |  FROM documents WHERE doc_id % 71 = 0)
         |""".stripMargin,
     "q_corpus_intake" ->
