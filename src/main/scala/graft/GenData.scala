@@ -339,7 +339,11 @@ object GenData {
     // sources, schema) is identical to the stock corpus.
     val plainText = array_join(mutated, " ")
     val hostileText = {
-      val h = pmod(xxhash64(lit("dhost"), col("id")), lit(10L))
+      // keyed on SEED, not id: a dup copy must inherit its source's
+      // garnish so exact-dup pairs stay byte-identical and near-dup
+      // pairs still differ by exactly one token on the hostile corpus
+      // (the dedup/LSH queries' dup structure is the point of the axis)
+      val h = pmod(xxhash64(lit("dhost"), col("seed")), lit(10L))
       when(h === 0L, concat(plainText,
           lit("\nnew\"line, back\\slash é 😀 end")))
         .when(h === 1L, concat(lit("\t\"lead 中文漢字,\\ quote'\r\n"),
@@ -424,12 +428,20 @@ object GenData {
     // itself into ONE task (measured: the 512k dim-768 embeddings —
     // ~1.2e9 hash draws — crawled at ~6 MB/min single-threaded; the
     // two-pass form generates in minutes and the coalesce pass just
-    // copies bytes). Read-back preserves values AND order: the file
-    // index lists part files lexicographically = partition order,
-    // rows stay in file order, so sorted frames (events) stay sorted.
+    // copies bytes). Read-back does NOT preserve order by itself:
+    // FileSourceScanExec orders scan splits by file LENGTH descending
+    // (bin-packing), not path order — so the wide pass stamps each row
+    // with its position (partition-major via the id's high bits) and
+    // the single-file pass restores it with an in-partition sort after
+    // coalesce(1). That keeps sorted tables (events' global ts order,
+    // the driver-layout contract) sorted, and makes every table's
+    // on-disk row order deterministic.
     val wide = s"$dir/.gen_wide_$name"
-    df.write.mode("overwrite").parquet(wide)
-    spark.read.parquet(wide).coalesce(1).write.mode("overwrite")
+    df.withColumn("__gen_row_idx", monotonically_increasing_id())
+      .write.mode("overwrite").parquet(wide)
+    spark.read.parquet(wide).coalesce(1)
+      .sortWithinPartitions("__gen_row_idx").drop("__gen_row_idx")
+      .write.mode("overwrite")
       .option("parquet.block.size", (8 * 1024 * 1024).toString)
       .parquet(tmp)
     val fsw = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())

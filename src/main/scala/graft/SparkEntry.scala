@@ -3358,7 +3358,7 @@ object SparkEntry {
         |      - CAST(s_b AS HUGEINT) * (SELECT n_a FROM n))), 0) AS mcd
         |  FROM t
         |)
-        |SELECT n_a, n_b,
+        |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
         |  CASE WHEN naq = 0 OR nbq = 0 THEN NULL
         |       ELSE (CASE WHEN dot < 0 THEN -1 ELSE 1 END) *
         |         CAST((CAST(dot AS HUGEINT) * CAST(dot AS HUGEINT)
@@ -4916,24 +4916,26 @@ object SparkEntry {
     "q_ingest_quarantine" ->
       s"""SELECT * FROM
         | (SELECT count(*) AS n_json_good,
-        |         sum(doc_id) AS sum_json_good_ids,
-        |         sum(length(text)) AS sum_json_good_text_len
+        |         CAST(sum(doc_id) AS BIGINT) AS sum_json_good_ids,
+        |         CAST(sum(length(text)) AS BIGINT) AS sum_json_good_text_len
         |  FROM documents WHERE doc_id % 50 <> 0)
         |CROSS JOIN
         | (SELECT count(*) AS n_json_quarantined,
-        |         sum(length('{corrupt drop line for doc '
-        |                    || CAST(doc_id AS VARCHAR))) AS sum_json_quarantined_len,
+        |         CAST(sum(length('{corrupt drop line for doc '
+        |                    || CAST(doc_id AS VARCHAR))) AS BIGINT)
+        |           AS sum_json_quarantined_len,
         |         ${fpSql("'{corrupt drop line for doc ' || CAST(doc_id AS VARCHAR)")}
         |           AS json_quarantine_fp
         |  FROM documents WHERE doc_id % 50 = 0)
         |CROSS JOIN
         | (SELECT count(*) AS n_csv_good,
-        |         sum(length(text)) AS sum_csv_good_n
+        |         CAST(sum(length(text)) AS BIGINT) AS sum_csv_good_n
         |  FROM documents WHERE doc_id % 71 <> 0)
         |CROSS JOIN
         | (SELECT count(*) AS n_csv_quarantined,
-        |         sum(length(CAST(doc_id AS VARCHAR)
-        |                    || ',notanumber')) AS sum_csv_quarantined_len,
+        |         CAST(sum(length(CAST(doc_id AS VARCHAR)
+        |                    || ',notanumber')) AS BIGINT)
+        |           AS sum_csv_quarantined_len,
         |         ${fpSql("CAST(doc_id AS VARCHAR) || ',notanumber'")}
         |           AS csv_quarantine_fp
         |  FROM documents WHERE doc_id % 71 = 0)
@@ -5767,7 +5769,8 @@ object SparkEntry {
         |  WHERE i <= len(emb)
         |  GROUP BY i
         |)
-        |SELECT CAST(i - 1 AS INTEGER) AS pos, s_a, s_b,
+        |SELECT CAST(i - 1 AS INTEGER) AS pos,
+        |  CAST(s_a AS BIGINT) AS s_a, CAST(s_b AS BIGINT) AS s_b,
         |  CAST(abs(CAST(s_a AS HUGEINT) * n_b
         |         - CAST(s_b AS HUGEINT) * n_a) AS BIGINT) AS cross_diff
         |FROM d, n

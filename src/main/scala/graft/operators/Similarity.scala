@@ -961,9 +961,12 @@ object Similarity {
     // pos-sorted arrays so the integer-exact readout below never
     // needs a second pass (the null-pos group is excluded — its sums
     // are 0 by the micro null-map anyway).
+    // coalesce(…, 0): an empty sums frame (empty vectors input or an
+    // unfolded store) must read out n_a = n_b = 0 like the oracle's
+    // coalesce(sum(...), 0), not NULL (sum over zero rows)
     g.agg(
-        sum(col("h_a")).as("n_a"),
-        sum(col("h_b")).as("n_b"),
+        coalesce(sum(col("h_a")), lit(0L)).as("n_a"),
+        coalesce(sum(col("h_b")), lit(0L)).as("n_b"),
         sort_array(collect_list(when(col("pos").isNotNull,
           struct(col("pos"), col("s_a").as("sa"), col("s_b").as("sb")))))
           .as("d"))

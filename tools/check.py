@@ -45,7 +45,20 @@ def main(sf_dir, out_dir):
         msg = ""
         if not ok:
             msg = f"cols {list(mine.columns)} vs {list(want.columns)}"
-        else:
+        if ok:
+            # DTYPE-STRICT: the driver's hash is dtype/repr-sensitive
+            # (122500 int64 != 122500.0 float64 even though == passes).
+            # An uncast DuckDB sum() comes back HUGEINT -> float64 and
+            # hid red for three rounds behind the == comparison below —
+            # fail loudly on any dtype-KIND mismatch per column.
+            kind_bad = [c for c in mine.columns
+                        if mine[c].dtype.kind != want[c].dtype.kind]
+            if kind_bad:
+                ok = False
+                msg = "dtype-kind mismatch " + ", ".join(
+                    f"{c}: spark {mine[c].dtype} vs oracle {want[c].dtype}"
+                    for c in kind_bad)
+        if ok:
             def norm(df):
                 # NaN != NaN would make identical rows compare unequal
                 def f(v):

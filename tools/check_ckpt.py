@@ -149,9 +149,21 @@ def main(argv):
                         f"SELECT * FROM read_parquet({files!r})").fetchdf()
                 mine = mine[sorted(mine.columns)]
                 want = want[sorted(want.columns)]
+                kind_bad = ([c for c in mine.columns
+                             if mine[c].dtype.kind != want[c].dtype.kind]
+                            if list(mine.columns) == list(want.columns)
+                            else [])
                 if list(mine.columns) != list(want.columns):
                     rec["detail"] = (f"cols {list(mine.columns)}"
                                      f" vs {list(want.columns)}")
+                elif kind_bad:
+                    # DTYPE-STRICT (same as check.py): the driver's
+                    # hash is dtype/repr-sensitive; an uncast DuckDB
+                    # sum() -> HUGEINT -> float64 vs Spark int64 must
+                    # FAIL even though value == passes.
+                    rec["detail"] = "dtype-kind mismatch " + ", ".join(
+                        f"{c}: spark {mine[c].dtype}"
+                        f" vs oracle {want[c].dtype}" for c in kind_bad)
                 else:
                     mv, wv = norm(mine), norm(want)
                     if mv == wv:
