@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.CandleTimeFrame
-import graft.operators.{CandleQueries, Candles, Curation, Dedup, LshDedup, MarketAnalytics, Media, Retention, Similarity, TextAnalysis}
+import graft.operators.{CandleQueries, Candles, Curation, Dedup, LshDedup, MarketAnalytics, Media, Retention, ScalarDrift, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
@@ -2865,6 +2865,24 @@ object SparkEntry {
         .select(col("query_id"), col("rank"), col("vec_id"), col("sim_micro"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    "q_value_drift" -> ((s, dir) =>
+      // scalar feature-drift screen: TV + KS over 32 fixed-width
+      // micro-integer buckets of event value, cohorts = first vs
+      // second half of the event window (the train/serve time split).
+      // Integer-exact end to end like the embedding drift family;
+      // state is 32 rows at any corpus size.
+      ScalarDrift.valueDrift(Tables.events(s, dir),
+        when(col("ts") < lit("2024-01-16 00:00:00").cast("timestamp"), 0)
+          .otherwise(1),
+        col("value"))),
+    "q_value_drift_seg" -> ((s, dir) =>
+      // per-segment diagnosis after the global screen trips: which
+      // event_type drifted most (top-5 by exact TV, global buckets)
+      ScalarDrift.valueDriftBySegment(Tables.events(s, dir),
+        col("event_type"),
+        when(col("ts") < lit("2024-01-16 00:00:00").cast("timestamp"), 0)
+          .otherwise(1),
+        col("value"), nBuckets = 32, k = 5)),
     "q_embed_drift" -> ((s, dir) =>
       // distribution-shift screen between two corpus cohorts (here
       // vec_id parity as the stand-in for old/new snapshot): fixed-
@@ -5740,6 +5758,84 @@ object SparkEntry {
     "q_embed_drift" -> driftSql,
     "q_stream_drift" -> driftSql,
     "q_embed_drift_incr" -> driftSql,
+    // scalar drift replicas: same micro-quantize / fixed-width-bucket
+    // / cross-multiplied-count arithmetic as the engine, HUGEINT all
+    // the way, every aggregate output CAST to BIGINT (the dtype-strict
+    // convention — NOTES_r15 §3)
+    "q_value_drift" ->
+      """WITH e AS (
+        |  SELECT CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+        |              THEN 0 ELSE 1 END AS cohort,
+        |         CAST(floor(value * 1000000) AS BIGINT) AS m
+        |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+        |), b AS (
+        |  SELECT min(m) AS mn, max(m) AS mx FROM e
+        |), h AS (
+        |  SELECT (m - mn) // ((mx - mn) // 32 + 1) AS bucket,
+        |         CAST(sum(CASE WHEN cohort = 0 THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS c_a,
+        |         CAST(sum(CASE WHEN cohort = 1 THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS c_b
+        |  FROM e, b GROUP BY 1
+        |), n AS (
+        |  SELECT CAST(coalesce(sum(c_a), 0) AS BIGINT) AS n_a,
+        |         CAST(coalesce(sum(c_b), 0) AS BIGINT) AS n_b
+        |  FROM h
+        |), t AS (
+        |  SELECT coalesce(sum(abs(CAST(c_a AS HUGEINT) * n_b
+        |           - CAST(c_b AS HUGEINT) * n_a)), 0) AS tv_num
+        |  FROM h, n
+        |), c AS (
+        |  SELECT x.bucket, sum(y.c_a) AS ca_cum, sum(y.c_b) AS cb_cum
+        |  FROM h x JOIN h y ON y.bucket <= x.bucket GROUP BY 1
+        |), k AS (
+        |  SELECT coalesce(max(abs(CAST(ca_cum AS HUGEINT) * n_b
+        |           - CAST(cb_cum AS HUGEINT) * n_a)), 0) AS ks_num
+        |  FROM c, n
+        |)
+        |SELECT n_a, n_b,
+        |  CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+        |       ELSE CAST((tv_num * 1000000000000)
+        |         // (2 * CAST(n_a AS HUGEINT) * n_b) AS BIGINT)
+        |  END AS tv_e12,
+        |  CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+        |       ELSE CAST((ks_num * 1000000000000)
+        |         // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT)
+        |  END AS ks_e12
+        |FROM n, t, k""".stripMargin,
+    "q_value_drift_seg" ->
+      """WITH e AS (
+        |  SELECT event_type AS segment,
+        |         CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+        |              THEN 0 ELSE 1 END AS cohort,
+        |         CAST(floor(value * 1000000) AS BIGINT) AS m
+        |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+        |), b AS (
+        |  SELECT min(m) AS mn, max(m) AS mx FROM e
+        |), h AS (
+        |  SELECT segment, (m - mn) // ((mx - mn) // 32 + 1) AS bucket,
+        |         CAST(sum(CASE WHEN cohort = 0 THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS c_a,
+        |         CAST(sum(CASE WHEN cohort = 1 THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS c_b
+        |  FROM e, b GROUP BY 1, 2
+        |), n AS (
+        |  SELECT segment, CAST(sum(c_a) AS BIGINT) AS n_a,
+        |         CAST(sum(c_b) AS BIGINT) AS n_b
+        |  FROM h GROUP BY 1
+        |), t AS (
+        |  SELECT h.segment, n_a, n_b,
+        |         sum(abs(CAST(c_a AS HUGEINT) * n_b
+        |           - CAST(c_b AS HUGEINT) * n_a)) AS tv_num
+        |  FROM h JOIN n ON h.segment = n.segment
+        |  WHERE n_a > 0 AND n_b > 0
+        |  GROUP BY 1, 2, 3
+        |)
+        |SELECT segment, n_a, n_b,
+        |  CAST((tv_num * 1000000000000)
+        |    // (2 * CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS tv_e12
+        |FROM t
+        |ORDER BY tv_e12 DESC, segment LIMIT 5""".stripMargin,
     // per-dimension diagnosis replica: same micro-sum CTEs as the
     // screen, HUGEINT cross products, top-k by exact gap. pos is
     // 0-based engine-side; DuckDB's generate_series index i is

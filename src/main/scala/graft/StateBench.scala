@@ -134,12 +134,29 @@ object StateBench {
     }
   }
 
+  /** The q_stream_drift monitor topology verbatim
+    * (Similarity.driftSums on a streaming embeddings frame): stateless
+    * posexplode + ONE streaming aggregation whose state is dims+1
+    * rows at ANY corpus size — the `keys` axis is reinterpreted as
+    * the embedding DIMENSION (the only thing state scales with), and
+    * the state_rows series is the flat-state evidence itself.
+    * Complete mode: the monitor has no watermark — closed state is
+    * the product, nothing evicts.
+    */
+  private def buildDrift(spark: SparkSession, dims: Int,
+                         ticks: Long): DataFrame =
+    graft.operators.Similarity.driftSums(
+      TransactionSimulator.embeddingStreamMicroBatch(spark, ticks, dims),
+      pmod(col("vec_id"), lit(2)))
+
   private def run(spark: SparkSession, workload: String, provider: String,
                   keys: Long, ticks: Long, warm: Int, keep: Int): String = {
     val ckpt = java.nio.file.Files
       .createTempDirectory(s"statebench-$workload-$provider-$keys").toString
-    val q = build(spark, workload, keys, ticks).writeStream.format("noop")
-      .outputMode("append")
+    val df = if (workload == "drift") buildDrift(spark, keys.toInt, ticks)
+      else build(spark, workload, keys, ticks)
+    val q = df.writeStream.format("noop")
+      .outputMode(if (workload == "drift") "complete" else "append")
       .option("checkpointLocation", ckpt)
       .queryName(s"$workload-$provider-$keys")
       .start()

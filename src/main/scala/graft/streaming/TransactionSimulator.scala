@@ -77,6 +77,30 @@ object TransactionSimulator {
         // a payload column so the agg does real work per event
         (pmod(xxhash64(col("value")), lit(10000L)) / lit(100.0)).as("amount"))
 
+  /** Embedding-grain source for the streaming drift monitor's state
+    * bench (graft.StateBench workload `drift`): one vector per tick,
+    * `vec_id = tick`, `embedding` a deterministic `dims`-length
+    * array<float> hashed from (tick, position) in [-1, 1). The
+    * monitor's whole point is corpus-INDEPENDENT state (dims+1 rows
+    * however many vectors stream through), so unlike
+    * [[userStreamMicroBatch]] the interesting axis here is dims, not
+    * key cardinality — every batch touches all dims+1 state rows and
+    * throughput is decided by the posexplode fan-out (ticks × dims
+    * component rows per batch).
+    */
+  def embeddingStreamMicroBatch(spark: SparkSession, ticksPerBatch: Long,
+                                dims: Int): DataFrame =
+    spark.readStream.format("rate-micro-batch")
+      .option("rowsPerBatch", ticksPerBatch)
+      .option("numPartitions", spark.sparkContext.defaultParallelism)
+      .load()
+      .select(
+        col("value").as("vec_id"),
+        transform(sequence(lit(0), lit(dims - 1)),
+          i => ((pmod(xxhash64(col("value"), i), lit(2000000L))
+            - lit(1000000L)) / lit(1000000.0)).cast("float"))
+          .as("embedding"))
+
   /** Bounded batch variant for tests: `n` ticks starting at epoch
     * second `startEpoch`.
     */
