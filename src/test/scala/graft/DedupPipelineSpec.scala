@@ -29,6 +29,38 @@ class DedupPipelineSpec extends SparkSpec {
     assert(cc === Map(1L -> 1L, 2L -> 1L, 4L -> 4L))
   }
 
+  test("largeStar/smallStar window rewrite == brute-force star semantics") {
+    // pins the r15 single-exchange window formulation to the paper
+    // definitions on a deterministic pseudo-random graph: largeStar
+    // links every LARGER neighbor of u to min(N(u) ∪ {u}); smallStar
+    // links every SMALLER neighbor (and u itself) of u to min of
+    // u's smaller neighborhood — both as deduped (src, dst) sets
+    val rnd = new scala.util.Random(42)
+    val edges = Seq.fill(200)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val e = edges.toDF("src", "dst")
+    // reference largeStar
+    val nbr = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .map { case (u, es) => u -> es.map(_._2).toSet }
+    val lsRef = nbr.toSeq.flatMap { case (u, ns) =>
+      val m = (ns + u).min
+      ns.filter(_ > u).map(v => (v, m))
+    }.filter { case (a, b) => a != b }.toSet
+    val lsGot = Dedup.largeStar(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsGot === lsRef)
+    // reference smallStar (over the canonical src>dst orientation)
+    val oriented = edges.map { case (a, b) => (a max b, a min b) }.distinct
+    val smaller = oriented.groupBy(_._1).map { case (u, es) => u -> es.map(_._2) }
+    val ssRef = smaller.toSeq.flatMap { case (u, ns) =>
+      val m = ns.min
+      (ns :+ u).map(v => (v, m))
+    }.filter { case (a, b) => a != b }.toSet
+    val ssGot = Dedup.smallStar(e.select(col("src"), col("dst"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ssGot === ssRef)
+  }
+
   test("incrementalComponents == full recompute, including cluster merges and singletons") {
     // base: {1,2,3} and {10,11} and singleton 20 (self-pair only)
     val base = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 20L))

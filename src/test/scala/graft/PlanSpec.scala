@@ -52,11 +52,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop join in:\n$p")
   }
 
-  test("q_ann_ivf: index build is a partial aggregate, not a window over the expanded frame") {
+  test("q_ann_ivf: index build is a map-side argmax, not a window over the expanded frame") {
+    // r15: the assignment argmax is an array_max over the broadcast
+    // centroid list — pure projection, ZERO exchanges for the
+    // assignment (the pre-r15 partial max(struct) aggregate still
+    // shuffled one embedding-carrying row per vector). The
+    // load-bearing bans stay: no window over the expanded frame, and
+    // no aggregate re-introduced between scan and search.
     val p = plan("q_ann_ivf")
     assert(!p.contains("RunningWindowFunction") || !p.contains("row_number"),
       s"window in IVF path:\n$p")
-    assert(p.contains("partial_max"), s"no partial argmax aggregation in:\n$p")
+    assert(p.contains("array_max"), s"no map-side array argmax in:\n$p")
   }
 
   test("q_ann_ivfpq: probes and LUT broadcast to the code table; ADC collapses map-side") {
@@ -404,13 +410,15 @@ class PlanSpec extends SparkSpec {
       s"partition-column filters leaked into data filters in:\n$p")
   }
 
-  test("q_kmeans: assignment collapses map-side (partial argmin), corpus never windowed") {
-    // the per-iteration scale contract: the broadcast crossJoin's k
-    // candidate rows per vector must collapse via a PARTIAL
-    // min(struct) aggregate before any exchange — a row_number window
-    // here would hash-exchange the k-expanded frame
+  test("q_kmeans: assignment is a map-side argmin, corpus never windowed or exchanged") {
+    // the per-iteration scale contract, tightened in r15: the argmin
+    // over the broadcast centroid list is an array_min projection —
+    // no aggregate, no exchange of the corpus at all (the pre-r15
+    // partial min(struct) form still shuffled one qv-carrying row per
+    // vector); a row_number window here would hash-exchange the
+    // k-expanded frame
     val p = plan("q_kmeans")
-    assert(p.contains("partial_min"), s"no partial argmin aggregation in:\n$p")
+    assert(p.contains("array_min"), s"no map-side array argmin in:\n$p")
     assert(!p.contains("row_number"), s"window in the assignment path:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian product in:\n$p")
   }
