@@ -89,22 +89,49 @@ object Candles {
     * windowed streams over the minute stream, kt:119-186).
     */
   def multiTimeframe(txns: DataFrame): DataFrame = {
-    // r15 audit note: the minute frame feeds all four union branches
-    // and per-branch column pruning keeps ReuseExchange from firing,
-    // so the plan re-runs the minute aggregate once per timeframe
-    // (measured: 8 parquet scans, 0 reused exchanges). A persist of
-    // the minute frame was tried and MEASURED WORSE at the graded SF
-    // (q_candle_multi_tf 1.11 → 1.6-1.8 s, q_store_roundtrip 1.16 →
-    // 1.8-2.0 s across two sweeps): the cache build serializes what
-    // were four concurrently-scheduled branch aggregations over a
-    // cheap scan, and InMemoryTableScan breaks the branches'
-    // whole-stage codegen. Reverted — at cluster scale the store
-    // write (CandleStore) is the materialization point anyway.
-    val minute = minuteCandles(txns)
-    Seq(CandleTimeFrame.Hour, CandleTimeFrame.Day, CandleTimeFrame.Month)
-      .map(rollup(minute, _))
-      .foldLeft(minute)(_ unionByName _)
+    // r16 single-scan shape: the union-of-rollups form re-ran the
+    // minute aggregate once per branch (per-branch column pruning
+    // kept ReuseExchange from firing — measured 4 parquet scans, 0
+    // reused exchanges; a persist of the minute frame was tried in
+    // r15 and measured WORSE: the cache build serialized four
+    // concurrently-scheduled branch aggregations and
+    // InMemoryTableScan broke their codegen). Instead each minute
+    // candle EXPLODES to its four (timeframe, parent_start) keys and
+    // ONE rollup aggregate computes every grain: one transaction
+    // scan, one minute exchange, one 4×-minute-rows exchange — no
+    // cache, no re-scan. The minute grain rides the same aggregate
+    // as a singleton group (min_by(open, window_start) over one row
+    // = open, sums are identity), so all four branches keep
+    // rollup()'s exact semantics. At 100 TB this is four passes over
+    // the raw transactions replaced by one.
+    val tfKey = explode(array(
+      struct(lit(CandleTimeFrame.Minute).as("tf"), col("window_start").as("ps")) +:
+        Seq(CandleTimeFrame.Hour, CandleTimeFrame.Day, CandleTimeFrame.Month).map(tf =>
+          struct(lit(tf).as("tf"),
+            date_trunc(CandleTimeFrame.truncUnit(tf), col("window_start")).as("ps"))): _*))
+    minuteCandles(txns)
+      .select(col("symbol"), col("window_start"), col("open"), col("high"),
+        col("low"), col("close"), col("volume"), col("n_txn"), tfKey.as("k"))
+      .groupBy(col("symbol"), col("k.tf").as("timeframe"), col("k.ps").as("parent_start"))
+      .agg(
+        min_by(col("open"), col("window_start")).as("open"),
+        max(col("high")).as("high"),
+        min(col("low")).as("low"),
+        max_by(col("close"), col("window_start")).as("close"),
+        sum(col("volume")).cast("long").as("volume"),
+        sum(col("n_txn")).as("n_txn"))
+      .withColumnRenamed("parent_start", "window_start")
+      .withColumn("window_end", windowEndDynamic)
+      .select(candleColumns: _*)
   }
+
+  /** windowEnd when the timeframe is a column (multi-TF frames) —
+    * the [[candleKeyDynamic]] when-chain over [[windowEnd]].
+    */
+  def windowEndDynamic: Column =
+    CandleTimeFrame.all.foldLeft(lit(null).cast("timestamp")) { (acc, tf) =>
+      when(col("timeframe") === tf, windowEnd(tf, col("window_start"))).otherwise(acc)
+    }
 
   /** Roll candles up to an arbitrary fixed interval (e.g. 300s = the
     * 5-minute candles every chart UI offers beyond the reference's four

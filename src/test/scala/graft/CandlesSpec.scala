@@ -109,6 +109,20 @@ class CandlesSpec extends SparkSpec {
     assert(dayKey.toSeq === Seq("candle:MSFT:DAY:20240301"))
   }
 
+  test("multiTimeframe (single-scan rollup) row-equals the union-of-rollups reference") {
+    // pins the r16 explode+single-aggregate rewrite to the pre-r16
+    // shape: minute frame unioned with three independent rollups
+    val minute = Candles.minuteCandles(txns)
+    val want = Seq(CandleTimeFrame.Hour, CandleTimeFrame.Day, CandleTimeFrame.Month)
+      .map(Candles.rollup(minute, _))
+      .foldLeft(minute)(_ unionByName _)
+    val got = Candles.multiTimeframe(txns)
+    assert(got.schema.map(f => (f.name, f.dataType)) ===
+      want.schema.map(f => (f.name, f.dataType)))
+    assert(got.exceptAll(want).count() === 0)
+    assert(want.exceptAll(got).count() === 0)
+  }
+
   test("range / recent / point queries") {
     val minute = Candles.minuteCandles(txns)
     val r = CandleQueries.range(minute, "AAPL", CandleTimeFrame.Minute,
