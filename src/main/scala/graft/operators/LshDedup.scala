@@ -453,9 +453,12 @@ object LshDedup {
                               n: Int = 3,
                               maxExactRows: Long = ExactScale.DefaultMaxExactRows,
                               force: Boolean = false): DataFrame = {
+    // r16: sh persisted — the tokenizer chain fed both the dfreq
+    // aggregate and the ordered join (guide §5 multi-consumer reuse)
     val sh = shingleHashes(ExactScale.check(docs, "exactJaccardPairsPrefix",
         "jaccardVerified (LSH banding)", maxExactRows, force), n = n)
       .filter(size(col("shingle_hashes")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val exploded = sh.select(col("doc_id"), explode(col("shingle_hashes")).as("s"))
     val dfreq = exploded.groupBy(col("s")).agg(count(lit(1)).as("df"))
     // each doc's shingles re-assembled rarest-first
@@ -495,7 +498,7 @@ object LshDedup {
       .join(verify.withColumnsRenamed(Map("doc_id" -> "doc_b", "sh" -> "sh_b")), "doc_b")
       .withColumn("jaccard", Dedup.jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard")), ordered)
+      .select(col("doc_a"), col("doc_b"), col("jaccard")), ordered, sh)
   }
 
   /** Exact asymmetric CONTAINMENT join: ordered pairs (doc_a, doc_b)
@@ -532,9 +535,13 @@ object LshDedup {
                        maxExactRows: Long = ExactScale.DefaultMaxExactRows,
                        force: Boolean = false): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1]: $threshold")
+    // r16: sh persisted — the tokenizer chain fed two plan branches
+    // (dfreq and the ordered join) and re-ran per branch (guide §5
+    // multi-consumer reuse; the per-doc array table is compact)
     val sh = shingleHashes(ExactScale.check(docs, "containmentPairs",
         "containmentPairsCapped (df-capped prefix-probe)", maxExactRows, force), n = n)
       .filter(size(col("shingle_hashes")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val exploded = sh.select(col("doc_id"), explode(col("shingle_hashes")).as("s"))
     val dfreq = exploded.groupBy(col("s")).agg(count(lit(1)).as("df"))
     val ordered = exploded.join(dfreq, "s")
@@ -569,7 +576,7 @@ object LshDedup {
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(col("sh_a")))
       .filter(col("containment") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("containment")), ordered)
+      .select(col("doc_a"), col("doc_b"), col("containment")), ordered, sh)
   }
 
   /** The CORPUS-SCALE sibling of [[containmentPairs]] — the asymmetric
@@ -698,10 +705,17 @@ object LshDedup {
     require(maxDfPercent >= 1 && maxDfPercent <= 100,
       s"maxDfPercent in [1,100]: $maxDfPercent")
     require(maxCandidateBudget >= 1L, s"maxCandidateBudget >= 1: $maxCandidateBudget")
+    // r16: sh and dfreq persisted — sh fed THREE branches (the cap's
+    // doc count, the dfreq aggregate, the ordered join) and dfreq two
+    // (the cap's df histogram, the ordered join), so the tokenizer
+    // chain ran 4× and the posting aggregate 2× per call (guide §5
+    // multi-consumer reuse; sh is per-doc arrays, dfreq vocab-sized)
     val sh = shingleHashes(docs, n = n)
       .filter(size(col("shingle_hashes")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val exploded = sh.select(col("doc_id"), explode(col("shingle_hashes")).as("s"))
     val dfreq = exploded.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cap = containmentDfCap(sh, dfreq, maxDf, maxDfPercent, maxCandidateBudget)
     // per-doc shingles re-assembled rarest-first WITH their dfs, so
     // the probe prefix and the df cap read off one persisted table
@@ -744,7 +758,7 @@ object LshDedup {
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(col("sh_a")))
       .filter(col("containment") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("containment")), ordered)
+      .select(col("doc_a"), col("doc_b"), col("containment")), ordered, sh, dfreq)
   }
 
   /** One-row observability summary of what [[containmentPairsCapped]]'s
@@ -758,16 +772,21 @@ object LshDedup {
                            maxDf: Long = 1000L,
                            maxDfPercent: Int = 100,
                            maxCandidateBudget: Long = 500000000L): DataFrame = {
+    // r16: sh/dfreq persisted — same multi-consumer shape as
+    // containmentPairsCapped (sh: dfreq + the cap's doc count;
+    // dfreq: the cap's histogram + the over-cap filter)
     val sh = shingleHashes(docs, n = n)
       .filter(size(col("shingle_hashes")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = sh.select(explode(col("shingle_hashes")).as("s"))
       .groupBy(col("s")).agg(count(lit(1)).as("df"))
-    dfreq
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    unpersistAfterFirstUse(dfreq
       .crossJoin(broadcast(
         containmentDfCap(sh, dfreq, maxDf, maxDfPercent, maxCandidateBudget)))
       .filter(col("df") > col("df_cap"))
       .agg(count(lit(1)).as("n_grams_capped"),
-        coalesce(sum(col("df")), lit(0L)).as("n_postings_capped"))
+        coalesce(sum(col("df")), lit(0L)).as("n_postings_capped")), sh, dfreq)
   }
 
   /** The recall gate for [[containmentPairsCapped]] — the same shape
