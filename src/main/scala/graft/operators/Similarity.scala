@@ -182,31 +182,79 @@ object Similarity {
       .select(col("vec_id") +: carry.map(col) ++: Seq(
         col("s.m").as("m"), col("s.sub").as("sub")): _*)
 
+  /** The codebook as ONE broadcastable row: `__cb`[m+1] = the m-th
+    * subspace's centroids as struct(code_id, cent), sorted by
+    * code_id. Single-row array bound (the r15 kmeans caveat): the
+    * payload is nSub·nCodes·(subDim+8) bytes — a few KB at any sane
+    * PQ config, 5 orders of magnitude under the ~2 GB single-row
+    * array limit even at nSub=64, nCodes=4096, subDim=64.
+    */
+  private def pqCodebookRow(codebook: DataFrame): DataFrame =
+    codebook
+      // bb = |cent|² precomputed once per centroid: the encode argmin
+      // ranks by bb − 2·dot(sub, cent), which orders exactly like
+      // Σ(sub−cent)² (the |sub|² term is constant per subvector) but
+      // runs through the codegen'd Int8Dot kernel instead of a
+      // per-element interpreted zip_with lambda
+      .groupBy(col("m"))
+      .agg(sort_array(collect_list(struct(col("code_id"), col("cent"),
+        int8_dot(col("cent"), col("cent")).as("bb")))).as("cents"))
+      .agg(sort_array(collect_list(struct(col("m"), col("cents")))).as("mc"))
+      .select(transform(col("mc"), x => x.getField("cents")).as("__cb"))
+
+  /** Map-side PQ encode (r16, the [[ivfAssign]] broadcast-array
+    * shape): per vector ONE row, `codes`[m+1] = struct(slot, code)
+    * of the L2-argmin centroid in subspace m — slot is the 1-based
+    * position in the code_id-sorted centroid list (the ADC LUT
+    * index), code the code_id itself ([[pqEncode]]'s public value).
+    * Zero corpus shuffle: the pre-r16 form exploded nSub rows per
+    * vector, joined the broadcast codebook and re-aggregated by
+    * (vec_id, m) — one full exchange of the exploded code table.
+    * Ties break to the smallest code_id exactly as the old
+    * min(struct(dist, code_id)): cents are code_id-sorted, so the
+    * lexicographic array_min over struct(dist, code, slot) never
+    * reaches slot.
+    */
+  private def pqEncodeArr(qv: DataFrame, codebook: DataFrame, nSub: Int,
+                          subDim: Int, carry: Seq[String] = Nil): DataFrame = {
+    val best = (0 until nSub).map { m =>
+      // ranking key bb − 2·dot orders exactly like the L2² distance
+      // (see pqCodebookRow); __subs is a hoisted attribute so the
+      // lambda never re-evaluates the slice chain per centroid
+      val bm = array_min(transform(element_at(col("__cb"), m + 1), (c, i) =>
+        struct(
+          (c.getField("bb") - lit(2L) * int8_dot(element_at(col("__subs"), m + 1),
+            c.getField("cent"))).as("dist"),
+          c.getField("code_id").as("code"),
+          (i + 1).as("slot"))))
+      struct(bm.getField("slot").as("slot"), bm.getField("code").as("code"))
+    }
+    qv.crossJoin(broadcast(pqCodebookRow(codebook)))
+      .withColumn("__subs", array((0 until nSub).map(m =>
+        slice(col("qvec"), m * subDim + 1, subDim)): _*))
+      .select(col("vec_id") +: carry.map(col) :+ array(best: _*).as("codes"): _*)
+  }
+
   /** PQ encode: each vector becomes nSub small integers — the id of
     * the L2-nearest codebook centroid per subspace. All-integer
     * distances (int8 corpus, int8 centroids) make the argmin
-    * engine-portable; ties break to the smallest code_id via the
-    * partial-aggregatable min(struct) trick (the expanded
-    * vec × nCodes frame never shuffles — same shape as [[ivfAssign]]).
+    * engine-portable; ties break to the smallest code_id.
     * At nSub=8, nCodes=16 a 64-dim float vector compresses 256→4
     * bytes: the memory path that fits a 10^9-vector index in RAM.
     * `carry` threads extra per-vector columns (e.g. an IVF cell id)
     * through the encode so the code table is born tagged — the
     * alternative, re-joining codes to a corpus-sized tag frame on
-    * vec_id, is a corpus×corpus shuffle.
+    * vec_id, is a corpus×corpus shuffle. r16: the row-exploded form
+    * is a posexplode over [[pqEncodeArr]]'s map-side argmin — no
+    * exchange of the code table at all (was one per encode).
     */
   def pqEncode(qv: DataFrame, codebook: DataFrame, nSub: Int,
                subDim: Int, carry: Seq[String] = Nil): DataFrame =
-    subvectors(qv, nSub, subDim, carry)
-      .join(broadcast(codebook), "m")
-      .withColumn("dist", aggregate(
-        zip_with(col("sub"), col("cent"),
-          (a, b) => { val d = a.cast("int") - b.cast("int"); d * d }),
-        lit(0), (acc, x) => acc + x))
-      .groupBy(col("vec_id") +: carry.map(col) :+ col("m"): _*)
-      .agg(min(struct(col("dist"), col("code_id"))).as("best"))
+    pqEncodeArr(qv, codebook, nSub, subDim, carry)
+      .select(col("vec_id") +: carry.map(col) :+
+        posexplode(col("codes")).as(Seq("m", "c")): _*)
       .select(col("vec_id") +: carry.map(col) ++: Seq(
-        col("m"), col("best.code_id").as("code")): _*)
+        col("m"), col("c.code").as("code")): _*)
 
   /** Product-quantization ANN (asymmetric distance): coarse top-
     * `coarseK` by integer ADC score — Σ_m dot(query's int8 m-th
@@ -231,21 +279,35 @@ object Similarity {
     val scales = dimScales(vectors)
     val qv = quantizeInt8(vectors, scales)
     val codebook = pqCodebook(qv, nSub, subDim, nCodes)
-    val codes = pqEncode(qv, codebook, nSub, subDim)
+    // r16 map-side ADC: codes stay one array row per vector
+    // (pqEncodeArr) and the whole LUT rides along as ONE broadcast
+    // row — qlut[q].mq[m][slot] = dot(query q's m-th subvector, the
+    // slot-th centroid). The pre-r16 form exploded codes to nSub rows
+    // per vector, joined the LUT rows and re-aggregated by
+    // (query_id, vec_id): an exchange of the vec×query×nSub frame.
+    // Now the per-query sum is an aggregate over the codes array —
+    // identical Σ_m qdot (slots align: both sides index the
+    // code_id-sorted centroid order), zero shuffle before the coarse
+    // window. LUT payload = queries·nSub·nCodes longs — KBs.
+    val codes = pqEncodeArr(qv, codebook, nSub, subDim)
     val qq = quantizeInt8(queries, scales)
       .select(col("vec_id").as("query_id"), col("qvec"))
-    val lut = subvectors(qq.withColumnRenamed("query_id", "vec_id"),
-      nSub, subDim)
-      .withColumnRenamed("vec_id", "query_id")
-      .join(broadcast(codebook), "m")
-      .select(col("query_id"), col("m"), col("code_id"),
-        int8_dot(col("sub"), col("cent")).as("qdot"))
+    val qlutRow = qq.crossJoin(broadcast(pqCodebookRow(codebook)))
+      .select(col("query_id"), transform(col("__cb"), (cents, mi) =>
+        transform(cents, c =>
+          int8_dot(slice(col("qvec"), mi * lit(subDim) + lit(1), lit(subDim)),
+            c.getField("cent")))).as("mq"))
+      .agg(sort_array(collect_list(struct(col("query_id"), col("mq")))).as("__qlut"))
     val wCoarse = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").desc, col("vec_id"))
-    val cand = codes.join(broadcast(lut),
-      codes("m") === lut("m") && codes("code") === lut("code_id"))
-      .groupBy(col("query_id"), col("vec_id"))
-      .agg(sum(col("qdot")).as("adc"))
+    val cand = codes.crossJoin(broadcast(qlutRow))
+      .select(col("vec_id"), explode(transform(col("__qlut"), q =>
+        struct(q.getField("query_id").as("query_id"),
+          aggregate(
+            zip_with(col("codes"), q.getField("mq"),
+              (cd, qm) => element_at(qm, cd.getField("slot"))),
+            lit(0L), (acc, x) => acc + x).as("adc")))).as("qa"))
+      .select(col("qa.query_id").as("query_id"), col("vec_id"), col("qa.adc").as("adc"))
       .withColumn("crk", row_number().over(wCoarse))
       .filter(col("crk") <= coarseK)
       .select(col("query_id"), col("vec_id"))
@@ -295,7 +357,14 @@ object Similarity {
       .select(col("vec_id"), col("cell_id"),
         graft.functions.quantize_i8(col("embedding"), col("scales")).as("qvec"))
     val codebook = pqCodebook(qvCell, nSub, subDim, nCodes)
-    val codes = pqEncode(qvCell, codebook, nSub, subDim,
+    // r16 map-side ADC (the annPq shape, keyed by probe): codes stay
+    // one array row per vector; the LUT rides as ONE broadcast map
+    // query_id → mq, mq[m][slot] = dot(query's m-th subvector, the
+    // slot-th centroid). The pre-r16 form exploded codes to nSub rows
+    // and re-aggregated by (query_id, vec_id) after the LUT join —
+    // an exchange of the probed-vec×nSub frame per search. The probe
+    // join still bounds scoring to nProbe cells' vectors.
+    val codes = pqEncodeArr(qvCell, codebook, nSub, subDim,
       carry = Seq("cell_id"))
     val q = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("query_emb"))
@@ -307,19 +376,22 @@ object Similarity {
       .filter(col("rn") <= nProbe)
       .select(col("query_id"), col("cell_id"))
     val qq = quantizeInt8(queries, scales)
-    val lut = subvectors(qq, nSub, subDim)
-      .withColumnRenamed("vec_id", "query_id")
-      .join(broadcast(codebook), "m")
-      .select(col("query_id").as("lut_query"), col("m"), col("code_id"),
-        int8_dot(col("sub"), col("cent")).as("qdot"))
+    val qlutRow = qq.select(col("vec_id").as("query_id"), col("qvec"))
+      .crossJoin(broadcast(pqCodebookRow(codebook)))
+      .select(col("query_id"), transform(col("__cb"), (cents, mi) =>
+        transform(cents, c =>
+          int8_dot(slice(col("qvec"), mi * lit(subDim) + lit(1), lit(subDim)),
+            c.getField("cent")))).as("mq"))
+      .agg(map_from_entries(collect_list(struct(col("query_id"), col("mq"))))
+        .as("__qmap"))
     val wCoarse = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").desc, col("vec_id"))
     val cand = codes.join(broadcast(probes), "cell_id")
-      .join(broadcast(lut),
-        col("query_id") === col("lut_query") && codes("m") === lut("m") &&
-          codes("code") === lut("code_id"))
-      .groupBy(col("query_id"), col("vec_id"))
-      .agg(sum(col("qdot")).as("adc"))
+      .crossJoin(broadcast(qlutRow))
+      .withColumn("adc", aggregate(
+        zip_with(col("codes"), element_at(col("__qmap"), col("query_id")),
+          (cd, qm) => element_at(qm, cd.getField("slot"))),
+        lit(0L), (acc, x) => acc + x))
       .withColumn("crk", row_number().over(wCoarse))
       .filter(col("crk") <= coarseK)
       .select(col("query_id"), col("vec_id"))

@@ -72,9 +72,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
     assert(!p.contains("SortMergeJoin"),
       s"code table shuffled by a sort-merge join in:\n$p")
-    // the ADC sum is partial-aggregatable: map-side combine collapses
-    // the (query, vec, m) frame before the exchange
-    assert(p.contains("partial_sum"), s"no partial ADC aggregation in:\n$p")
+    // r16: the ADC sum is a map-side expression over the per-vector
+    // code array and the broadcast LUT map — a pure projection
+    // (aggregate over zip_with), strictly tighter than the pre-r16
+    // partial_sum aggregate, which still exchanged one row per
+    // (query, probed vec)
+    assert(p.contains("zip_with"), s"no map-side ADC lookup in:\n$p")
   }
 
   test("q_grouping_sets: the Expand runs over the pre-aggregated base, not the fact scan") {
