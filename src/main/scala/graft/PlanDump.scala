@@ -27,7 +27,7 @@ object PlanDump {
               .select(col("doc_a").as("src"), col("doc_b").as("dst"))
               .localCheckpoint()
             graft.operators.Dedup.smallStar(
-              graft.operators.Dedup.largeStar(edges))
+              graft.operators.Dedup.largeStarRaw(edges))
           }
           case n => SparkEntry.queries(n)
         }

@@ -36,6 +36,38 @@ object Prof {
           graft.sources.Tables.documents(spark, sf), threshold = 0.8)
           .select(col("doc_a"), col("doc_b")).localCheckpoint()
         (_, _) => graft.operators.Dedup.connectedComponents(p)
+      case "_cc_rounds" =>
+        // per-round attribution of the star loop: checkpoint vs
+        // convergence-check cost and edge counts per round (r16 —
+        // the VERDICT-r15 "round/checkpoint attribution" probe)
+        val p = graft.operators.LshDedup.exactJaccardPairs(
+          graft.sources.Tables.documents(spark, sf), threshold = 0.8)
+          .select(col("doc_a"), col("doc_b")).localCheckpoint()
+        (_, _) => {
+          var edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+            .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
+          var prev = edges.count()
+          var converged = false
+          var iter = 0
+          while (!converged && iter < 50) {
+            val t0 = System.nanoTime()
+            val next = graft.operators.Dedup.smallStar(
+              graft.operators.Dedup.largeStarRaw(edges)).localCheckpoint()
+            val t1 = System.nanoTime()
+            val nc = next.count()
+            val t2 = System.nanoTime()
+            converged = nc == prev &&
+              next.join(edges, Seq("src", "dst"), "left_anti")
+                .limit(1).count() == 0
+            val t3 = System.nanoTime()
+            println(f"  cc round $iter%d ckpt=${(t1 - t0) / 1e9}%5.2f" +
+              f" count=${(t2 - t1) / 1e9}%5.2f anti=${(t3 - t2) / 1e9}%5.2f" +
+              f" edges $prev%d -> $nc%d")
+            edges = next; prev = nc; iter += 1
+          }
+          edges.groupBy(col("src").as("doc_id"))
+            .agg(min(col("dst")).as("cluster_id"))
+        }
       case "_pipeline_tiers" => (s, d) => {
         // per-tier wall for the staged funnel: onTierWritten fires at
         // each tier's commit, so consecutive deltas attribute the

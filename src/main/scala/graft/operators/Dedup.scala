@@ -195,7 +195,18 @@ object Dedup {
     * the min of its neighborhood (including u) — long chains fold onto
     * small ids from both directions.
     */
-  private[graft] def largeStar(e: DataFrame): DataFrame = {
+  private[graft] def largeStar(e: DataFrame): DataFrame =
+    largeStarRaw(e).distinct()
+
+  /** [[largeStar]] without the trailing distinct — the form the star
+    * ROUND composes (r16): duplicates in large-star output cannot
+    * change small-star's window minima, and the round's final
+    * distinct (inside [[smallStar]]) collapses them anyway, so the
+    * intermediate distinct was one whole exchange + two hash
+    * aggregates of the edge list per round for nothing. Kept public
+    * largeStar deduped (its standalone contract and tests).
+    */
+  private[graft] def largeStarRaw(e: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val b = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
     b.withColumn("m",
@@ -203,7 +214,6 @@ object Dedup {
       .filter(col("dst") > col("src"))
       .select(col("dst").as("src"), col("m").as("dst"))
       .filter(col("src") =!= col("dst"))
-      .distinct()
   }
 
   /** One small-star pass: every node links its SMALLER neighbors (and
@@ -241,15 +251,22 @@ object Dedup {
       .localCheckpoint()
     var converged = false
     var iter = 0
+    // r16: the previous round's count is remembered (one action per
+    // round, not two — edges is already materialized) and the star
+    // round composes largeStarRaw so the only distinct per round is
+    // smallStar's (3 edge exchanges per round instead of 4)
+    var prevCount = edges.count()
     // per-round localCheckpoint blocks are freed by the ContextCleaner
     // once the previous round's Dataset becomes unreachable (an
     // explicit unpersist() would be a no-op: checkpoint blocks are not
     // CacheManager entries) — peak storage is ~2 rounds of edges
     while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
-      converged = next.count() == edges.count() &&
+      val next = smallStar(largeStarRaw(edges)).localCheckpoint()
+      val nextCount = next.count()
+      converged = nextCount == prevCount &&
         next.join(edges, Seq("src", "dst"), "left_anti").limit(1).count() == 0
       edges = next
+      prevCount = nextCount
       iter += 1
     }
     if (!converged)
