@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.{CosineSimF, GraftShim, HammingWords, HyperplaneSig, Int8Dot, L2SqLong, MinHashBandHashes, MinHashSignature, PigeonholeSplit, PolyFingerprint64, QuantizeI8, ShingleHashes, SignBits, SimHash64, TextProfile, TokenFnvHashes}
+import org.apache.spark.sql.graft.{BucketCounts, CosineSimF, GraftShim, HammingWords, HyperplaneSig, Int8Dot, L2SqLong, MinHashBandHashes, MinHashSignature, PigeonholeSplit, PolyFingerprint64, QuantizeI8, ShingleHashes, SignBits, SimHash64, TextProfile, TokenFnvHashes}
 
 /** User-facing Column wrappers for graft's native Catalyst
   * expressions (see org.apache.spark.sql.graft.GraftExpressions).
@@ -80,6 +80,14 @@ package object functions {
     */
   def token_fnv_hashes(c: Column): Column =
     GraftShim.toColumn(TokenFnvHashes(GraftShim.toExpression(c)))
+
+  /** One-pass hashed-bucket histogram of an array<long>: array of
+    * struct(b, n) with b = pmod(hash, buckets), n = occurrences —
+    * the per-row equivalent of explode → groupBy(pmod) → count
+    * (codegen'd; DSIR's ingest-time pass).
+    */
+  def bucket_counts(c: Column, buckets: Int): Column =
+    GraftShim.toColumn(BucketCounts(GraftShim.toExpression(c), buckets))
 
   /** Symmetric int8 quantization of an array<float> vector against
     * per-dimension array<double> scales: clamp(floor(v·s), ±127) as

@@ -981,16 +981,22 @@ object Curation {
                      buckets: Int = 256, textCol: String = "text"): DataFrame = {
     require(buckets > 0 && Integer.bitCount(buckets) == 1,
       s"buckets must be a power of two (divides 2^64, so signed pmod ≡ unsigned mod): $buckets")
+    // r16: the histogram is computed per ROW by the codegen'd
+    // bucket_counts kernel (floorMod ≡ signed pmod for a positive
+    // divisor — the signed view of the u64 residue, same as before),
+    // not by exploding one row per token and re-aggregating by
+    // (doc_id, is_t, b): rows are unique by doc_id here (each doc is
+    // one row in every caller), so that groupBy was a per-row
+    // operation paying a full exchange of the ≤ docs×buckets count
+    // table per batch. Tokenize → histogram → explode(≤ buckets
+    // entries) is now one whole-stage-codegen span with no shuffle.
     docs
       .select(col("doc_id"), isTarget.as("is_t"),
-        explode(graft.functions.token_fnv_hashes(lower(trim(col(textCol)))))
-          .as("h"))
-      // signed pmod equals unsigned mod 2^64 residue for any divisor
-      // of 2^64 — the hash column is the engine's signed view of u64
+        explode(graft.functions.bucket_counts(
+          graft.functions.token_fnv_hashes(lower(trim(col(textCol)))), buckets))
+          .as("bn"))
       .select(col("doc_id"), col("is_t"),
-        pmod(col("h"), lit(buckets.toLong)).as("b"))
-      .groupBy(col("doc_id"), col("is_t"), col("b"))
-      .agg(count(lit(1)).as("n"))
+        col("bn.b").as("b"), col("bn.n").as("n"))
   }
 
   /** The WEIGHT pass of DSIR over a (doc_id, is_t, b, n) count table

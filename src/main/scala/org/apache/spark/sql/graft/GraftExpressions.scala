@@ -244,6 +244,64 @@ object ShingleHashes {
   def shingles(arr: ArrayData, n: Int): Array[Long] = shingles(arr, n, dedup = true)
 }
 
+/** Hashed-bucket histogram of an array<long> in one native pass:
+  * array of struct(b, n) rows, b = pmod(hash, buckets) ascending,
+  * n = occurrences — exactly the per-row result of
+  * explode(hashes) → groupBy(pmod(h, buckets)) → count, without the
+  * per-element explode or the aggregation exchange (DSIR's
+  * ingest-time pass; requires `buckets` > 0). Codegen'd like the
+  * other sketch kernels so the tokenize→histogram scan stage stays
+  * one whole-stage-codegen span.
+  */
+case class BucketCounts(child: Expression, buckets: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(buckets > 0, s"buckets must be positive: $buckets")
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("b", LongType, nullable = false),
+      StructField("n", LongType, nullable = false))), containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    BucketCounts.counts(input.asInstanceOf[ArrayData], buckets)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = org.apache.spark.sql.graft.BucketCounts.counts($c, $buckets);
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BucketCounts {
+  /** Shared by interpreted eval and codegen. floorMod matches
+    * Spark's pmod for a positive divisor, so the bucket of every
+    * hash is bit-identical to the pre-r16 explode+pmod+groupBy form.
+    */
+  def counts(arr: ArrayData, buckets: Int): ArrayData = {
+    val cnt = new Array[Long](buckets)
+    val m = arr.numElements()
+    var i = 0
+    while (i < m) {
+      cnt(java.lang.Math.floorMod(arr.getLong(i), buckets.toLong).toInt) += 1L
+      i += 1
+    }
+    var nz = 0
+    var b = 0
+    while (b < buckets) { if (cnt(b) != 0L) nz += 1; b += 1 }
+    val rows = new Array[Any](nz)
+    var k = 0
+    b = 0
+    while (b < buckets) {
+      if (cnt(b) != 0L) {
+        rows(k) = org.apache.spark.sql.catalyst.InternalRow(b.toLong, cnt(b))
+        k += 1
+      }
+      b += 1
+    }
+    new GenericArrayData(rows)
+  }
+}
+
 /** Fused MinHash-signature + LSH band hashes: array of `bands` hashes,
   * band b covering signature slots [b·r, (b+1)·r), r = k/bands. One
   * native pass over the shingle array (see ShingleHashes scaladoc for

@@ -40,7 +40,8 @@ class CodegenSpec extends SparkSpec {
     "L2SqLong" -> L2SqLong(longArr, longArr),
     "SignBits" -> SignBits(floatArr),
     "HammingWords" -> HammingWords(longArr, longArr),
-    "SignDot" -> SignDot(floatArr, longArr)
+    "SignDot" -> SignDot(floatArr, longArr),
+    "BucketCounts" -> BucketCounts(longArr, 16)
   )
 
   test("no graft expression is a CodegenFallback") {

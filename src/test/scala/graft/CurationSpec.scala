@@ -28,6 +28,24 @@ class CurationSpec extends SparkSpec {
       "clean text with short 123 and word99 untouched"))
   }
 
+  test("dsirCountTable (bucket_counts kernel) equals the explode+groupBy reference") {
+    // pins the r16 per-row histogram rewrite to the pre-r16 shape:
+    // explode one row per token hash, pmod, groupBy count
+    val d = docs.withColumn("is_t", col("source") === "src0")
+    val got = Curation.dsirCountTable(d, col("is_t"))
+    val want = d
+      .select(col("doc_id"), col("is_t").as("is_t2"),
+        explode(graft.functions.token_fnv_hashes(lower(trim(col("text"))))).as("h"))
+      .select(col("doc_id"), col("is_t2"), pmod(col("h"), lit(256L)).as("b"))
+      .groupBy(col("doc_id"), col("is_t2"), col("b"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("doc_id"), col("is_t2").as("is_t"), col("b"), col("n"))
+    assert(got.schema.map(f => (f.name, f.dataType)) ===
+      want.schema.map(f => (f.name, f.dataType)))
+    assert(got.exceptAll(want).count() === 0)
+    assert(want.exceptAll(got).count() === 0)
+  }
+
   test("dsirWeights ranks target-like raw docs above unlike ones, integer-exact") {
     // target slice speaks "zebra quark"-ish vocabulary; raw doc 10
     // shares it, raw doc 11 is disjoint — importance weighting must
