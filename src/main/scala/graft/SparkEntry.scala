@@ -2537,20 +2537,27 @@ object SparkEntry {
       import graft.operators.PostingStore
       val docs = Tables.documents(s, dir)
       val store = scratchStorePath("postings", dir)
-      PostingStore.write(docs, store)
+      // r16: the posting table is built ONCE and persisted across its
+      // two consumers — the store write and the probe derivation each
+      // re-ran the tokenize + (doc, term) count pass before (guide §5
+      // multi-consumer reuse; released after the lookup's first action)
+      val built = PostingStore.build(docs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      PostingStore.writeBuilt(built, store)
       // probe terms derive from the documents side, not the store (a
       // same-table probe has no selective other side), and carry a
       // real predicate (df > 1): Spark only injects the DPP subquery
       // when the probe side has a Filter — aggregates/limits alone
       // don't count as selective. The pruning is the layout property
       // under test
-      val probe = PostingStore.build(docs)
+      val probe = built
         .groupBy(col("term")).agg(count(lit(1)).as("df"))
         .filter(col("df") > 1)
         .orderBy(col("df").desc, col("term")).limit(5)
         .select(col("term"))
-      PostingStore.lookup(s, store, probe)
-        .orderBy(col("term"), col("doc_id"))
+      graft.operators.LshDedup.unpersistAfterFirstUse(
+        PostingStore.lookup(s, store, probe)
+          .orderBy(col("term"), col("doc_id")), built)
     }),
     "q_bm25" -> ((s, dir) =>
       TextAnalysis.bm25TopK(Tables.documents(s, dir), k = 3)

@@ -31,8 +31,8 @@ object LshDedup {
     * times should persist the RESULT, which is pairs-sized, not
     * corpus-sized.
     */
-  private[operators] def unpersistAfterFirstUse(result: DataFrame,
-                                                cached: DataFrame*): DataFrame = {
+  private[graft] def unpersistAfterFirstUse(result: DataFrame,
+                                            cached: DataFrame*): DataFrame = {
     import org.apache.spark.sql.execution.QueryExecution
     import org.apache.spark.sql.util.QueryExecutionListener
     val lm = result.sparkSession.listenerManager

@@ -40,7 +40,15 @@ object PostingStore {
     * term-sorted within files (row-group pruning from day one).
     */
   def write(docs: DataFrame, path: String, nBuckets: Int = 64): Unit =
-    build(docs, nBuckets)
+    writeBuilt(build(docs, nBuckets), path)
+
+  /** Persist an already-built posting table ([[build]] output, or a
+    * persisted copy shared with another consumer — the tokenize +
+    * count pass is the expensive half of a store build, so a caller
+    * that also needs the posting rows should build once).
+    */
+  def writeBuilt(postings: DataFrame, path: String): Unit =
+    postings
       .repartition(col("term_bucket"))
       .sortWithinPartitions(col("term_bucket"), col("term"))
       .write.mode(SaveMode.Overwrite).partitionBy("term_bucket")
