@@ -63,8 +63,12 @@ object LongVecSum extends Aggregator[Seq[Long], LongVecBuf, Seq[Long]] {
   *  - assignment ties break to the lowest cluster id.
   *
   * Scale shape (the 100 TB story):
-  *  - centroids broadcast (k·dim longs — k up to ~10^5 stays far
-  *    under broadcast limits); assignment is one scan per iteration
+  *  - centroids broadcast as ONE array row, so the binding limit is
+  *    the single-row array bound, not the broadcast-relation cap:
+  *    k·dim·8 B must stay well under ~2 GB of UnsafeRow array data
+  *    (k=10^4 at dim=4096 is ~330 MB — fine; k=10^5 at dim=4096 is
+  *    ~3.3 GB — chunk the centroid array into a few rows before
+  *    going there); assignment is one scan per iteration
   *    with NO shuffle of the corpus: the centroid list rides along as
   *    one broadcast array row and the argmin is a map-side array_min
   *    over per-centroid (dist, cluster) structs (r15 — the previous
@@ -110,6 +114,14 @@ object KMeans {
     * Identical output: same l2sq_long distances, same lexicographic
     * (dist, cluster) tie-break (struct ordering; cluster ids are
     * unique, so the old min's trailing qv field never decided).
+    *
+    * Edge contract (r16 doc, ADVICE item): an EMPTY `centroids`
+    * frame aggregates to one row with an empty array, so array_min
+    * is null and every vector comes back with a null cluster/dist —
+    * unlike the pre-r15 crossJoin, which returned an empty frame.
+    * Unreachable via train/ivfTrain (seeds of a non-empty corpus are
+    * non-empty); callers passing external centroid sets must require
+    * nonEmpty.
     */
   def assign(quantized: DataFrame, centroids: DataFrame): DataFrame = {
     val centArr = centroids
