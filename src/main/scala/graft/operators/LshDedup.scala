@@ -880,7 +880,12 @@ object LshDedup {
     */
   def simhashCandidates(docs: DataFrame, maxHamming: Int = 3,
                         bitOrder: Option[Seq[Int]] = None): DataFrame = {
+    // r16: the bucket table feeds both sides of the self-join, so the
+    // tokenize+simhash chain ran twice per call (guide §5
+    // multi-consumer reuse; ~(maxHamming+1) small rows per doc,
+    // released after the first action on the result)
     val buckets = simhashBuckets(docs, maxHamming, bitOrder)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = buckets.withColumnsRenamed(Map("doc_id" -> "doc_a", "simhash" -> "sim_a"))
     val b = buckets.withColumnsRenamed(Map("doc_id" -> "doc_b", "simhash" -> "sim_b"))
     // a pair agreeing on several chunks lands in several buckets; the
@@ -891,13 +896,13 @@ object LshDedup {
     // distinct form takes 91 s: the predicate defeats the map-side
     // partial-distinct that collapses duplicate candidates inside the
     // hot buckets before they shuffle.)
-    a.join(b, Seq("chunk", "chunk_val"))
+    unpersistAfterFirstUse(a.join(b, Seq("chunk", "chunk_val"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("sim_a"), col("sim_b"))
       .distinct()
       .withColumn("hamming", hamming64(col("sim_a"), col("sim_b")))
       .filter(col("hamming") <= maxHamming)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .select(col("doc_a"), col("doc_b"), col("hamming")), buckets)
   }
 
   /** Per-input memo for [[simhashBitOrder]], keyed by the analyzed
